@@ -1,0 +1,127 @@
+"""Extraction stages: actor-pool ``map_batches`` classes over Arrow batches.
+
+Reference analogue: one warm ``TessBaseAPI`` per consumer thread, initialized
+once then fed frames (``src/recognition/provider/tesseract.cpp:59-76``,
+``src/recognition/main.cpp:153,174-177``). Here each actor holds the warm
+extractor state in ``__init__`` and processes Arrow record batches in
+``__call__``. Two pool classes mirror the two providers: ``HtmlExtractor``
+(fast lane) and ``PdfExtractor`` (slow/high-memory lane, VisionKit analogue
+``src/recognition/provider/vision_kit.cpp:71-87``); ``PageExtractor`` is the
+single-pool variant that dispatches per row (used when the input is not
+pre-split by payload kind).
+
+The per-row Python work inside ``__call__`` is the recognition payload itself
+(DOM parse ≈ OCR inference) — the batch boundary stays zero-copy Arrow, and
+all column assembly is Arrow-native (``pa.array`` with explicit types).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ocr_suite_ray.functions.extract import (
+    KIND_PDF,
+    extract_payload,
+    sniff_kind,
+)
+from ocr_suite_ray.functions.html_extract import extract_html  # noqa: F401 (warm import)
+from ocr_suite_ray.functions.pdf_extract import PDF_MAGIC
+from ocr_suite_ray.schemas import EXTRACTED_SCHEMA, SPAN_TYPE
+
+_PASSTHROUGH = ("url", "warc_ts")
+
+
+def _result_table(batch: pa.Table, results: list[dict]) -> pa.Table:
+    """Assemble the EXTRACTED_SCHEMA table, passing through key columns and
+    any bookkeeping columns (partition_id) present on the input."""
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {
+        "url": batch["url"],
+        "warc_ts": batch["warc_ts"],
+        "payload_kind": pa.array([r["payload_kind"] for r in results], pa.string()),
+        "text": pa.array([r["text"] for r in results], pa.large_string()),
+        "spans": pa.array(
+            [
+                [{"start": s[0], "stop": s[1], "kind": s[2]} for s in r["spans"]]
+                for r in results
+            ],
+            pa.large_list(SPAN_TYPE),
+        ),
+        "n_blocks_kept": pa.array([r["n_blocks_kept"] for r in results], pa.int32()),
+        "n_blocks_dropped": pa.array([r["n_blocks_dropped"] for r in results], pa.int32()),
+        "status": pa.array([r["status"] for r in results], pa.string()),
+    }
+    names = list(EXTRACTED_SCHEMA.names)
+    if "partition_id" in batch.column_names:
+        cols["partition_id"] = batch["partition_id"]
+        names.append("partition_id")
+    return pa.table({n: cols[n] for n in names})
+
+
+class PageExtractor:
+    """Single-pool extractor: sniffs per row, dispatches html/pdf."""
+
+    def __init__(self) -> None:
+        # Warm state: module-level compiled regexes are imported above; the
+        # interned dispatch closure lives here (one per actor, reused across
+        # batches — the one-TessBaseAPI-per-thread analogue).
+        self._extract = extract_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["html"].to_pylist()
+        results = [self._extract(p) for p in payloads]
+        return _result_table(batch, results)
+
+
+class HtmlExtractor:
+    """Fast-lane pool: assumes every payload is HTML (pre-split upstream)."""
+
+    def __init__(self) -> None:
+        self._extract = extract_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        results = [self._extract(p, "html") for p in batch["html"].to_pylist()]
+        return _result_table(batch, results)
+
+
+class PdfExtractor:
+    """Slow-lane pool (high-memory analogue of the VisionKit provider)."""
+
+    def __init__(self) -> None:
+        self._extract = extract_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        results = [self._extract(p, KIND_PDF) for p in batch["html"].to_pylist()]
+        return _result_table(batch, results)
+
+
+def sniff_batch(batch: pa.Table) -> pa.Table:
+    """Stateless sniff stage: adds ``payload_kind`` + ``payload_bytes``
+    columns (frame-type filter analogue, decoder.cpp:279-284). Vectorized:
+    prefix compare on the binary column without materializing payloads."""
+    html_col = batch["html"]
+    # Arrow kernel: binary starts-with is not available for binary type in all
+    # versions; use a numpy loop over memoryview prefixes (5 bytes each, no
+    # payload copies).
+    kinds = np.empty(len(html_col), dtype=object)
+    sizes = np.empty(len(html_col), dtype=np.int64)
+    magic = PDF_MAGIC
+    i = 0
+    for chunk in (html_col.chunks if isinstance(html_col, pa.ChunkedArray) else [html_col]):
+        for buf in chunk:
+            v = buf.as_py()
+            kinds[i] = "pdf" if (v and v[:5] == magic) else "html"
+            sizes[i] = len(v) if v else 0
+            i += 1
+    out = batch.append_column("payload_kind", pa.array(kinds, pa.string()))
+    return out.append_column("payload_bytes", pa.array(sizes, pa.int64()))
+
+
+def split_by_kind(ds, kind: str):
+    """Predicate split used to route payload classes to dedicated pools."""
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda t, k=kind: t.filter(pc.equal(t["payload_kind"], k)),
+        batch_format="pyarrow",
+    )

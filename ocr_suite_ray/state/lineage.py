@@ -1,0 +1,124 @@
+"""Per-partition lineage: the engine's checkpoint/resume manifest.
+
+Reference analogue: the ``metadata.last_processed_frame`` watermark +
+``is_frame_processed`` presence check + binary-search seek that let a killed
+run resume without re-OCRing completed frames (``src/common/database.cpp:
+110-150``, ``src/ffmpeg/decoder.cpp:178-211``, ``src/recognition/main.cpp:
+61,144-151``). Here the unit of progress is an input *partition* (one input
+Parquet file): a partition whose lineage record says ``done`` with a matching
+input fingerprint is pruned at startup; everything else is (re)processed and
+its output directory replaced atomically (write-temp-then-rename), so partial
+writes from a killed run are invisible — the idempotent-store analogue of the
+reference's transactional per-frame upsert (``database.cpp:50-108``).
+
+One small JSON file per partition (``_lineage/part-NNNNN.json``) instead of a
+shared SQLite row: no shared-writer lock (the reference serializes all N
+consumers on one connection + recursive mutex, ``database.h:66``), and on a
+real cluster each record is an independent tiny object on shared storage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+from ocr_suite_ray.schemas import SCHEMA_VERSION
+
+STATUS_PENDING = "pending"
+STATUS_DONE = "done"
+
+
+@dataclass
+class LineageRecord:
+    partition_id: int
+    input_path: str
+    input_fingerprint: str
+    rows_done: int = 0
+    status: str = STATUS_PENDING
+    stage_metrics: dict = field(default_factory=dict)  # name -> rows/s etc.
+    schema_version: int = SCHEMA_VERSION
+
+
+def partition_fingerprint(path: str) -> str:
+    """Cheap content fingerprint: basename + size + parquet footer length
+    bytes. Guards stale resumes when an input file is regenerated in place
+    (the reference's analogue is re-checking frame presence per store,
+    database.cpp:58-60). Reading the last 64 KiB keeps this O(1) per file
+    regardless of file size."""
+    h = hashlib.sha256()
+    st = os.stat(path)
+    h.update(os.path.basename(path).encode())
+    h.update(str(st.st_size).encode())
+    with open(path, "rb") as fh:
+        fh.seek(max(0, st.st_size - 65536))
+        h.update(fh.read(65536))
+    return h.hexdigest()[:32]
+
+
+def _lineage_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def record_path(out_dir: str, pid: int) -> str:
+    return os.path.join(_lineage_dir(out_dir), f"part-{pid:05d}.json")
+
+
+def write_record(out_dir: str, rec: LineageRecord) -> None:
+    os.makedirs(_lineage_dir(out_dir), exist_ok=True)
+    path = record_path(out_dir, rec.partition_id)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(asdict(rec), fh, sort_keys=True)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def load_records(out_dir: str) -> dict[int, LineageRecord]:
+    d = _lineage_dir(out_dir)
+    if not os.path.isdir(d):
+        return {}
+    out: dict[int, LineageRecord] = {}
+    for name in sorted(os.listdir(d)):
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
+        with open(os.path.join(d, name)) as fh:
+            rec = LineageRecord(**json.load(fh))
+        out[rec.partition_id] = rec
+    return out
+
+
+def pending_partitions(files: list[str], out_dir: str) -> list[tuple[int, str]]:
+    """(pid, path) for every input partition that is not verifiably done.
+
+    pid is the index into the *sorted* file list (deterministic partition
+    identity, cf. the watcher's sorted-file convention,
+    ``tools/ocs-watcher/src/ocsw/executor.py:98``). A record is honored only
+    if status==done, the fingerprint matches the current input file, and the
+    schema version matches (the migration-ladder guard)."""
+    records = load_records(out_dir)
+    pending: list[tuple[int, str]] = []
+    for pid, path in enumerate(files):
+        rec = records.get(pid)
+        if (
+            rec is not None
+            and rec.status == STATUS_DONE
+            and rec.schema_version == SCHEMA_VERSION
+            and rec.input_fingerprint == partition_fingerprint(path)
+        ):
+            continue
+        pending.append((pid, path))
+    return pending
+
+
+def done_fingerprint_set(out_dir: str) -> str:
+    """Stable digest over the set of done partitions — used by the phase-2
+    (dedup/finalize) step to decide whether its input changed since the last
+    finalize (global-watermark analogue)."""
+    records = load_records(out_dir)
+    h = hashlib.sha256()
+    for pid in sorted(records):
+        rec = records[pid]
+        if rec.status == STATUS_DONE:
+            h.update(f"{pid}:{rec.input_fingerprint}:{rec.rows_done};".encode())
+    return h.hexdigest()[:32]

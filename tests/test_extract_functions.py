@@ -1,0 +1,105 @@
+"""Unit tests for the pure extraction functions (no Ray needed)."""
+
+from __future__ import annotations
+
+from ocr_suite_ray.functions.extract import extract_payload, sniff_kind
+from ocr_suite_ray.functions.html_extract import extract_html
+from ocr_suite_ray.functions.pdf_extract import extract_pdf
+from ocr_suite_ray.functions.textnorm import collapse_ws, decode_bytes
+
+
+def test_boilerplate_dropped_content_kept():
+    html = (
+        b"<html><head><title>My Page Title</title></head><body>"
+        b'<nav><a href="/a">home link</a> <a href="/b">about page</a>'
+        b' <a href="/c">contact form</a></nav>'
+        b"<p>This paragraph has plenty of genuine content words inside it.</p>"
+        b'<footer><a href="/x">terms pages</a> | <a href="/y">privacy link</a></footer>'
+        b"</body></html>"
+    )
+    out = extract_html(html)
+    assert "My Page Title" in out["text"]
+    assert "genuine content words" in out["text"]
+    assert "home link" not in out["text"]
+    assert "privacy" not in out["text"]
+    assert out["n_blocks_kept"] == 2
+    assert out["n_blocks_dropped"] >= 2
+
+
+def test_spans_are_char_offsets_into_text():
+    html = b"<title>Alpha Beta Gamma</title><p>one two three four five six</p>"
+    out = extract_html(html)
+    for start, stop, kind in out["spans"]:
+        assert out["text"][start:stop] == out["text"][start:stop].strip()
+    first = out["spans"][0]
+    assert out["text"][first[0] : first[1]] == "Alpha Beta Gamma"
+    assert first[2] == "title"
+
+
+def test_entities_and_whitespace_normalized():
+    html = b"<p>alpha &amp; beta   \n\t gamma &lt;delta&gt; epsilon</p>"
+    out = extract_html(html)
+    assert out["text"] == "alpha & beta gamma <delta> epsilon"
+
+
+def test_script_style_skipped():
+    html = (
+        b"<script>var html_looking = '<p>not real content here at all</p>';</script>"
+        b"<style>p { color: red }</style>"
+        b"<p>actual visible paragraph content with several words</p>"
+    )
+    out = extract_html(html)
+    assert "not real content" not in out["text"]
+    assert "color" not in out["text"]
+    assert "actual visible paragraph" in out["text"]
+
+
+def test_min_word_threshold():
+    # fewer than MIN_WORDS qualifying words -> boilerplate
+    out = extract_html(b"<p>ok go</p><p>this one has enough real words</p>")
+    assert out["n_blocks_kept"] == 1
+
+
+def test_charset_fallback_deterministic():
+    latin = "café résumé".encode("latin-1")
+    s, charset = decode_bytes(latin)
+    assert charset == "latin-1"
+    s2, _ = decode_bytes(latin)
+    assert s == s2
+
+
+def test_collapse_ws():
+    assert collapse_ws("  a \n\t b  c ") == "a b c"
+
+
+def test_pdf_extraction_and_sniff():
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 44 >>\nstream\n"
+        b"BT /F1 12 Tf 72 700 Td (Hello \\(PDF\\) world) Tj ET"
+        b"\nendstream\nendobj\ntrailer\n%%EOF"
+    )
+    assert sniff_kind(pdf) == "pdf"
+    out = extract_pdf(pdf)
+    assert out["text"] == "Hello (PDF) world"
+    assert out["spans"] == [(0, 17, "pdf_block")]
+
+
+def test_poison_pills_yield_deterministic_error_rows():
+    broken_pdf = b"%PDF-1.4\n1 0 obj\nstream\nnever terminated"
+    out = extract_payload(broken_pdf)
+    assert out["status"] == "error:ValueError"
+    assert out["text"] == ""
+    assert extract_payload(b"") == extract_payload(None)
+    assert extract_payload(b"").get("status") == "error:EmptyPayload"
+    compressed = b"%PDF-1.4\n1 0 obj\n<</Filter /FlateDecode>>\nstream\nx\nendstream"
+    assert extract_payload(compressed)["status"] == "error:NotImplementedError"
+
+
+def test_extraction_is_pure():
+    from ocr_suite_ray.sources.synthetic import generate_pages_table
+
+    tbl = generate_pages_table(50, seed=7)
+    payloads = tbl.column("html").to_pylist()
+    a = [extract_payload(p) for p in payloads]
+    b = [extract_payload(p) for p in payloads]
+    assert a == b

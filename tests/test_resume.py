@@ -1,0 +1,124 @@
+"""Resume/lineage semantics: a killed job must not reprocess committed
+partitions, must redo invalidated ones, and must converge to byte-identical
+output (reference analogue: watermark + is_frame_processed + seek,
+``src/common/database.cpp:110-150``)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow.dataset as pads
+
+from ocr_suite_ray.pipelines.extract import (
+    ExtractConfig,
+    run_extract_phase,
+    run_finalize_phase,
+    run_pipeline,
+)
+from ocr_suite_ray.state import lineage as lin
+
+
+def _mtimes(out_dir: str) -> dict:
+    d = os.path.join(out_dir, "extracted")
+    out = {}
+    for pdir in os.listdir(d):
+        for f in os.listdir(os.path.join(d, pdir)):
+            p = os.path.join(d, pdir, f)
+            out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def test_rerun_skips_done_partitions(ray_session, small_corpus, tmp_path):
+    pages_dir, files = small_corpus
+    out = str(tmp_path / "out")
+    cfg = ExtractConfig(wave_size=2, pool_size=2)
+    s1 = run_extract_phase(pages_dir, out, cfg)
+    assert s1["partitions_processed"] == len(files)
+    before = _mtimes(out)
+    s2 = run_extract_phase(pages_dir, out, cfg)
+    assert s2["partitions_processed"] == 0
+    assert s2["partitions_skipped"] == len(files)
+    assert _mtimes(out) == before  # nothing rewritten
+
+
+def test_kill_after_k_partitions_resumes_rest(ray_session, small_corpus, tmp_path):
+    pages_dir, files = small_corpus
+    out = str(tmp_path / "out")
+    cfg = ExtractConfig(wave_size=2, pool_size=2)
+    run_extract_phase(pages_dir, out, cfg)
+    # simulate a kill that lost partitions 2,3: drop their lineage + output
+    for pid in (2, 3):
+        os.remove(lin.record_path(out, pid))
+        shutil.rmtree(os.path.join(out, "extracted", f"partition_id={pid}"))
+    # plus a leftover in-flight wave temp dir
+    os.makedirs(os.path.join(out, "_wave_tmp", "partition_id=9"), exist_ok=True)
+    before = {
+        p: m for p, m in _mtimes(out).items() if "partition_id=0" in p or "partition_id=1" in p
+    }
+    s = run_extract_phase(pages_dir, out, cfg)
+    assert s["partitions_processed"] == 2
+    assert s["partitions_skipped"] == 2
+    after = {
+        p: m for p, m in _mtimes(out).items() if "partition_id=0" in p or "partition_id=1" in p
+    }
+    assert after == before  # committed partitions untouched
+    run_finalize_phase(out, cfg)
+    # full fresh run → byte-identical final store
+    out2 = str(tmp_path / "fresh")
+    run_pipeline(pages_dir, out2, cfg)
+    a = pads.dataset(f"{out}/final").to_table().sort_by("url")
+    b = pads.dataset(f"{out2}/final").to_table().sort_by("url")
+    assert a.equals(b)
+
+
+def test_changed_input_invalidates_partition(ray_session, small_corpus, tmp_path):
+    pages_dir, files = small_corpus
+    # work on a copy so other tests keep their corpus
+    pages2 = str(tmp_path / "pages2")
+    shutil.copytree(pages_dir, pages2)
+    files2 = sorted(
+        os.path.join(pages2, f) for f in os.listdir(pages2) if f.endswith(".parquet")
+    )
+    out = str(tmp_path / "out")
+    cfg = ExtractConfig(wave_size=4, pool_size=2)
+    run_extract_phase(pages2, out, cfg)
+    # regenerate partition 1's file with different content
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(files2[1])
+    pq.write_table(t.slice(0, t.num_rows - 1), files2[1])
+    s = run_extract_phase(pages2, out, cfg)
+    assert s["partitions_processed"] == 1
+
+
+def test_schema_version_guard(ray_session, small_corpus, tmp_path):
+    pages_dir, files = small_corpus
+    out = str(tmp_path / "out")
+    cfg = ExtractConfig(wave_size=4, pool_size=2)
+    run_extract_phase(pages_dir, out, cfg)
+    # tamper one record's schema_version -> partition must be redone
+    path = lin.record_path(out, 0)
+    with open(path) as fh:
+        rec = json.load(fh)
+    rec["schema_version"] = 0
+    with open(path, "w") as fh:
+        json.dump(rec, fh)
+    s = run_extract_phase(pages_dir, out, cfg)
+    assert s["partitions_processed"] == 1
+
+
+def test_lineage_record_roundtrip(tmp_path):
+    out = str(tmp_path)
+    rec = lin.LineageRecord(
+        partition_id=3,
+        input_path="/x/pages_3.parquet",
+        input_fingerprint="abc",
+        rows_done=17,
+        status=lin.STATUS_DONE,
+        stage_metrics={"rows_per_s": 42.0},
+    )
+    lin.write_record(out, rec)
+    got = lin.load_records(out)
+    assert got[3] == rec
