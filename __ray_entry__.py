@@ -1,44 +1,55 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on a deterministic
+synthetic page corpus (BASELINE.json input_hint shape) at smoke scale.
+``queries()`` / ``oracle_sql()`` expose the operator catalog from
+``ocr_suite_ray.pipelines.queries`` — one entry per operator class in
+SURVEY.md §2 plus the training-data ops; each SQL string is the DuckDB
+oracle the driver compares against at sf=0.01.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+# Ray workers must import ocr_suite_ray too.
+_pp = os.environ.get("PYTHONPATH", "")
+if REPO_ROOT not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = REPO_ROOT + (os.pathsep + _pp if _pp else "")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthetic pages (t1 smoke tier) → extract →
+    newest-capture-wins dedup → final extracted store, returned as a
+    Dataset. Driver checks rows >= 0 and a stable schema."""
+    import ray.data as rd
+
+    from ocr_suite_ray.pipelines.extract import ExtractConfig, run_pipeline
+    from ocr_suite_ray.sources.synthetic import generate_corpus
+
+    pages_dir = "/tmp/ocs_entry/pages"
+    out_dir = "/tmp/ocs_entry/out"
+    generate_corpus(pages_dir, 1000, seed=42, n_files=4)
+    run_pipeline(pages_dir, out_dir, ExtractConfig(wave_size=4, pool_size=4))
+    return rd.read_parquet(os.path.join(out_dir, "final"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_suite_ray.pipelines.queries import ALL_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_suite_ray.pipelines.queries import ALL_QUERIES
+
+    return {name: sql for name, (_fn, sql) in ALL_QUERIES.items() if sql is not None}

@@ -1,0 +1,447 @@
+"""Query catalog: one entry per operator class from SURVEY.md §2, each with
+a DuckDB oracle (see ``oracles()``) where SQL can express the semantics.
+
+Contract (driver): every callable takes ``sf_dir`` and returns a
+``ray.data.Dataset`` (or table); the matching SQL string runs on the same
+parquet files with tables pre-registered as views. Column names and rounding
+are aligned on both sides so the driver's order-insensitive value-hash
+matches.
+
+No function here calls ray.init()/ray.shutdown().
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _fixed_point(ds, scales: dict):
+    """Convert float columns to fixed-point int64 (col -> value*scale,
+    rounded half-away-from-zero like DuckDB's ROUND). Rounded doubles are
+    not bit-identical across engines (different ulp after round), so
+    hash-compared float outputs are emitted as integers on BOTH sides —
+    the deterministic-formatting rule the reference applies to confidence
+    values (ocr-cli.cpp:132-135)."""
+
+    def _r(t: pa.Table) -> pa.Table:
+        for c, scale in scales.items():
+            v = pc.round(
+                pc.multiply(t[c], pa.scalar(float(scale))),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            )
+            t = t.set_column(
+                t.schema.get_field_index(c), c, pc.cast(v, pa.int64())
+            )
+        return t
+
+    return ds.map_batches(_r, batch_format="pyarrow")
+
+
+def _sql_fp(expr: str, scale: int, alias: str) -> str:
+    return f"CAST(ROUND(({expr}) * {scale}, 0) AS BIGINT) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shape grouped aggregate with a pre-aggregable derived column.
+    Reference analogue: grouped counts (search_results_view.cpp:63-68)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("rev", rev)
+
+    out = (
+        ds.map_batches(_rev, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("rev", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n_rows"),
+        )
+    )
+    return _fixed_point(out, {"sum_qty": 100, "sum_revenue": 100, "avg_disc": 10000})
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity) * 100, 0) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 100, 0) AS BIGINT) AS sum_revenue,
+       CAST(ROUND(AVG(l_discount) * 10000, 0) AS BIGINT) AS avg_disc,
+       COUNT(*)                                        AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_global_agg(sf_dir: str):
+    """Global max/min/count/sum (MAX(frame_num) analogue, v2.inl:14-32)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    out = ds.groupby(None).aggregate(
+        Max("event_id", alias_name="max_event_id"),
+        Min("event_id", alias_name="min_event_id"),
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+    )
+    return _fixed_point(out, {"sum_value": 100})
+
+
+SQL_GLOBAL_AGG = """
+SELECT MAX(event_id) AS max_event_id, MIN(event_id) AS min_event_id,
+       COUNT(*) AS n_events, CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def q_filter_scan(sf_dir: str):
+    """Pruned read + vectorized filter + derived column (frame-type filter
+    analogue, decoder.cpp:279-284). Columns pruned at the read."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def _f(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(t["l_quantity"], pa.scalar(30.0)),
+            pc.less(t["l_discount"], pa.scalar(0.05)),
+        )
+        t = t.filter(keep)
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                    pa.scalar(100.0),
+                ),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        t = t.append_column("revenue", rev)
+        return t.select(["l_orderkey", "l_linenumber", "revenue"])
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+SQL_FILTER_SCAN = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0) AS BIGINT) AS revenue
+FROM lineitem
+WHERE l_quantity > 30.0 AND l_discount < 0.05
+"""
+
+
+# ---------------------------------------------------------------------------
+# Search path (SURVEY §2.5 find_text; §3.2 viewer)
+# ---------------------------------------------------------------------------
+
+def q_search_like(sf_dir: str):
+    """Substring search over documents (LIKE '%…%' parity,
+    database.cpp:190-194)."""
+    from ocr_suite_ray.stages.search import find_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"])
+    return find_text(ds, "window vector").select_columns(["doc_id", "lang", "n_chars"])
+
+
+SQL_SEARCH_LIKE = """
+SELECT doc_id, lang, n_chars FROM documents WHERE text LIKE '%window vector%'
+"""
+
+
+def q_search_count_by_lang(sf_dir: str):
+    """Grouped match counts (texts-per-frame label analogue,
+    search_results_view.cpp:63-68)."""
+    from ray.data.aggregate import Count
+
+    from ocr_suite_ray.stages.search import find_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return (
+        find_text(ds, "stream")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+SQL_SEARCH_COUNT_BY_LANG = """
+SELECT lang, COUNT(*) AS n_docs FROM documents
+WHERE text LIKE '%stream%' GROUP BY lang
+"""
+
+
+def q_time_hierarchy(sf_dir: str):
+    """day→hour→minute hierarchy counts over events (the viewer tree,
+    search_results_view.cpp:26-158, flattened to group counts)."""
+    from ocr_suite_ray.stages.search import hierarchy_counts
+
+    ds = _read(sf_dir, "events", ["ts"])
+    return hierarchy_counts(ds, "ts")
+
+
+SQL_TIME_HIERARCHY = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(hour(ts) AS INTEGER) AS hour,
+       CAST(minute(ts) AS INTEGER) AS minute,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+def q_sort_topk(sf_dir: str):
+    """Global sort + limit with deterministic tiebreak (ORDER BY timestamp
+    analogue, results.cpp:123-126)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(100)
+
+
+SQL_SORT_TOPK = """
+SELECT event_id, ts, event_type, value FROM events
+ORDER BY value DESC, event_id ASC LIMIT 100
+"""
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-3 by value per event_type, deterministic tiebreak."""
+    from ocr_suite_ray.stages.relational import topk_per_group
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return topk_per_group(
+        ds, ["event_type"], "value", 3, descending=True, tiebreak_col="event_id"
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT event_id, event_type, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+def q_broadcast_join(sf_dir: str):
+    """Orders ⋈ customer ⋈ nation with the dimension side broadcast once
+    (ray.put) — revenue per nation. The id-lookup-join analogue
+    (database.cpp:69-78) done the scale-correct way."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_suite_ray.stages.relational import broadcast_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ].rename(columns={"n_name": "nation"})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    out = (
+        broadcast_join(orders, dim, on="c_custkey")
+        .groupby("nation")
+        .aggregate(
+            Sum("o_totalprice", alias_name="revenue"),
+            Count(alias_name="n_orders"),
+        )
+    )
+    return _fixed_point(out, {"revenue": 100})
+
+
+SQL_BROADCAST_JOIN = """
+SELECT n.n_name AS nation,
+       CAST(ROUND(SUM(o.o_totalprice) * 100, 0) AS BIGINT) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_large_join(sf_dir: str):
+    """lineitem ⋈ orders, both sides large → hash-partitioned Dataset.join,
+    then grouped revenue per order priority."""
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_suite_ray.stages.relational import join_on
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = li.map_batches(_rev, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = join_on(li, orders, on=("o_orderkey",), num_partitions=16)
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev", alias_name="revenue"),
+        Count(alias_name="n_items"),
+    )
+    return _fixed_point(out, {"revenue": 100})
+
+
+SQL_LARGE_JOIN = """
+SELECT o.o_orderpriority,
+       CAST(ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)) * 100, 0) AS BIGINT) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set ops / distinct / union (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+def q_distinct(sf_dir: str):
+    from ocr_suite_ray.stages.relational import distinct
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return distinct(ds, ["l_returnflag", "l_linestatus"])
+
+
+SQL_DISTINCT = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+"""
+
+
+def q_union(sf_dir: str):
+    """Union of two filtered event streams → counts by type."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    hi = ev.map_batches(
+        lambda t: t.filter(pc.greater(t["value"], pa.scalar(150.0))),
+        batch_format="pyarrow",
+    )
+    lo = ev.map_batches(
+        lambda t: t.filter(pc.less(t["value"], pa.scalar(10.0))),
+        batch_format="pyarrow",
+    )
+    return hi.union(lo).groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+SQL_UNION = """
+SELECT event_type, COUNT(*) AS n FROM (
+  SELECT event_type FROM events WHERE value > 150.0
+  UNION ALL
+  SELECT event_type FROM events WHERE value < 10.0
+) GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windows / sessions (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+def q_window_hourly(sf_dir: str):
+    """Per-user tumbling 1 h window aggregates."""
+    from ocr_suite_ray.stages.windows import tumbling_window_agg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = tumbling_window_agg(ds, "user_id", "ts", "value", every="hour")
+    return _fixed_point(out, {"sum_value": 100, "avg_value": 100})
+
+
+SQL_WINDOW_HOURLY = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS sum_value,
+       CAST(ROUND(AVG(value) * 100, 0) AS BIGINT) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30 min) per user."""
+    from ocr_suite_ray.stages.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", gap_s=1800.0)
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     <= INTERVAL 1800 SECOND THEN 0 ELSE 1 END AS is_new
+    FROM events
+  )
+) GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+ALL_QUERIES: dict = {}
+
+RELATIONAL_QUERIES = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "global_agg": (q_global_agg, SQL_GLOBAL_AGG),
+    "filter_scan": (q_filter_scan, SQL_FILTER_SCAN),
+    "search_like": (q_search_like, SQL_SEARCH_LIKE),
+    "search_count_by_lang": (q_search_count_by_lang, SQL_SEARCH_COUNT_BY_LANG),
+    "time_hierarchy": (q_time_hierarchy, SQL_TIME_HIERARCHY),
+    "sort_topk": (q_sort_topk, SQL_SORT_TOPK),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "broadcast_join": (q_broadcast_join, SQL_BROADCAST_JOIN),
+    "large_join": (q_large_join, SQL_LARGE_JOIN),
+    "distinct_flags": (q_distinct, SQL_DISTINCT),
+    "union_counts": (q_union, SQL_UNION),
+    "window_hourly": (q_window_hourly, SQL_WINDOW_HOURLY),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+}
+
+ALL_QUERIES.update(RELATIONAL_QUERIES)

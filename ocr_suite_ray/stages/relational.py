@@ -1,0 +1,96 @@
+"""Relational operators: broadcast join, partitioned join, top-k per group.
+
+These are the engine's query-surface building blocks, mirroring the
+reference's viewer/search path (``src/common/database.cpp:190-194`` LIKE
+join, ``src/viewer/search.cpp:79-91`` fan-out search, ``src/viewer/
+results.cpp:123-126`` global sort) re-expressed Ray-Data-first.
+
+Scale notes (explicit, per operator):
+- ``broadcast_join``: small side is ``ray.put`` ONCE; every task reads the
+  same object-store copy (zero re-shipping per batch). Use when the small
+  side fits a worker's heap (dimension tables).
+- ``join_on``: both sides large → Ray's hash-partitioned ``Dataset.join``;
+  ``num_partitions`` sizes the exchange.
+- ``topk_per_group``: per-batch local top-k combiner (cuts data before the
+  shuffle) then a bucketed groupby reduce — same two-level pattern as the
+  dedup stage; never materializes a full group list per key on the driver.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(
+    ds,
+    small_df: pd.DataFrame,
+    on: str | list,
+    how: str = "inner",
+    concurrency: tuple = (1, 4),
+):
+    """Hash-join ``ds`` against a small pandas table broadcast via ray.put.
+
+    The reference analogue is the id-resolving point lookup after dedup
+    insert (``src/common/database.cpp:69-78``): a shared read-only lookup
+    every worker consults. One object-store copy, read per actor/task."""
+    import ray
+
+    ref = ray.put(small_df)
+
+    class _Join:
+        def __init__(self) -> None:
+            self._small = ray.get(ref)  # once per actor
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self._small, on=on, how=how)
+
+    # autoscaling pool: a fixed pool sized at the CPU count would starve the
+    # upstream read stage (pool + reads > cluster CPUs ⇒ pipeline stalls)
+    return ds.map_batches(_Join, batch_format="pandas", concurrency=concurrency)
+
+
+def join_on(left, right, on: tuple, num_partitions: int = 16, join_type: str = "inner"):
+    """Large-large hash join (Dataset.join). Flat columns only — nested
+    columns must be encoded first (see stages.dedup.encode_spans)."""
+    return left.join(right, join_type=join_type, on=on, num_partitions=num_partitions)
+
+
+def topk_per_group(
+    ds,
+    group_cols: list,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+):
+    """Top-k rows per group with a deterministic tiebreak.
+
+    Two-level: a vectorized per-batch top-k (pandas groupby.head over a
+    sorted frame — C-speed) shrinks each block to ≤ k rows per key present,
+    then one groupby-shuffle re-applies the same reduction per group. The
+    combiner bounds shuffle volume at k·(keys per block)."""
+    sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    ascending = [not descending] + ([True] if tiebreak_col else [])
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        return df.groupby(group_cols, sort=False).head(k)
+
+    reduced = ds.map_batches(_local, batch_format="pandas")
+    return reduced.groupby(group_cols).map_groups(_local, batch_format="pandas")
+
+
+def distinct(ds, cols: list):
+    """Distinct tuples of ``cols``: per-block drop_duplicates combiner, then
+    one vectorized hash-aggregate (no per-group Python)."""
+    from ray.data.aggregate import Count
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].drop_duplicates()
+
+    reduced = ds.map_batches(_local, batch_format="pandas")
+    agg = reduced.groupby(cols).aggregate(Count(alias_name="__n"))
+    return agg.drop_columns(["__n"])
