@@ -445,3 +445,7 @@ RELATIONAL_QUERIES = {
 }
 
 ALL_QUERIES.update(RELATIONAL_QUERIES)
+
+from ocr_suite_ray.pipelines.queries_ml import ML_QUERIES  # noqa: E402
+
+ALL_QUERIES.update(ML_QUERIES)

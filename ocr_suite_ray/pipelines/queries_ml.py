@@ -1,0 +1,293 @@
+"""Training-data operator queries: dedup family, similarity search, text
+analysis, fingerprints — each a ``queries()`` entry; DuckDB oracle where SQL
+can express the exact semantics, rows-only otherwise (approximate ops).
+
+All ratio/score outputs are fixed-point int64 computed with
+floor(x+0.5) == DuckDB ROUND (half away from zero) so value-hashes match.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_stats(sf_dir: str):
+    from ocr_suite_ray.stages.text_ops import TokenStats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(TokenStats, batch_format="pandas", concurrency=(1, 4))
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]')) AS n_subwords,
+       CAST(ROUND(len(list_filter(string_split(text, ' '),
+                                  x -> x IN ('the','a','and','of','to')))
+                  * 10000.0 / GREATEST(len(string_split(text, ' ')), 1), 0) AS BIGINT)
+           AS stop_ratio_e4
+FROM documents
+"""
+
+
+def q_quality(sf_dir: str):
+    from ocr_suite_ray.stages.text_ops import quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_score, batch_format="pandas")
+
+
+SQL_QUALITY = """
+WITH t AS (
+  SELECT doc_id,
+         GREATEST(len(string_split(text, ' ')), 1) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','and','of','to'))) AS n_stop,
+         list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS sum_len
+  FROM documents
+), f AS (
+  SELECT doc_id, n_tokens,
+         CAST(ROUND(n_stop * 10000.0 / n_tokens, 0) AS BIGINT) AS stop_ratio_e4,
+         CAST(ROUND(sum_len * 100.0 / n_tokens, 0) AS BIGINT) AS mean_token_len_e2
+  FROM t
+)
+SELECT doc_id, n_tokens, stop_ratio_e4, mean_token_len_e2,
+       (CASE WHEN n_tokens BETWEEN 50 AND 1000 THEN 40 ELSE 0 END
+        + CASE WHEN stop_ratio_e4 BETWEEN 200 AND 4000 THEN 30 ELSE 0 END
+        + CASE WHEN mean_token_len_e2 BETWEEN 300 AND 1200 THEN 30 ELSE 0 END)
+           AS quality
+FROM f
+"""
+
+
+def q_lang_id(sf_dir: str):
+    from ocr_suite_ray.stages.text_ops import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+
+
+SQL_LANG_ID = """
+WITH c AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text,' '),
+        x -> x IN ('the','a','fast','slow','small','big'))) AS c_en,
+    len(list_filter(string_split(text,' '),
+        x -> x IN ('query','table','join','scan','filter','agg'))) AS c_query,
+    len(list_filter(string_split(text,' '),
+        x -> x IN ('stream','window','batch','spark','vector'))) AS c_stream
+  FROM documents
+)
+SELECT doc_id, c_en, c_query, c_stream,
+       CASE
+         WHEN c_en = 0 AND c_query = 0 AND c_stream = 0 THEN 'und'
+         WHEN c_en >= c_query AND c_en >= c_stream THEN 'en'
+         WHEN c_query >= c_stream THEN 'query'
+         ELSE 'stream'
+       END AS lang_pred
+FROM c
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    """md5 column is oracle-checked; rolling_hash is engine-only, so this
+    query projects just the SQL-expressible fingerprint."""
+    from ocr_suite_ray.stages.text_ops import fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint, batch_format="pandas").select_columns(
+        ["doc_id", "md5"]
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(text) AS md5 FROM documents
+"""
+
+
+def q_fingerprint_rolling(sf_dir: str):
+    """Rolling 64-bit polynomial fingerprint (streaming analogue) — no SQL
+    twin; rows-only check."""
+    from ocr_suite_ray.stages.text_ops import fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint, batch_format="pandas").select_columns(
+        ["doc_id", "rolling_hash"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    from ocr_suite_ray.stages.dedup_text import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact word-3-gram Jaccard pairs (>= 0.10) blocked by source."""
+    from ocr_suite_ray.stages.dedup_text import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return ngram_jaccard_pairs(ds, threshold_e4=1000)
+
+
+SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(
+           CASE WHEN len(string_split(text,' ')) < 3
+                THEN [text]
+                ELSE list_transform(
+                       generate_series(1, len(string_split(text,' ')) - 2),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2])
+           END) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(ROUND(
+         len(list_intersect(a.grams, b.grams)) * 10000.0 /
+         (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+       0) AS BIGINT) AS jaccard_e4
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(ROUND(
+        len(list_intersect(a.grams, b.grams)) * 10000.0 /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+      0) AS BIGINT) >= 1000
+"""
+
+
+def q_minhash_lsh(sf_dir: str):
+    """Approximate near-dup via MinHash+LSH (verified with exact Jaccard
+    inside buckets). Approximate candidate generation -> rows-only check;
+    exactness is covered by unit tests on constructed corpora."""
+    from ocr_suite_ray.stages.dedup_text import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash(sf_dir: str):
+    from ocr_suite_ray.stages.dedup_text import simhash_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_table(ds)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from ocr_suite_ray.stages.dedup_text import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vectors(sf_dir: str, n: int = 4) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    df = df[df.vec_id < n].rename(columns={"vec_id": "query_id"})
+    return df.reset_index(drop=True)
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force exact top-10 cosine per probe (probes = vec_id < 4,
+    broadcast once)."""
+    from ocr_suite_ray.stages.similarity import knn_brute
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_brute(ds, _query_vectors(sf_dir), k=10, scale=4)
+
+
+SQL_KNN_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(ROUND(list_cosine_similarity(
+             CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) * 10000, 0)
+              AS BIGINT) AS score_e4
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, vec_id, score_e4 FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score_e4 DESC, vec_id ASC) AS rn
+  FROM s
+) WHERE rn <= 10
+"""
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """All-pairs cosine >= 0.40 (broadcast comparison side)."""
+    import pyarrow.parquet as pq
+
+    from ocr_suite_ray.stages.similarity import embedding_near_dup
+
+    all_df = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup(ds, all_df, threshold_e4=4000)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(ROUND(list_cosine_similarity(
+           CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000, 0)
+            AS BIGINT) AS cosine_e4
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE CAST(ROUND(list_cosine_similarity(
+          CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000, 0)
+       AS BIGINT) >= 4000
+"""
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate near-dup (scale path) — rows-only check;
+    recall vs the exact variant is asserted in unit tests."""
+    from ocr_suite_ray.stages.similarity import lsh_bucket_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_bucket_pairs(ds, n_planes=8, threshold_e4=4000)
+
+
+ML_QUERIES = {
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": (q_quality, SQL_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprint_md5": (q_fingerprint, SQL_FINGERPRINT),
+    "fingerprint_rolling": (q_fingerprint_rolling, None),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_lsh_pairs": (q_minhash_lsh, None),
+    "simhash_table": (q_simhash, None),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "ann_lsh_pairs": (q_ann_lsh, None),
+}

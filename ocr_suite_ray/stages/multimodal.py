@@ -1,0 +1,133 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed by
+actor-pool decode/feature stages.
+
+This is the direct descendant of the reference's core loop — a binary frame
+payload fed to a warm per-worker engine (``decoder.h:48-54`` frame bytes →
+``tesseract.cpp:80-120`` recognize). The container has no image/audio codecs,
+so the *decode kernel* is stubbed two ways (per the build brief):
+
+- ``FakeDecoder``: a deterministic stand-in (blake2b-derived pseudo pixels /
+  dimensions) so the Ray-side plumbing — schema, batch sizing, actor pool,
+  output layout — is real and testable end-to-end;
+- ``codec="real"`` raises ``NotImplementedError`` at actor construction,
+  marking exactly where pillow/ffmpeg would slot in.
+
+Batch sizing: media rows are wide — callers should pass small ``batch_size``
+(default 16) and bound ``concurrency`` so batch x pool fits worker heaps
+(the reference's fixed 2N frame-buffer pool bound, ``value_queue.h:80-85``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_META_TYPE = pa.struct(
+    [
+        pa.field("media_kind", pa.string()),   # image | audio | video
+        pa.field("n_bytes", pa.int64()),
+        pa.field("content_hash", pa.string()),
+    ]
+)
+
+
+def attach_media_meta(batch: pa.Table, payload_col: str = "payload") -> pa.Table:
+    """Stateless metadata projection over a binary column (no decode)."""
+    metas = []
+    for v in batch[payload_col].to_pylist():
+        v = v or b""
+        kind = "image" if v[:2] == b"\xff\xd8" or v[:4] == b"\x89PNG" else "binary"
+        metas.append(
+            {
+                "media_kind": kind,
+                "n_bytes": len(v),
+                "content_hash": hashlib.blake2b(v, digest_size=8).hexdigest(),
+            }
+        )
+    return batch.append_column("media_meta", pa.array(metas, MEDIA_META_TYPE))
+
+
+class FakeDecoder:
+    """Actor-pool decode stage with a deterministic fake kernel.
+
+    Output columns: width, height, n_channels, feature (list<float> 16-dim
+    pseudo-histogram). Everything derives from blake2b(payload) so results
+    are reproducible at any parallelism. Replace ``_decode`` with a real
+    codec call (pillow / pyav) in production."""
+
+    def __init__(self, codec: str = "fake") -> None:
+        if codec != "fake":
+            raise NotImplementedError(
+                "real media codecs are not available in this container; "
+                "use codec='fake' (deterministic stub) or install pillow/pyav"
+            )
+        self._codec = codec
+
+    @staticmethod
+    def _decode(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        h = hashlib.blake2b(payload or b"", digest_size=40).digest()
+        width = 64 + h[0] % 192
+        height = 64 + h[1] % 192
+        feats = np.frombuffer(h[8:40], dtype=np.uint16).astype(np.float64)
+        feats = feats / 65535.0
+        return width, height, 3, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, chans, feats = [], [], [], []
+        for v in batch["payload"].to_pylist():
+            w, hgt, c, f = self._decode(v)
+            widths.append(w)
+            heights.append(hgt)
+            chans.append(c)
+            feats.append(f.tolist())
+        drop = [c for c in ("payload",) if c in batch.column_names]
+        out = batch.drop_columns(drop)
+        out = out.append_column("width", pa.array(widths, pa.int32()))
+        out = out.append_column("height", pa.array(heights, pa.int32()))
+        out = out.append_column("n_channels", pa.array(chans, pa.int32()))
+        out = out.append_column("feature", pa.array(feats, pa.list_(pa.float32())))
+        return out
+
+
+class FrameSampler:
+    """'Video' frame-sampling stub: emits every k-th pseudo-frame index per
+    payload with a per-frame feature — exercises flat_map-shaped output
+    (one input row → n output rows), the explode layout a real sampler has."""
+
+    def __init__(self, every: int = 5) -> None:
+        self._every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, feats = [], [], []
+        for rid, v in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            h = hashlib.blake2b(v or b"", digest_size=8).digest()
+            n_frames = 10 + h[0] % 20
+            for f in range(0, n_frames, self._every):
+                ids.append(rid)
+                frames.append(f)
+                feats.append(
+                    int.from_bytes(
+                        hashlib.blake2b((v or b"") + f.to_bytes(4, "little"), digest_size=4).digest(),
+                        "little",
+                    )
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frames, pa.int32()),
+                "frame_sig": pa.array(feats, pa.int64()),
+            }
+        )
+
+
+def decode_media(ds, batch_size: int = 16, concurrency=(1, 4)):
+    """Standard decode pipeline step: small batches, bounded actor pool."""
+    return ds.map_batches(
+        FakeDecoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

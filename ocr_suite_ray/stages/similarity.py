@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (list<float>).
+
+- ``knn_brute``: exact cosine top-k. Query matrix is broadcast ONCE via
+  ``ray.put``; each batch does one numpy matmul (rows x dim @ dim x q) and
+  emits its local top-k per query (combiner), then a single small global
+  top-k reduce. Never ships the query matrix per batch, never materializes
+  scores for more than one batch at a time — the scale path for "score 10^12
+  docs against q probes".
+- ``embedding_near_dup``: all-pairs cosine >= threshold. The comparison side
+  is broadcast once (fits memory at probe scale); each batch matmuls against
+  it and emits canonical (a < b) pairs. For corpora where the full matrix
+  can't be broadcast, LSH-bucket first (``lsh_bucket_pairs``).
+- ``lsh_bucket_pairs``: random-hyperplane LSH — one groupby shuffle on the
+  bucket key, exact verification inside buckets (the IVF-ish scale variant).
+
+Scores are emitted fixed-point (e4/e6 int64) computed in float64 so the
+DuckDB oracle (list_cosine_similarity) hash-matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _mat(series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _norm(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute(ds, query_df: pd.DataFrame, k: int = 10, id_col: str = "vec_id",
+              vec_col: str = "embedding", scale: int = 6):
+    """Exact top-k cosine neighbours for each query row.
+
+    query_df: columns (query_id, embedding). Returns (query_id, vec_id,
+    score_e{scale}) with deterministic tiebreak (score desc, vec_id asc)."""
+    import ray
+
+    from ocr_suite_ray.stages.relational import topk_per_group
+
+    qm = _norm(_mat(query_df[vec_col]))
+    qids = query_df["query_id"].to_numpy()
+    ref = ray.put((qm, qids))
+    mult = 10 ** scale
+
+    class _Score:
+        def __init__(self) -> None:
+            self._qm, self._qids = ray.get(ref)  # once per actor
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _norm(_mat(batch[vec_col]))
+            scores = m @ self._qm.T  # (rows, q)
+            rows = []
+            ids = batch[id_col].to_numpy()
+            for qi, qid in enumerate(self._qids):
+                s = scores[:, qi]
+                top = np.argsort(-s, kind="stable")[:k]  # local top-k combiner
+                for t in top:
+                    rows.append((int(qid), int(ids[t]),
+                                 int(np.floor(s[t] * mult + 0.5))))
+            return pd.DataFrame(
+                rows, columns=["query_id", id_col, f"score_e{scale}"]
+            ).astype("int64")
+
+    local = ds.map_batches(_Score, batch_format="pandas", concurrency=(1, 8))
+    return topk_per_group(
+        local, ["query_id"], f"score_e{scale}", k,
+        descending=True, tiebreak_col=id_col,
+    )
+
+
+def embedding_near_dup(ds, all_df: pd.DataFrame, threshold_e4: int = 4000,
+                       id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Pairs (a < b) with cosine*1e4 >= threshold_e4. ``all_df`` (the full
+    id+embedding table) is broadcast once; each batch compares its rows
+    against it. O(n^2) scores but streamed batch-by-batch."""
+    import ray
+
+    am = _norm(_mat(all_df[vec_col]))
+    aids = all_df[id_col].to_numpy()
+    ref = ray.put((am, aids))
+
+    class _Pairs:
+        def __init__(self) -> None:
+            self._am, self._aids = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _norm(_mat(batch[vec_col]))
+            ids = batch[id_col].to_numpy()
+            scores = m @ self._am.T
+            e4 = np.floor(scores * 10000 + 0.5).astype(np.int64)
+            bi, aj = np.nonzero(e4 >= threshold_e4)
+            rows = []
+            for x, y in zip(bi, aj):
+                a, b = int(ids[x]), int(self._aids[y])
+                if a < b:  # canonical orientation; also drops self-pairs
+                    rows.append((a, b, int(e4[x, y])))
+            return pd.DataFrame(
+                rows, columns=["id_a", "id_b", "cosine_e4"]
+            ).astype("int64")
+
+    return ds.map_batches(_Pairs, batch_format="pandas", concurrency=(1, 8))
+
+
+def lsh_bucket_pairs(ds, n_planes: int = 12, threshold_e4: int = 4000,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: int = 64, seed: int = 42):
+    """Approximate near-dup: random-hyperplane signature buckets + exact
+    cosine verification inside each bucket (ONE groupby shuffle). The scale
+    path when the full matrix cannot be broadcast."""
+    planes = np.random.RandomState(seed).normal(size=(dim, n_planes))
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = _norm(_mat(df[vec_col]))
+        bits = (m @ planes) > 0
+        keys = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        out = df[[id_col]].copy()
+        out["bucket"] = keys
+        out["vec"] = [v.tolist() for v in m]
+        return out
+
+    bucketed = ds.map_batches(_bucket, batch_format="pandas")
+
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].tolist()
+        m = np.stack([np.asarray(v) for v in g["vec"]])
+        s = m @ m.T
+        e4 = np.floor(s * 10000 + 0.5).astype(np.int64)
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if e4[i, j] >= threshold_e4:
+                    rows.append((ids[i], ids[j], int(e4[i, j])))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine_e4"]).astype("int64")
+
+    pairs = bucketed.groupby("bucket").map_groups(_verify, batch_format="pandas")
+    from ocr_suite_ray.stages.relational import distinct
+
+    return distinct(pairs, ["id_a", "id_b", "cosine_e4"])

@@ -1,0 +1,159 @@
+"""Approximate dedup/similarity ops verified against exact oracles on
+constructed corpora (the driver only does rows-only checks for these, so the
+real guarantees live here)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_suite_ray.stages.dedup_text import (
+    _shingles,
+    jaccard,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+)
+
+VOCAB = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _mk_corpus(n_base: int = 30, seed: int = 7):
+    """Docs with controlled near-dup structure: each base doc gets one 90%%
+    copy (near-dup) and the rest are independent."""
+    r = random.Random(seed)
+    rows = []
+    did = 0
+    for _ in range(n_base):
+        words = [r.choice(VOCAB) for _ in range(60)]
+        rows.append({"doc_id": did, "source": f"s{did % 3}", "text": " ".join(words)})
+        did += 1
+        mut = list(words)
+        for _ in range(4):  # ~7% token mutation -> high jaccard
+            mut[r.randrange(len(mut))] = r.choice(VOCAB)
+        rows.append({"doc_id": did, "source": f"s{did % 3}", "text": " ".join(mut)})
+        did += 1
+    return pd.DataFrame(rows)
+
+
+def _exact_pairs(df: pd.DataFrame, threshold: float):
+    shs = {r.doc_id: _shingles(r.text, 3) for r in df.itertuples()}
+    out = set()
+    ids = sorted(shs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if jaccard(shs[ids[i]], shs[ids[j]]) >= threshold:
+                out.add((ids[i], ids[j]))
+    return out
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(ray_session):
+    import ray.data as rd
+
+    df = _mk_corpus()
+    want = _exact_pairs(df, 0.5)
+    want_high = _exact_pairs(df, 0.7)
+    assert len(want) >= 20  # corpus actually contains near-dups
+    got_rows = minhash_lsh_pairs(rd.from_pandas(df), threshold=0.5).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    # exact verification inside buckets => no false positives
+    assert got <= want
+    # 32 bands x 4 rows: collision prob ~0.9998 at j >= 0.7 — allow one miss
+    assert len(want_high - got) <= 1
+    # and overall recall at the 0.5 boundary should still be majority
+    assert len(got) >= len(want) * 0.6
+
+
+def test_minhash_pairs_independent_of_partitioning(ray_session):
+    import ray.data as rd
+
+    df = _mk_corpus()
+    a = minhash_lsh_pairs(rd.from_pandas(df), threshold=0.5).take_all()
+    b = minhash_lsh_pairs(rd.from_pandas(df).repartition(7), threshold=0.5).take_all()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_ngram_jaccard_blocked_matches_exact(ray_session):
+    import ray.data as rd
+
+    df = _mk_corpus()
+    got = ngram_jaccard_pairs(rd.from_pandas(df), threshold_e4=5000).take_all()
+    # oracle restricted to the same blocking
+    shs = {r.doc_id: _shingles(r.text, 3) for r in df.itertuples()}
+    want = set()
+    for s, g in df.groupby("source"):
+        ids = sorted(g.doc_id)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                # note: _pairs uses raw word k-grams, oracle uses hashed —
+                # jaccard is identical either way (hash is injective enough)
+                if jaccard(shs[ids[i]], shs[ids[j]]) >= 0.5:
+                    want.add((ids[i], ids[j]))
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert got_pairs == want
+
+
+def test_simhash_near_duplicates_close():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy")
+    c = " ".join(reversed(VOCAB * 6))
+    dab = bin(simhash64(a) ^ simhash64(b)).count("1")
+    dac = bin(simhash64(a) ^ simhash64(c)).count("1")
+    assert dab < dac
+    assert simhash64(a) == simhash64(a)
+
+
+def test_simhash_pairs_bucketing_finds_identical_docs(ray_session):
+    import ray.data as rd
+
+    rows = [{"doc_id": i, "text": f"unique words {i} " + " ".join(VOCAB)} for i in range(20)]
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})  # exact dup of doc 0
+    got = simhash_pairs(rd.from_pandas(pd.DataFrame(rows)), max_hamming=3).take_all()
+    assert any(r["id_a"] == 0 and r["id_b"] == 100 and r["hamming"] == 0 for r in got)
+
+
+def test_lsh_ann_recall_vs_exact(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.similarity import embedding_near_dup, lsh_bucket_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(40, 64))
+    near = base + rng.normal(scale=0.05, size=base.shape)  # cosine ~0.995
+    vecs = np.vstack([base, near])
+    df = pd.DataFrame(
+        {"vec_id": range(80), "embedding": [v.astype(np.float32).tolist() for v in vecs]}
+    )
+    ds = rd.from_pandas(df)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(ds, df, threshold_e4=9900).take_all()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucket_pairs(ds, n_planes=8, threshold_e4=9900).take_all()
+    }
+    assert approx <= exact  # verified inside buckets -> no false positives
+    assert len(exact) == 40
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8  # 8 planes, cosine 0.995 -> near-certain same bucket
+
+
+def test_rows_only_queries_run(ray_session):
+    """Every rows-only queries() entry executes and returns plausible rows."""
+    from ocr_suite_ray.pipelines.queries import ALL_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name, (fn, sql) in ALL_QUERIES.items():
+        if sql is not None:
+            continue
+        res = fn(sf)
+        rows = res.take_all() if hasattr(res, "take_all") else res.to_pylist()
+        assert isinstance(rows, list), name
+        if name in ("fingerprint_rolling", "simhash_table"):
+            assert len(rows) == 500, name
