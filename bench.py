@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline = flagship extraction pipeline (synthetic
+pages scaled to the sf tier), plus a representative query subset over
+$GRAFT_SF_DIR tables. Prints ONE JSON line.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+--scaling: runs bench.py twice in fresh processes at num_cpus=8 and 32 on
+the same input and prints throughput at both + scaling efficiency
+(efficiency = (t8/t32)/(32/8); 1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+_pp = os.environ.get("PYTHONPATH", "")
+if REPO_ROOT not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = REPO_ROOT + (os.pathsep + _pp if _pp else "")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# pages-corpus size per sf tier (FIXTURES.md §4; sf0.1 sized so compute
+# amortizes Ray's fixed pipeline-ramp costs at 32 CPUs — scaling efficiency
+# is meaningless when the job is over in seconds)
+PAGES_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 1_000_000}
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "large_join",
+    "broadcast_join",
+    "window_hourly",
+    "sort_topk",
+    "search_like",
+    "time_hierarchy",
+    "dedup_exact",
+    "token_stats",
+    "minhash_lsh_pairs",
+    "knn_cosine",
+    "simhash_pairs",
+]
+
+
+def _sf_tag() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from ocr_suite_ray.pipelines.extract import ExtractConfig, run_pipeline
+    from ocr_suite_ray.sources.synthetic import generate_corpus
+
+    tag = _sf_tag()
+    n_pages = PAGES_BY_SF.get(tag, 20_000)
+    pages_dir = f"/tmp/ocs_bench/pages-{tag}"
+    generate_corpus(pages_dir, n_pages, seed=42, n_files=16)  # cached, untimed
+
+    # warm OS page cache (untimed) so we measure compute + shuffle
+    import pyarrow.parquet as pq
+
+    for f in sorted(os.listdir(pages_dir)):
+        if f.endswith(".parquet"):
+            pq.read_table(os.path.join(pages_dir, f))
+
+    # warm the Ray Data executor + worker processes (untimed): the first
+    # pipeline of a session pays ~2-3s of one-time setup
+    import ray.data as rd
+
+    rd.range(1000).map_batches(lambda b: b).count()
+
+    out_dir = f"/tmp/ocs_bench/out-{tag}-{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # fixed pool sized to leave CPUs for read/write; an autoscaling pool
+    # ramps too slowly and leaves the cluster half idle (measured)
+    cfg = ExtractConfig(
+        batch_size=64,
+        pool_size=max(2, NUM_CPUS - max(1, NUM_CPUS // 8)),
+        wave_size=16,
+        num_partitions=max(16, NUM_CPUS),
+    )
+    t0 = time.monotonic()
+    summary = run_pipeline(pages_dir, out_dir, cfg)
+    headline = time.monotonic() - t0
+    docs = summary["rows_extracted"]
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    from ocr_suite_ray.pipelines.queries import ALL_QUERIES
+
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = ALL_QUERIES[name]
+        t0 = time.monotonic()
+        res = fn(SF_DIR)
+        # full consumption (count() can shortcut via metadata); all bench
+        # query results are small aggregates/pairs/top-k
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "extract_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": tag,
+        "num_cpus": NUM_CPUS,
+        "docs_extracted": docs,
+        "docs_per_sec": round(docs / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def _run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = _run(lo), _run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -34,7 +34,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from html.parser import HTMLParser
 
-from ocr_suite_ray.functions.textnorm import collapse_ws, decode_bytes, nfc
+from ocr_suite_ray.functions.textnorm import collapse_ws, decode_bytes, nfc  # noqa: F401
 from ocr_suite_ray.schemas import (
     KIND_HEADING,
     KIND_LIST,
@@ -75,7 +75,10 @@ class Block:
     total_chars: int = 0
 
     def text(self) -> str:
-        return collapse_ws("".join(self.chunks))
+        # NFC applied per block (not to the whole raw document): segmentation
+        # is normalization-invariant and the blocks are a small fraction of
+        # the input bytes
+        return nfc(collapse_ws("".join(self.chunks)))
 
 
 class _BlockParser(HTMLParser):
@@ -171,7 +174,6 @@ def extract_html(payload: bytes) -> dict:
     parser itself is total (html.parser never raises on malformed markup).
     """
     raw, _charset = decode_bytes(payload)
-    raw = nfc(raw)
     parser = _BlockParser()
     parser.feed(raw)
     parser.close()

@@ -54,10 +54,12 @@ class ExtractConfig:
     batch_size: int = 128            # pages per extractor call (wide binary rows)
     pool_size: int | tuple = 8       # extractor actor pool (concurrency)
     wave_size: int = 8               # input partitions committed per wave
-    dedup_strategy: str = "agg_join"
+    dedup_strategy: str = "partial"
     split_pdf_pool: bool = False     # dedicated PDF pool (second input pass)
     pdf_pool_size: int = 2
-    num_partitions: int = 32         # hash-join partitions for dedup
+    num_partitions: int = 32         # hash partitions for shuffle dedup paths
+    key_exchange: str = "narrow"     # dup-url detection: narrow | shuffle
+    size_cluster: bool = True        # within-block (kind,size) batch clustering
 
 
 def list_pages_files(pages_dir: str) -> list[str]:
@@ -99,8 +101,54 @@ def _read_wave(wave: list[tuple[int, str]], cfg: ExtractConfig):
     return ds.map_batches(_attach_pid, batch_format="pyarrow")
 
 
+def _input_dup_urls(files: list[str], out_dir: str, cfg: ExtractConfig) -> tuple[list, str]:
+    """urls captured more than once across the WHOLE pages input, plus the
+    dup-set fingerprint. Column-pruned read (url only) + the narrow merge
+    from _find_dup_urls. Cached in out_dir keyed by the input fingerprint
+    set, so resumes don't re-scan."""
+    import hashlib
+
+    import ray.data as rd
+
+    inputs_fp = hashlib.sha256(
+        "".join(lin.partition_fingerprint(f) for f in files).encode()
+    ).hexdigest()[:16]
+    cache = os.path.join(out_dir, "dup_urls.json")
+    if os.path.exists(cache):
+        with open(cache) as fh:
+            data = json.load(fh)
+        if data.get("inputs_fp") == inputs_fp:
+            return data["dup_urls"], data["dupset_fp"]
+    ds = rd.read_parquet(files, columns=["url"])
+    dup_urls = sorted(_find_dup_urls(ds, cfg.key_exchange))
+    dupset_fp = hashlib.sha256("\x00".join(dup_urls).encode()).hexdigest()[:16]
+    os.makedirs(out_dir, exist_ok=True)
+    with open(cache + ".tmp", "w") as fh:
+        json.dump({"inputs_fp": inputs_fp, "dupset_fp": dupset_fp, "dup_urls": dup_urls}, fh)
+    os.replace(cache + ".tmp", cache)
+    return dup_urls, dupset_fp
+
+
+def _tag_dup(ds, dup_urls: list):
+    """Append is_dup (0/1) — becomes a hive partition key so the finalize
+    step can link unique files instead of rewriting them."""
+    dup_set = pa.array(dup_urls, pa.string())
+
+    def _tag(t: pa.Table) -> pa.Table:
+        if len(dup_set):
+            flags = pc.cast(pc.is_in(t["url"], value_set=dup_set), pa.int32())
+        else:
+            flags = pa.array([0] * t.num_rows, pa.int32())
+        return t.append_column("is_dup", flags)
+
+    return ds.map_batches(_tag, batch_format="pyarrow")
+
+
 def _extract_ds(ds, cfg: ExtractConfig):
-    ds = ds.map_batches(_sniff_and_cluster, batch_format="pyarrow")
+    ds = ds.map_batches(
+        _sniff_and_cluster if cfg.size_cluster else sniff_batch,
+        batch_format="pyarrow",
+    )
     if cfg.split_pdf_pool:
         html = ds.map_batches(
             lambda t: t.filter(pc.not_equal(t["payload_kind"], "pdf")),
@@ -129,7 +177,20 @@ def _extract_ds(ds, cfg: ExtractConfig):
     )
 
 
-def _commit_wave(tmp_dir: str, extracted_dir: str, wave: list[tuple[int, str]], wall: float) -> int:
+def _parquet_files_under(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, names in os.walk(root):
+        out.extend(os.path.join(dirpath, f) for f in names if f.endswith(".parquet"))
+    return sorted(out)
+
+
+def _commit_wave(
+    tmp_dir: str,
+    extracted_dir: str,
+    wave: list[tuple[int, str]],
+    wall: float,
+    salt: str = "",
+) -> int:
     """Atomically promote each partition's output dir and write its lineage
     record. Returns rows committed."""
     total = 0
@@ -139,11 +200,11 @@ def _commit_wave(tmp_dir: str, extracted_dir: str, wave: list[tuple[int, str]], 
         dst = os.path.join(extracted_dir, f"partition_id={pid}")
         if not os.path.isdir(src):  # partition produced zero rows
             os.makedirs(src, exist_ok=True)
-        n = sum(
-            pq.read_metadata(os.path.join(src, f)).num_rows
-            for f in os.listdir(src)
-            if f.endswith(".parquet")
-        )
+        files_under = _parquet_files_under(src)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            n = sum(ex.map(lambda f: pq.read_metadata(f).num_rows, files_under))
         per_pid_rows[pid] = n
         total += n
         if os.path.isdir(dst):
@@ -157,7 +218,7 @@ def _commit_wave(tmp_dir: str, extracted_dir: str, wave: list[tuple[int, str]], 
             lin.LineageRecord(
                 partition_id=pid,
                 input_path=path,
-                input_fingerprint=lin.partition_fingerprint(path),
+                input_fingerprint=lin.fingerprint_with_salt(path, salt),
                 rows_done=per_pid_rows[pid],
                 status=lin.STATUS_DONE,
                 stage_metrics={"wave_wall_s": round(wall, 3), "wave_rows_per_s": round(rate, 1)},
@@ -174,7 +235,11 @@ def run_extract_phase(pages_dir: str, out_dir: str, cfg: ExtractConfig | None = 
         raise FileNotFoundError(f"no pages parquet under {pages_dir}")
     extracted_dir = os.path.join(out_dir, "extracted")
     os.makedirs(extracted_dir, exist_ok=True)
-    pending = lin.pending_partitions(files, out_dir)
+    # global dup-url set first (url-column-only scan of the whole input);
+    # its fingerprint salts every partition fingerprint, so an input change
+    # that alters cross-partition dup relationships invalidates dependents
+    dup_urls, dupset_fp = _input_dup_urls(files, out_dir, cfg)
+    pending = lin.pending_partitions(files, out_dir, salt=dupset_fp)
     summary = {
         "partitions_total": len(files),
         "partitions_skipped": len(files) - len(pending),
@@ -189,9 +254,12 @@ def run_extract_phase(pages_dir: str, out_dir: str, cfg: ExtractConfig | None = 
             shutil.rmtree(tmp_dir)  # leftovers from a killed run
         t0 = time.monotonic()
         ds = _extract_ds(_read_wave(wave, cfg), cfg)
-        ds.write_parquet(tmp_dir, partition_cols=["partition_id"])
+        ds = _tag_dup(ds, dup_urls)
+        ds.write_parquet(tmp_dir, partition_cols=["partition_id", "is_dup"])
         wall = time.monotonic() - t0
-        summary["rows_extracted"] += _commit_wave(tmp_dir, extracted_dir, wave, wall)
+        summary["rows_extracted"] += _commit_wave(
+            tmp_dir, extracted_dir, wave, wall, salt=dupset_fp
+        )
         summary["partitions_processed"] += len(wave)
         summary["waves"] += 1
         if os.path.isdir(tmp_dir):
@@ -201,6 +269,15 @@ def run_extract_phase(pages_dir: str, out_dir: str, cfg: ExtractConfig | None = 
 
 def run_finalize_phase(out_dir: str, cfg: ExtractConfig | None = None) -> dict:
     """Phase 2: newest-capture-wins dedup over all done partitions → final/.
+
+    Single-pass split-write (the ``partial`` dedup specialized for a sink):
+    after a url-column-only count finds the (rare) duplicate-capture urls,
+    ONE streaming pass writes unique-url rows straight to the final store
+    from inside the filter task (deterministic per-block filenames make task
+    retries idempotent) and forwards only dup rows; the tiny dup subset then
+    gets the exact per-url groupby reduce. Total motion: one full read, one
+    full write, zero payload shuffle. Other cfg.dedup_strategy values fall
+    back to dedup_latest + write.
 
     Skipped when the done-set fingerprint matches the last finalize (the
     global-watermark check)."""
@@ -215,16 +292,29 @@ def run_finalize_phase(out_dir: str, cfg: ExtractConfig | None = None) -> dict:
         with open(manifest_path) as fh:
             if json.load(fh).get("done_fingerprint") == fp and os.path.isdir(final_dir):
                 return {"skipped": True, "done_fingerprint": fp}
-    ds = rd.read_parquet(extracted_dir)
-    if "partition_id" in ds.schema().names:
-        ds = ds.drop_columns(["partition_id"])
-    deduped = dedup_latest(
-        ds, strategy=cfg.dedup_strategy, num_partitions=cfg.num_partitions
-    )
     tmp_final = final_dir + ".tmp"
     if os.path.isdir(tmp_final):
         shutil.rmtree(tmp_final)
-    deduped.write_parquet(tmp_final)
+    has_dup_layout = any(
+        d.startswith("is_dup=")
+        for pdir in os.listdir(extracted_dir)
+        if os.path.isdir(os.path.join(extracted_dir, pdir))
+        for d in os.listdir(os.path.join(extracted_dir, pdir))
+    ) if os.path.isdir(extracted_dir) else False
+    if cfg.dedup_strategy == "partial" and has_dup_layout:
+        _finalize_linked(extracted_dir, tmp_final)
+    else:
+        ds = rd.read_parquet(extracted_dir)
+        drop = [c for c in ("partition_id", "is_dup") if c in ds.schema().names]
+        if drop:
+            ds = ds.drop_columns(drop)
+        if cfg.dedup_strategy == "partial":
+            _finalize_split_write(ds, tmp_final)
+        else:
+            deduped = dedup_latest(
+                ds, strategy=cfg.dedup_strategy, num_partitions=cfg.num_partitions
+            )
+            deduped.write_parquet(tmp_final)
     if os.path.isdir(final_dir):
         shutil.rmtree(final_dir)
     os.replace(tmp_final, final_dir)
@@ -232,6 +322,182 @@ def run_finalize_phase(out_dir: str, cfg: ExtractConfig | None = None) -> dict:
         json.dump({"done_fingerprint": fp}, fh)
     os.replace(manifest_path + ".tmp", manifest_path)
     return {"skipped": False, "done_fingerprint": fp}
+
+
+def _finalize_linked(extracted_dir: str, tmp_final: str) -> None:
+    """Finalize for the is_dup-partitioned layout: unique-url files are
+    HARDLINKED into the final store (zero data movement — the extract phase
+    already wrote them in final schema), and only the tiny dup subset is
+    read, exactly-reduced (block combiner + one coalesce task) and written.
+    On a distributed filesystem the links become either copies or manifest
+    references; the point stands: finalize cost scales with the dup rate,
+    not the corpus."""
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup import (
+        RANK_COL,
+        _local_best,
+        decode_spans,
+        encode_spans,
+    )
+
+    os.makedirs(tmp_final, exist_ok=True)
+    dup_files: list[str] = []
+    for pdir in sorted(os.listdir(extracted_dir)):
+        pfull = os.path.join(extracted_dir, pdir)
+        if not (os.path.isdir(pfull) and pdir.startswith("partition_id=")):
+            continue
+        pid = pdir.split("=", 1)[1]
+        uniq_dir = os.path.join(pfull, "is_dup=0")
+        if os.path.isdir(uniq_dir):
+            for k, f in enumerate(sorted(os.listdir(uniq_dir))):
+                if f.endswith(".parquet"):
+                    src = os.path.join(uniq_dir, f)
+                    dst = os.path.join(tmp_final, f"uniq-{pid}-{k:04d}.parquet")
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copy2(src, dst)
+        ddir = os.path.join(pfull, "is_dup=1")
+        if os.path.isdir(ddir):
+            dup_files.extend(
+                os.path.join(ddir, f)
+                for f in sorted(os.listdir(ddir))
+                if f.endswith(".parquet")
+            )
+    if not dup_files:
+        return
+    dups_ds = rd.read_parquet(dup_files)
+    pre = dups_ds.map_batches(
+        lambda t: _local_best(encode_spans(t)), batch_format="pyarrow"
+    )
+    winners = _coalesce_reduce(
+        pre,
+        _local_best,
+        lambda t: decode_spans(t.drop_columns([RANK_COL])),
+    )
+    pq.write_table(winners, os.path.join(tmp_final, "winners.parquet"))
+
+
+def _coalesce_reduce(ds, combine_fn, final_fn=None):
+    """Tree-reduce ``ds``'s blocks with remote tasks: ``combine_fn``
+    (Table -> Table, associative) at every fan-in level, ``final_fn`` once at
+    the root. The narrow global-reduce for pre-combined small data — cheaper
+    than ``repartition(1)`` (several seconds of executor overhead) and keeps
+    the merge off the driver. Only for data a single worker can hold
+    (pre-reduced keys, dup subsets); big data takes the shuffle paths."""
+    import ray
+
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def _merge(final: bool, *tables):
+        t = combine_fn(pa.concat_tables(list(tables)).combine_chunks())
+        return final_fn(t) if (final and final_fn is not None) else t
+
+    while len(refs) > 32:
+        refs = [
+            _merge.remote(False, *refs[i : i + 32]) for i in range(0, len(refs), 32)
+        ]
+    return ray.get(_merge.remote(True, *refs))
+
+
+def _find_dup_urls(ds, key_exchange: str = "narrow") -> list:
+    """urls with more than one capture.
+
+    ``narrow`` (default): per-block vectorized value-counts, then ONE
+    coalesce task merges the (url, count) partials — total exchange = the
+    url key column only, no shuffle machinery. Right whenever the key
+    column of the corpus fits one worker (hundreds of millions of urls).
+    ``shuffle``: the groupby-aggregate path for corpora beyond that — same
+    semantics, all-to-all on the key column only.
+    """
+    if key_exchange == "shuffle":
+        from ray.data.aggregate import Count
+
+        counts = (
+            ds.select_columns(["url"]).groupby("url").aggregate(Count(alias_name="__n"))
+        )
+        return [
+            r["url"]
+            for r in counts.map_batches(
+                lambda t: t.filter(pc.greater(t["__n"], 1)) if t.num_columns else t,
+                batch_format="pyarrow",
+            ).take_all()
+        ]
+
+    def _local_counts(t: pa.Table) -> pa.Table:
+        g = t.select(["url"]).group_by("url").aggregate([("url", "count")])
+        return g.rename_columns(["url", "n"])
+
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("url").aggregate([("n", "sum")])
+        return g.rename_columns(["url", "n"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n"], 1)).select(["url"])
+
+    partials = ds.map_batches(_local_counts, batch_format="pyarrow")
+    return _coalesce_reduce(partials, _combine, _final).column("url").to_pylist()
+
+
+def _finalize_split_write(ds, tmp_final: str, key_exchange: str = "narrow") -> None:
+    """One streaming pass: unique-url rows written in place, dup rows (the
+    ~2%) forwarded to an exact per-url reduce. See run_finalize_phase."""
+    import hashlib
+
+    import pyarrow.parquet as pq_mod
+
+    from ocr_suite_ray.stages.dedup import (
+        RANK_COL,
+        _local_best,
+        decode_spans,
+        encode_spans,
+    )
+
+    os.makedirs(tmp_final, exist_ok=True)
+    dup_urls = _find_dup_urls(ds, key_exchange)
+    # at trillion-row scale this exact broadcast set becomes a Bloom filter:
+    # false positives only route extra rows through the exact path
+    dup_set = pa.array(sorted(dup_urls), pa.string())
+
+    def _split(t: pa.Table) -> pa.Table:
+        if len(dup_set):
+            is_dup = pc.is_in(t["url"], value_set=dup_set)
+            uniq = t.filter(pc.invert(is_dup))
+            dups = t.filter(is_dup)
+        else:
+            uniq, dups = t, t.slice(0, 0)
+        if uniq.num_rows:
+            # deterministic per-block name => a retried task overwrites its
+            # own partial file instead of duplicating rows
+            sig = hashlib.sha1(
+                f"{uniq['url'][0]}|{uniq['url'][-1]}|{uniq.num_rows}".encode()
+            ).hexdigest()[:16]
+            path = os.path.join(tmp_final, f"uniq-{sig}.parquet")
+            pq_mod.write_table(uniq, path + ".tmp" + sig)
+            os.replace(path + ".tmp" + sig, path)
+        return dups
+
+    dups_ds = ds.map_batches(_split, batch_format="pyarrow")
+
+    if not dup_urls:
+        dups_ds.count()  # consume: triggers the side-effect writes
+        return
+    # winners: per-block combiner pre-reduces each block to <= 1 row per url,
+    # then ONE coalesce task does the exact global reduce — the dup subset is
+    # tiny (dup-rate bound), so no shuffle machinery is warranted. (For a
+    # corpus whose *dup subset* alone exceeds one worker, fall back to
+    # dedup_latest(strategy="bucket") on the dup rows.)
+    pre = dups_ds.map_batches(
+        lambda t: _local_best(encode_spans(t)), batch_format="pyarrow"
+    )
+    winners = _coalesce_reduce(
+        pre,
+        _local_best,
+        lambda t: decode_spans(t.drop_columns([RANK_COL])),
+    )
+    pq_mod.write_table(winners, os.path.join(tmp_final, "winners.parquet"))
 
 
 def run_pipeline(pages_dir: str, out_dir: str, cfg: ExtractConfig | None = None) -> dict:

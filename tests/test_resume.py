@@ -23,9 +23,9 @@ from ocr_suite_ray.state import lineage as lin
 def _mtimes(out_dir: str) -> dict:
     d = os.path.join(out_dir, "extracted")
     out = {}
-    for pdir in os.listdir(d):
-        for f in os.listdir(os.path.join(d, pdir)):
-            p = os.path.join(d, pdir, f)
+    for dirpath, _dirs, names in os.walk(d):
+        for f in names:
+            p = os.path.join(dirpath, f)
             out[p] = os.stat(p).st_mtime_ns
     return out
 
