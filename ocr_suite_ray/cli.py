@@ -1,0 +1,115 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+Mirrors the reference's three binaries (SURVEY §3): ``extract`` is the
+``ocr-suite`` recognition loop, ``search`` the ``ocr-viewer`` query path,
+``status`` the watcher's progress readout. Re-running ``extract`` after a
+kill resumes from per-partition lineage — the exact property the reference's
+watcher relies on (``README.md:67-73``).
+
+Usage (local or via `ray job submit -- python -m ocr_suite_ray.cli ...`):
+
+    python -m ocr_suite_ray.cli extract --pages DIR --out DIR [--pool N]
+    python -m ocr_suite_ray.cli search  --out DIR --pattern TEXT
+    python -m ocr_suite_ray.cli status  --out DIR
+    python -m ocr_suite_ray.cli gen     --pages DIR --n-pages N
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ocr-suite-ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="resumable extract+dedup pipeline")
+    pe.add_argument("--pages", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--pool", type=int, default=8)
+    pe.add_argument("--batch-size", type=int, default=64)
+    pe.add_argument("--wave-size", type=int, default=8)
+
+    ps = sub.add_parser("search", help="substring search over the final store")
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--pattern", required=True)
+    ps.add_argument("--limit", type=int, default=20)
+
+    pst = sub.add_parser("status", help="lineage / progress readout")
+    pst.add_argument("--out", required=True)
+
+    pg = sub.add_parser("gen", help="generate a synthetic pages corpus")
+    pg.add_argument("--pages", required=True)
+    pg.add_argument("--n-pages", type=int, default=10_000)
+    pg.add_argument("--n-files", type=int, default=16)
+    pg.add_argument("--seed", type=int, default=42)
+
+    a = p.parse_args(argv)
+
+    if a.cmd == "status":
+        from ocr_suite_ray.state import lineage as lin
+
+        recs = lin.load_records(a.out)
+        done = [r for r in recs.values() if r.status == lin.STATUS_DONE]
+        print(
+            json.dumps(
+                {
+                    "partitions_done": len(done),
+                    "rows_done": sum(r.rows_done for r in done),
+                    "records": {pid: rec.status for pid, rec in sorted(recs.items())},
+                }
+            )
+        )
+        return 0
+
+    _init_ray(a.num_cpus)
+    import ray
+
+    try:
+        if a.cmd == "gen":
+            from ocr_suite_ray.sources.synthetic import generate_corpus
+
+            files = generate_corpus(a.pages, a.n_pages, seed=a.seed, n_files=a.n_files)
+            print(json.dumps({"files": len(files), "dir": a.pages}))
+        elif a.cmd == "extract":
+            from ocr_suite_ray.pipelines.extract import ExtractConfig, run_pipeline
+
+            cfg = ExtractConfig(
+                batch_size=a.batch_size, pool_size=a.pool, wave_size=a.wave_size
+            )
+            print(json.dumps(run_pipeline(a.pages, a.out, cfg)))
+        elif a.cmd == "search":
+            from ocr_suite_ray.pipelines.search import search_extracted
+
+            final = os.path.join(a.out, "final")
+            hits = search_extracted(final, a.pattern)
+            rows = hits.take(a.limit)
+            for r in rows:
+                print(json.dumps({k: str(v) for k, v in r.items()}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -449,3 +449,7 @@ ALL_QUERIES.update(RELATIONAL_QUERIES)
 from ocr_suite_ray.pipelines.queries_ml import ML_QUERIES  # noqa: E402
 
 ALL_QUERIES.update(ML_QUERIES)
+
+from ocr_suite_ray.pipelines.queries_extract import EXTRACT_QUERIES  # noqa: E402
+
+ALL_QUERIES.update(EXTRACT_QUERIES)

@@ -1,0 +1,71 @@
+"""Viewer-parity query pipeline over the extracted store (SURVEY §3.2).
+
+The reference's viewer fans a LIKE query over per-video SQLite shards,
+merges, sorts by timestamp and builds a day→hour→minute→frame tree
+(``src/viewer/search.cpp:96-196``, ``src/viewer/results.cpp:123-126``,
+``src/viewer/views/search_results_view.cpp:26-158``). Here:
+
+    read_parquet(final store)  → filter(match_substring)   [vectorized]
+      → sort(warc_ts)          [range-partitioned shuffle]
+      → day/hour/minute counts [grouped aggregate]
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ocr_suite_ray.stages.search import MIN_QUERY_LEN, add_time_buckets, find_text
+
+
+def search_extracted(final_dir: str, pattern: str):
+    """All matching extracted docs, globally ordered by capture time with a
+    deterministic url tiebreak (the merged+sorted viewer result set)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(final_dir)
+    hits = find_text(ds, pattern, text_col="text").select_columns(
+        ["url", "warc_ts", "n_blocks_kept", "status"]
+    )
+    return hits.sort(["warc_ts", "url"])
+
+
+def search_hierarchy(final_dir: str, pattern: str):
+    """day→hour→minute counts of matches (the search-results tree,
+    flattened to group counts — the UI label '{frame} - {n}' analogue)."""
+    from ray.data.aggregate import Count
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(final_dir)
+    hits = find_text(ds, pattern, text_col="text").select_columns(["url", "warc_ts"])
+    return (
+        add_time_buckets(hits, "warc_ts")
+        .groupby(["day", "hour", "minute"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def matches_per_url(final_dir: str, pattern: str):
+    """Per-document match counts for a pattern (texts-per-frame analogue)."""
+    import re
+
+    import ray.data as rd
+
+    if len(pattern) < MIN_QUERY_LEN:
+        raise ValueError(f"query must be >= {MIN_QUERY_LEN} chars")
+
+    class _CountMatches:
+        def __init__(self) -> None:
+            self._re = re.compile(re.escape(pattern))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            counts = [
+                len(self._re.findall(x)) for x in t["text"].to_pylist()
+            ]
+            out = t.select(["url", "warc_ts"])
+            out = out.append_column("n_matches", pa.array(counts, pa.int64()))
+            return out.filter(pc.greater(out["n_matches"], 0))
+
+    ds = rd.read_parquet(final_dir)
+    return ds.map_batches(_CountMatches, batch_format="pyarrow", concurrency=(1, 4))
