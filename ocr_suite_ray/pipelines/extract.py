@@ -3,11 +3,14 @@
 The Ray-Data restatement of the reference's recognition loop (``SURVEY.md``
 §3.1: CLI → DB watermark → seek → bounded queue → N OCR threads → store):
 
-    read_parquet(pending partitions, columns pruned)
-      → map_batches(sniff + within-block size clustering)      [stateless]
-      → map_batches(PageExtractor, concurrency=pool, batch_size=B)  [ACTOR POOL]
-      → write_parquet(partitioned by partition_id) + lineage   [phase 1]
-    read(extracted) → dedup_latest(url)  → final store         [phase 2]
+    phase 0: url-column-only scan → global dup-url set           [narrow reduce]
+    phase 1 (per wave, resumable): Dataset of (file,row_group,pid) specs
+      → map_batches(FusedExtractWriter, concurrency=pool)        [ACTOR POOL:
+        read row group → sniff → warm-parser extract → tag is_dup
+        → write partition_id=N/is_dup=K files; emits only counts]
+      → atomic commit + per-partition lineage
+    phase 2: hardlink unique-url files into final/ + exact reduce
+      of the tiny dup subset                                     [narrow]
 
 Phase 1 runs in **waves** of input partitions: each wave is one streaming
 Dataset execution whose per-partition outputs are committed atomically
@@ -15,19 +18,25 @@ Dataset execution whose per-partition outputs are committed atomically
 at most the in-flight wave; `pending_partitions` prunes everything already
 committed — the watermark+seek resume of the reference (``src/common/
 database.cpp:110-150``, ``src/ffmpeg/decoder.cpp:178-211``) at partition
-granularity. Wave size trades checkpoint frequency against pipeline depth;
-the default keeps ≥ 2 blocks per CPU in flight.
+granularity.
 
-Skew (north_star): the sniff stage sorts every block by (payload_kind,
-payload_bytes) so giant DOMs and PDF payloads cluster into their *own*
-batches instead of riding along with fast rows — one straggler batch then
-occupies one actor slot while the rest of the pool streams on (the
-VisionKit-serialization lesson, ``README.md:80-81``). Set
-``split_pdf_pool=True`` to additionally route PDFs to a dedicated
-``PdfExtractor`` pool (costs a second pass over the wave's input).
+The fused wave exists because Ray cannot fuse a task-based ReadParquet into
+an actor-pool map_batches: the unfused pipeline moves every payload byte
+through the object store twice (measured in BASELINE.md's ablation). Set
+``fused_wave=False`` for the classic operator pipeline
+(read → sniff → extract → tag → sink), e.g. when ``split_pdf_pool=True``
+routes PDFs to a dedicated high-memory pool (the VisionKit-isolation
+analogue, ``README.md:80-81``).
 
-Phase 2 (dedup + finalize) is cheap relative to extraction and re-runs only
-when the set of done partitions changed (``done_fingerprint_set``).
+Skew (north_star): work units are row groups, which are written with a
+fixed ROW count — so a byte-heavy unit is exactly one carrying giant DOMs,
+and it delays only its own task while the pool streams on. The explicit
+``size_cluster`` sniff-sort remains available for sub-batch clustering
+(ablation showed whole-unit tasks faster at high core counts).
+
+Phase 2 (dedup + finalize) costs O(dup rate), not O(corpus): unique-url
+partition files are hardlinked, only dup-url rows are reduced; it re-runs
+only when the set of done partitions changed (``done_fingerprint_set``).
 """
 
 from __future__ import annotations
@@ -51,7 +60,12 @@ PAGES_COLUMNS = ["url", "warc_ts", "html"]  # prune at the read: text/lang unuse
 
 @dataclass
 class ExtractConfig:
-    batch_size: int = 128            # pages per extractor call (wide binary rows)
+    # None = one extractor call per block. Ray's read path splits blocks by
+    # BYTES (SplitBlocks), so a block holds either ~1000 median pages or a
+    # handful of giant DOMs — the size bucketing the skew isolation needs
+    # falls out of block formation, and whole-block tasks measured faster at
+    # high core counts than sub-batch slicing (see BASELINE.md ablation).
+    batch_size: int | None = None
     pool_size: int | tuple = 8       # extractor actor pool (concurrency)
     wave_size: int = 8               # input partitions committed per wave
     dedup_strategy: str = "partial"
@@ -59,7 +73,8 @@ class ExtractConfig:
     pdf_pool_size: int = 2
     num_partitions: int = 32         # hash partitions for shuffle dedup paths
     key_exchange: str = "narrow"     # dup-url detection: narrow | shuffle
-    size_cluster: bool = True        # within-block (kind,size) batch clustering
+    size_cluster: bool = False       # explicit within-block (kind,size) sort
+    fused_wave: bool = True          # one-operator read+extract+write waves
 
 
 def list_pages_files(pages_dir: str) -> list[str]:
@@ -149,32 +164,25 @@ def _extract_ds(ds, cfg: ExtractConfig):
         _sniff_and_cluster if cfg.size_cluster else sniff_batch,
         batch_format="pyarrow",
     )
+    main_kw: dict = {"batch_format": "pyarrow", "concurrency": cfg.pool_size}
+    if cfg.batch_size is not None:
+        main_kw["batch_size"] = cfg.batch_size
     if cfg.split_pdf_pool:
         html = ds.map_batches(
             lambda t: t.filter(pc.not_equal(t["payload_kind"], "pdf")),
             batch_format="pyarrow",
-        ).map_batches(
-            PageExtractor,
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.pool_size,
-        )
+        ).map_batches(PageExtractor, **main_kw)
         pdf = ds.map_batches(
             lambda t: t.filter(pc.equal(t["payload_kind"], "pdf")),
             batch_format="pyarrow",
         ).map_batches(
             PdfExtractor,
             batch_format="pyarrow",
-            batch_size=max(4, cfg.batch_size // 8),
+            batch_size=max(4, (cfg.batch_size or 128) // 8),
             concurrency=cfg.pdf_pool_size,
         )
         return html.union(pdf)
-    return ds.map_batches(
-        PageExtractor,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.pool_size,
-    )
+    return ds.map_batches(PageExtractor, **main_kw)
 
 
 def _parquet_files_under(root: str) -> list[str]:
@@ -190,22 +198,30 @@ def _commit_wave(
     wave: list[tuple[int, str]],
     wall: float,
     salt: str = "",
+    counts: list | None = None,
 ) -> int:
     """Atomically promote each partition's output dir and write its lineage
-    record. Returns rows committed."""
+    record. Returns rows committed. ``counts`` = [(pid, n)] rows from the
+    fused sink; when absent, row counts come from parquet footers."""
     total = 0
     per_pid_rows: dict[int, int] = {pid: 0 for pid, _ in wave}
+    if counts is not None:
+        for r in counts:
+            per_pid_rows[int(r["pid"])] = per_pid_rows.get(int(r["pid"]), 0) + int(r["n"])
     for pid, _ in wave:
         src = os.path.join(tmp_dir, f"partition_id={pid}")
         dst = os.path.join(extracted_dir, f"partition_id={pid}")
         if not os.path.isdir(src):  # partition produced zero rows
             os.makedirs(src, exist_ok=True)
-        files_under = _parquet_files_under(src)
-        from concurrent.futures import ThreadPoolExecutor
+        if counts is None:
+            files_under = _parquet_files_under(src)
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            n = sum(ex.map(lambda f: pq.read_metadata(f).num_rows, files_under))
-        per_pid_rows[pid] = n
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                per_pid_rows[pid] = sum(
+                    ex.map(lambda f: pq.read_metadata(f).num_rows, files_under)
+                )
+        n = per_pid_rows[pid]
         total += n
         if os.path.isdir(dst):
             shutil.rmtree(dst)
@@ -253,18 +269,141 @@ def run_extract_phase(pages_dir: str, out_dir: str, cfg: ExtractConfig | None = 
         if os.path.isdir(tmp_dir):
             shutil.rmtree(tmp_dir)  # leftovers from a killed run
         t0 = time.monotonic()
-        ds = _extract_ds(_read_wave(wave, cfg), cfg)
-        ds = _tag_dup(ds, dup_urls)
-        ds.write_parquet(tmp_dir, partition_cols=["partition_id", "is_dup"])
+        if cfg.fused_wave and not cfg.split_pdf_pool:
+            # fully fused: read + extract + tag + write in one actor-pool
+            # operator over (file, row_group) specs — neither input payloads
+            # nor outputs ever cross the object store
+            import ray.data as rd
+
+            specs = _wave_specs(wave)
+            counts = (
+                rd.from_arrow(specs)
+                .repartition(specs.num_rows)  # one block per spec => full task parallelism
+                .map_batches(
+                    FusedExtractWriter,
+                    batch_format="pyarrow",
+                    batch_size=1,
+                    concurrency=cfg.pool_size,
+                    fn_constructor_args=(tmp_dir, dup_urls),
+                )
+                .take_all()
+            )
+        else:
+            ds = _extract_ds(_read_wave(wave, cfg), cfg)
+            ds = _tag_dup(ds, dup_urls)
+            # fused sink: each extract task writes its own partition files
+            # and emits only (pid, rows) counts — no separate Write operator
+            # (the no-shared-writer design, cf. SURVEY §4 shared-writer row)
+            counts = ds.map_batches(
+                _SinkWriter(tmp_dir), batch_format="pyarrow"
+            ).take_all()
         wall = time.monotonic() - t0
         summary["rows_extracted"] += _commit_wave(
-            tmp_dir, extracted_dir, wave, wall, salt=dupset_fp
+            tmp_dir, extracted_dir, wave, wall, salt=dupset_fp, counts=counts
         )
         summary["partitions_processed"] += len(wave)
         summary["waves"] += 1
         if os.path.isdir(tmp_dir):
             shutil.rmtree(tmp_dir)
     return summary
+
+
+def _wave_specs(wave: list[tuple[int, str]]) -> pa.Table:
+    """(path, row_group, pid) work units for the fused wave — row-group
+    granularity gives ~seconds-long tasks and natural size bucketing (row
+    groups are written with a fixed row count, so byte-heavy groups carry
+    the giant DOMs)."""
+    paths, rgs, pids = [], [], []
+    for pid, path in wave:
+        md = pq.read_metadata(path)
+        for rg in range(md.num_row_groups):
+            paths.append(path)
+            rgs.append(rg)
+            pids.append(pid)
+    return pa.table(
+        {
+            "path": pa.array(paths, pa.string()),
+            "row_group": pa.array(rgs, pa.int32()),
+            "partition_id": pa.array(pids, pa.int64()),
+        }
+    )
+
+
+class FusedExtractWriter:
+    """The whole wave in ONE actor-pool operator: each call takes one
+    (path, row_group, pid) spec, reads that row group directly (no object
+    store transfer — Ray cannot fuse task-based reads into actor pools, so
+    we fuse by hand), sniffs, extracts with the warm parser, tags is_dup,
+    writes the partition files, and returns only (pid, n) counts.
+
+    The reference analogue is exact: one consumer thread = warm Tesseract +
+    direct frame access + its own DB writes (``src/recognition/main.cpp:
+    174-183``) — no shared writer, no intermediate hand-off."""
+
+    def __init__(self, tmp_dir: str, dup_urls: list) -> None:
+        from ocr_suite_ray.stages.extract import PageExtractor
+
+        self._sink = _SinkWriter(tmp_dir)
+        self._extract = PageExtractor()
+        self._dup_set = pa.array(dup_urls, pa.string())
+
+    def __call__(self, spec: pa.Table) -> pa.Table:
+        outs = []
+        for path, rg, pid in zip(
+            spec["path"].to_pylist(),
+            spec["row_group"].to_pylist(),
+            spec["partition_id"].to_pylist(),
+        ):
+            t = pq.ParquetFile(path).read_row_group(rg, columns=PAGES_COLUMNS)
+            t = t.append_column(
+                "partition_id", pa.array([pid] * t.num_rows, pa.int64())
+            )
+            ext = self._extract(t)
+            if len(self._dup_set):
+                flags = pc.cast(
+                    pc.is_in(ext["url"], value_set=self._dup_set), pa.int32()
+                )
+            else:
+                flags = pa.array([0] * ext.num_rows, pa.int32())
+            ext = ext.append_column("is_dup", flags)
+            outs.append(self._sink(ext))
+        return pa.concat_tables(outs) if outs else pa.table(
+            {"pid": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+
+
+class _SinkWriter:
+    """Fused per-task parquet sink for the wave pipeline: splits each block
+    by (partition_id, is_dup), writes one file per group with a
+    deterministic content-derived name (idempotent under task retries) and
+    returns only the per-pid row counts."""
+
+    def __init__(self, tmp_dir: str) -> None:
+        self._tmp = tmp_dir
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+
+        pids: list[int] = []
+        ns: list[int] = []
+        for pid in pc.unique(t["partition_id"]).to_pylist():
+            sub_p = t.filter(pc.equal(t["partition_id"], pid))
+            for flag in pc.unique(sub_p["is_dup"]).to_pylist():
+                sub = sub_p.filter(pc.equal(sub_p["is_dup"], flag))
+                out = sub.drop_columns(["partition_id", "is_dup"])
+                d = os.path.join(self._tmp, f"partition_id={pid}", f"is_dup={flag}")
+                os.makedirs(d, exist_ok=True)
+                sig = hashlib.sha1(
+                    f"{out['url'][0]}|{out['url'][-1]}|{out.num_rows}".encode()
+                ).hexdigest()[:16]
+                path = os.path.join(d, f"part-{sig}.parquet")
+                pq.write_table(out, path + f".tmp{sig}")
+                os.replace(path + f".tmp{sig}", path)
+            pids.append(int(pid))
+            ns.append(sub_p.num_rows)
+        return pa.table(
+            {"pid": pa.array(pids, pa.int64()), "n": pa.array(ns, pa.int64())}
+        )
 
 
 def run_finalize_phase(out_dir: str, cfg: ExtractConfig | None = None) -> dict:
@@ -392,7 +531,13 @@ def _coalesce_reduce(ds, combine_fn, final_fn=None):
 
     @ray.remote
     def _merge(final: bool, *tables):
-        t = combine_fn(pa.concat_tables(list(tables)).combine_chunks())
+        # empty blocks skip upstream map_batches UDFs and keep their original
+        # schema — drop them before concat (schema-mixed otherwise)
+        live = [t for t in tables if t.num_rows > 0]
+        if not live:
+            t = tables[0]
+        else:
+            t = combine_fn(pa.concat_tables(live).combine_chunks())
         return final_fn(t) if (final and final_fn is not None) else t
 
     while len(refs) > 32:

@@ -267,6 +267,19 @@ WHERE CAST(ROUND(list_cosine_similarity(
 """
 
 
+def q_cluster_dedup(sf_dir: str):
+    """Near-dup cluster dedup: MinHash-LSH pairs → connected components →
+    keep min-id per cluster; isolates pass through. Approximate candidate
+    generation → rows-only; the chain is unit-tested on constructed
+    corpora (tests/test_components.py)."""
+    from ocr_suite_ray.stages.components import dedup_keep_cluster_min
+    from ocr_suite_ray.stages.dedup_text import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    return dedup_keep_cluster_min(ds, pairs).select_columns(["doc_id"])
+
+
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate near-dup (scale path) — rows-only check;
     recall vs the exact variant is asserted in unit tests."""
@@ -290,4 +303,5 @@ ML_QUERIES = {
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ann_lsh_pairs": (q_ann_lsh, None),
+    "cluster_dedup": (q_cluster_dedup, None),
 }

@@ -1,0 +1,57 @@
+"""Connected-components + cluster-dedup tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def test_connected_components_chains_and_isolates(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.components import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star)
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 3, 10, 20, 20], "id_b": [2, 3, 4, 11, 21, 22]}
+    )
+    comp = connected_components(rd.from_pandas(pairs))
+    m = dict(zip(comp.node_id, comp.component_id))
+    assert m[1] == m[2] == m[3] == m[4] == 1
+    assert m[10] == m[11] == 10
+    assert m[20] == m[21] == m[22] == 20
+
+
+def test_dedup_keep_cluster_min(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.components import dedup_keep_cluster_min
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": list(range(8)), "text": [f"t{i}" for i in range(8)]})
+    )
+    pairs = rd.from_pandas(pd.DataFrame({"id_a": [1, 2, 5], "id_b": [2, 3, 6]}))
+    out = dedup_keep_cluster_min(docs, pairs).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    # clusters {1,2,3} -> keep 1; {5,6} -> keep 5; isolates kept
+    assert kept == [0, 1, 4, 5, 7]
+
+
+def test_minhash_to_clusters_end_to_end(ray_session):
+    """Full near-dedup chain: minhash pairs -> components -> keep-one."""
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.components import dedup_keep_cluster_min
+    from ocr_suite_ray.stages.dedup_text import minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    rows = []
+    for i in range(6):
+        rows.append({"doc_id": i, "text": base + f"tail {i % 2}"})  # 2 clusters of 3
+    rows.append({"doc_id": 99, "text": "completely different words here entirely"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = minhash_lsh_pairs(ds, threshold=0.8)
+    out = dedup_keep_cluster_min(ds, pairs).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    assert 99 in kept
+    assert len(kept) <= 4  # 6 near-dups collapse to <= 3 representatives
