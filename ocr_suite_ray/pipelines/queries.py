@@ -421,6 +421,148 @@ FROM (
 """
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join: for each click event, the latest prior-or-simultaneous
+    purchase by the same user (backward inclusive)."""
+    from ocr_suite_ray.stages.relational import asof_join_by_key
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return t.select(["user_id", "ts", "event_id", "value"])
+
+    # dedupe right per (user, ts): keep max event_id (determinism)
+    def _uniq(df):
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return df.drop_duplicates(subset=["user_id", "ts"], keep="last").rename(
+            columns={"event_id": "purchase_id", "value": "purchase_value"}
+        )
+
+    purchases = ev.map_batches(_purchases, batch_format="pyarrow").map_batches(
+        _uniq, batch_format="pandas"
+    )
+    out = asof_join_by_key(
+        clicks, purchases, "user_id", "ts",
+        left_cols=["event_id"], right_cols=["purchase_id", "purchase_value"],
+    )
+    from ocr_suite_ray.pipelines.queries import _fixed_point  # self, for clarity
+
+    def _fp(df):
+        import numpy as np
+
+        df = df.copy()
+        pv = df["purchase_value"].astype(float) * 100
+        df["purchase_value"] = (
+            np.floor(pv + 0.5).astype("Int64")
+        )
+        df["purchase_id"] = df["purchase_id"].astype("Int64")
+        return df[["event_id", "user_id", "ts", "purchase_id", "purchase_value"]]
+
+    return out.map_batches(_fp, batch_format="pandas")
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id,
+         MAX_BY(value, event_id) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.purchase_id,
+       CAST(ROUND(p.pvalue * 100, 0) AS BIGINT) AS purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_rolling_mean(sf_dir: str):
+    """Per-user rolling mean of the last 3 event values (event-time order)."""
+    from ocr_suite_ray.stages.windows import rolling_mean
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return rolling_mean(ds, "user_id", "ts", "value", "event_id", window=3)
+
+
+SQL_ROLLING_MEAN = """
+SELECT user_id, event_id,
+       CAST(ROUND(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000, 0) AS BIGINT)
+         AS rolling_avg_fp
+FROM events
+"""
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact p50/p95 of value per event_type (quantile_cont semantics)."""
+    from ocr_suite_ray.stages.windows import group_quantiles
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return group_quantiles(ds, "event_type", "value", qs=(0.5, 0.95))
+
+
+SQL_GROUP_QUANTILES = """
+SELECT event_type,
+       CAST(ROUND(quantile_cont(value, 0.5) * 10000, 0) AS BIGINT) AS q50_fp,
+       CAST(ROUND(quantile_cont(value, 0.95) * 10000, 0) AS BIGINT) AS q95_fp
+FROM events GROUP BY event_type
+"""
+
+
+def q_region_revenue(sf_dir: str):
+    """Four-table dimension chain (lineitem ⋈ supplier ⋈ nation ⋈ region):
+    the dimension side is pre-joined driver-side and broadcast once;
+    lineitem streams (TPC-H Q5 shape)."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_suite_ray.stages.relational import broadcast_join
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]).to_pandas()
+    dim = (
+        sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+        [["s_suppkey", "r_name"]]
+        .rename(columns={"s_suppkey": "l_suppkey", "r_name": "region"})
+    )
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def _rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_suppkey": t["l_suppkey"], "rev": rev})
+
+    out = (
+        broadcast_join(li.map_batches(_rev, batch_format="pyarrow"), dim, on="l_suppkey")
+        .groupby("region")
+        .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+    )
+    return _fixed_point(out, {"revenue": 100})
+
+
+SQL_REGION_REVENUE = """
+SELECT r.r_name AS region,
+       CAST(ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)) * 100, 0) AS BIGINT) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -442,6 +584,10 @@ RELATIONAL_QUERIES = {
     "union_counts": (q_union, SQL_UNION),
     "window_hourly": (q_window_hourly, SQL_WINDOW_HOURLY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "rolling_mean": (q_rolling_mean, SQL_ROLLING_MEAN),
+    "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
 }
 
 ALL_QUERIES.update(RELATIONAL_QUERIES)

@@ -83,6 +83,55 @@ def topk_per_group(
     return reduced.groupby(group_cols).map_groups(_local, batch_format="pandas")
 
 
+def asof_join_by_key(left, right, key: str, ts: str, left_cols: list, right_cols: list):
+    """As-of join (backward, inclusive): for each left row, the latest right
+    row of the same key with right.ts <= left.ts.
+
+    Ray Data has no native as-of join; the portable pattern (per the public
+    Ray guidance) is: tag both sides, union (schemas aligned), ONE
+    groupby(key) shuffle, and ``pd.merge_asof`` inside each ts-sorted group.
+    The right side must be unique per (key, ts) for determinism — callers
+    pre-dedupe. Output: key, ts, left_cols, right ts as ``asof_ts``,
+    right_cols."""
+    import numpy as np
+    import pandas as pd
+
+    all_cols = [key, ts, "__side"] + left_cols + right_cols
+
+    def _align(side: int):
+        def _m(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = np.int8(side)
+            return df.reindex(columns=all_cols)
+
+        return _m
+
+    lt = left.map_batches(_align(0), batch_format="pandas")
+    rt = right.map_batches(_align(1), batch_format="pandas")
+
+    def _asof(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == 0, [key, ts] + left_cols].sort_values(
+            ts, kind="mergesort"
+        )
+        r = g.loc[g["__side"] == 1, [ts] + right_cols].sort_values(
+            ts, kind="mergesort"
+        )
+        if l.empty:
+            return pd.DataFrame(
+                columns=[key, ts] + left_cols + ["asof_ts"] + right_cols
+            )
+        return pd.merge_asof(
+            l,
+            r.rename(columns={ts: "asof_ts"}),
+            left_on=ts,
+            right_on="asof_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+
+    return lt.union(rt).groupby(key).map_groups(_asof, batch_format="pandas")
+
+
 def distinct(ds, cols: list):
     """Distinct tuples of ``cols``: per-block drop_duplicates combiner, then
     one vectorized hash-aggregate (no per-group Python)."""

@@ -39,6 +39,43 @@ def tumbling_window_agg(ds, key_col: str, ts_col: str, value_col: str, every: st
     )
 
 
+def rolling_mean(ds, key_col: str, ts_col: str, value_col: str,
+                 order_tiebreak: str, window: int = 3, scale: int = 10000):
+    """Per-key rolling mean over the last ``window`` rows in (ts, tiebreak)
+    order — the sliding-window analogue of the reference's 5 s speed-meter
+    window (``src/recognition/speed_meter.cpp:35-58``) as a data-plane op.
+    Emits fixed-point int64 (floor(x*scale+0.5), DuckDB-ROUND compatible).
+    One groupby shuffle; ordering restored inside each group."""
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, order_tiebreak], kind="mergesort")
+        m = g[value_col].rolling(window, min_periods=1).mean()
+        out = g[[key_col, order_tiebreak]].copy()
+        import numpy as np
+
+        out["rolling_avg_fp"] = np.floor(m * scale + 0.5).astype("int64")
+        return out
+
+    return ds.groupby(key_col).map_groups(_roll, batch_format="pandas")
+
+
+def group_quantiles(ds, key_col: str, value_col: str,
+                    qs: tuple = (0.5, 0.95), scale: int = 10000):
+    """Exact per-group quantiles (linear interpolation — matches DuckDB's
+    quantile_cont). Exact quantiles need the whole group; for sketch-based
+    approximate quantiles at scale, pre-aggregate mergeable digests per
+    batch instead (see SNIPPETS/aggregation notes). Fixed-point output."""
+    import numpy as np
+
+    def _q(g: pd.DataFrame) -> pd.DataFrame:
+        row = {key_col: [g[key_col].iloc[0]]}
+        for q in qs:
+            v = g[value_col].quantile(q, interpolation="linear")
+            row[f"q{int(q * 100)}_fp"] = [int(np.floor(v * scale + 0.5))]
+        return pd.DataFrame(row)
+
+    return ds.groupby(key_col).map_groups(_q, batch_format="pandas")
+
+
 def sessionize(ds, key_col: str, ts_col: str, gap_s: float = 1800.0):
     """Split each key's ts-sorted event stream into sessions separated by
     gaps > gap_s; emit one row per session with start/end/count.

@@ -43,6 +43,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("Int", "UInt", "Float")):
+            # nullable extension dtypes -> plain float (NA -> NaN)
+            df[c] = df[c].astype("float64")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -60,8 +63,9 @@ def assert_query_matches_oracle(name: str, fn, sql: str, sf_dir: str = SF_DIR):
                 (x, y)
                 for x, y in zip(a, b)
                 if not (
-                    (isinstance(x, float) and isinstance(y, float) and math.isclose(x, y, rel_tol=0, abs_tol=1e-9))
-                    or x == y
+                    (pd.isna(x) and pd.isna(y))
+                    or (isinstance(x, float) and isinstance(y, float) and math.isclose(x, y, rel_tol=0, abs_tol=1e-9))
+                    or (not pd.isna(x) and not pd.isna(y) and x == y)
                 )
             ]
             assert not mism, f"{name}.{c}: {mism[:5]}"
