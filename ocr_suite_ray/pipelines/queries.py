@@ -518,6 +518,80 @@ FROM events GROUP BY event_type
 """
 
 
+def q_json_props(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` column and
+    aggregate on an extracted field (the schema-on-read path every log
+    pipeline needs). Parsing state (decoder) is per-actor."""
+    import json
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+
+    class _Parse:
+        def __init__(self) -> None:
+            self._loads = json.loads
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ks = [int(self._loads(p).get("k", -1)) for p in t["props"].to_pylist()]
+            return pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "k": pa.array(ks, pa.int64()),
+                }
+            )
+
+    parsed = ds.map_batches(_Parse, batch_format="pyarrow", concurrency=(1, 4))
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.divide(t["k"], 10), pa.int64())
+        return t.append_column("k_bucket", b)
+
+    return (
+        parsed.map_batches(_bucket, batch_format="pyarrow")
+        .groupby(["event_type", "k_bucket"])
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS BIGINT) AS k_bucket,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_approx_distinct(sf_dir: str):
+    """HLL distinct-count sketch (mergeable, deterministic) over user_id —
+    approximate → rows-only; accuracy asserted in tests/test_sketches.py."""
+    import pyarrow as pa_mod
+
+    from ocr_suite_ray.stages.sketches import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa_mod.table({"approx_distinct_users": pa_mod.array([est], pa_mod.int64())})
+
+
+def q_approx_quantiles(sf_dir: str):
+    """Histogram-sketch quantiles of event value — approximate → rows-only."""
+    import pyarrow as pa_mod
+
+    from ocr_suite_ray.stages.sketches import approx_quantiles
+
+    ds = _read(sf_dir, "events", ["value"])
+    qs = approx_quantiles(ds, "value", lo=0.0, hi=1000.0, qs=(0.5, 0.95))
+    return pa_mod.table(
+        {
+            "q50_approx": pa_mod.array([qs["q50"]], pa_mod.float64()),
+            "q95_approx": pa_mod.array([qs["q95"]], pa_mod.float64()),
+        }
+    )
+
+
 def q_region_revenue(sf_dir: str):
     """Four-table dimension chain (lineitem ⋈ supplier ⋈ nation ⋈ region):
     the dimension side is pre-joined driver-side and broadcast once;
@@ -588,6 +662,9 @@ RELATIONAL_QUERIES = {
     "rolling_mean": (q_rolling_mean, SQL_ROLLING_MEAN),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "approx_distinct_users": (q_approx_distinct, None),
+    "approx_quantiles": (q_approx_quantiles, None),
 }
 
 ALL_QUERIES.update(RELATIONAL_QUERIES)
