@@ -75,6 +75,8 @@ class ExtractConfig:
     key_exchange: str = "narrow"     # dup-url detection: narrow | shuffle
     size_cluster: bool = False       # explicit within-block (kind,size) sort
     fused_wave: bool = True          # one-operator read+extract+write waves
+    bloom_threshold: int = 1_000_000 # dup-set size above which a Bloom
+                                     # filter replaces the exact broadcast
 
 
 def list_pages_files(pages_dir: str) -> list[str]:
@@ -144,17 +146,41 @@ def _input_dup_urls(files: list[str], out_dir: str, cfg: ExtractConfig) -> tuple
     return dup_urls, dupset_fp
 
 
-def _tag_dup(ds, dup_urls: list):
+class DupMembership:
+    """is_dup membership test: exact Arrow value set below ``max_exact``
+    keys, Bloom filter above (1% fpp). Bloom false positives only route a
+    url through the exact winners reduce, which keeps a single capture
+    unchanged — semantics identical, broadcast size bounded."""
+
+    def __init__(self, dup_urls: list, max_exact: int = 1_000_000):
+        self._exact = None
+        self._bloom = None
+        if len(dup_urls) <= max_exact:
+            self._exact = pa.array(dup_urls, pa.string())
+        else:
+            from ocr_suite_ray.state.bloom import BloomFilter
+
+            bf = BloomFilter(len(dup_urls), fpp=0.01)
+            bf.add_many(dup_urls)
+            self._bloom = bf
+
+    def flags(self, url_col) -> pa.Array:
+        n = len(url_col)
+        if self._exact is not None:
+            if len(self._exact) == 0:
+                return pa.array([0] * n, pa.int32())
+            return pc.cast(pc.is_in(url_col, value_set=self._exact), pa.int32())
+        mask = self._bloom.contains_many(url_col.to_pylist())
+        return pa.array(mask.astype("int32"), pa.int32())
+
+
+def _tag_dup(ds, dup_urls: list, max_exact: int = 1_000_000):
     """Append is_dup (0/1) — becomes a hive partition key so the finalize
     step can link unique files instead of rewriting them."""
-    dup_set = pa.array(dup_urls, pa.string())
+    member = DupMembership(dup_urls, max_exact=max_exact)
 
     def _tag(t: pa.Table) -> pa.Table:
-        if len(dup_set):
-            flags = pc.cast(pc.is_in(t["url"], value_set=dup_set), pa.int32())
-        else:
-            flags = pa.array([0] * t.num_rows, pa.int32())
-        return t.append_column("is_dup", flags)
+        return t.append_column("is_dup", member.flags(t["url"]))
 
     return ds.map_batches(_tag, batch_format="pyarrow")
 
@@ -284,13 +310,13 @@ def run_extract_phase(pages_dir: str, out_dir: str, cfg: ExtractConfig | None = 
                     batch_format="pyarrow",
                     batch_size=1,
                     concurrency=cfg.pool_size,
-                    fn_constructor_args=(tmp_dir, dup_urls),
+                    fn_constructor_args=(tmp_dir, dup_urls, cfg.bloom_threshold),
                 )
                 .take_all()
             )
         else:
             ds = _extract_ds(_read_wave(wave, cfg), cfg)
-            ds = _tag_dup(ds, dup_urls)
+            ds = _tag_dup(ds, dup_urls, max_exact=cfg.bloom_threshold)
             # fused sink: each extract task writes its own partition files
             # and emits only (pid, rows) counts — no separate Write operator
             # (the no-shared-writer design, cf. SURVEY §4 shared-writer row)
@@ -340,12 +366,12 @@ class FusedExtractWriter:
     direct frame access + its own DB writes (``src/recognition/main.cpp:
     174-183``) — no shared writer, no intermediate hand-off."""
 
-    def __init__(self, tmp_dir: str, dup_urls: list) -> None:
+    def __init__(self, tmp_dir: str, dup_urls: list, max_exact: int = 1_000_000) -> None:
         from ocr_suite_ray.stages.extract import PageExtractor
 
         self._sink = _SinkWriter(tmp_dir)
         self._extract = PageExtractor()
-        self._dup_set = pa.array(dup_urls, pa.string())
+        self._member = DupMembership(dup_urls, max_exact=max_exact)
 
     def __call__(self, spec: pa.Table) -> pa.Table:
         outs = []
@@ -359,13 +385,7 @@ class FusedExtractWriter:
                 "partition_id", pa.array([pid] * t.num_rows, pa.int64())
             )
             ext = self._extract(t)
-            if len(self._dup_set):
-                flags = pc.cast(
-                    pc.is_in(ext["url"], value_set=self._dup_set), pa.int32()
-                )
-            else:
-                flags = pa.array([0] * ext.num_rows, pa.int32())
-            ext = ext.append_column("is_dup", flags)
+            ext = ext.append_column("is_dup", self._member.flags(ext["url"]))
             outs.append(self._sink(ext))
         return pa.concat_tables(outs) if outs else pa.table(
             {"pid": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}

@@ -289,6 +289,82 @@ def q_ann_lsh(sf_dir: str):
     return lsh_bucket_pairs(ds, n_planes=8, threshold_e4=4000)
 
 
+def q_curation(sf_dir: str):
+    """Composite training-data curation: quality gate → exact dedup
+    (keep min doc_id per distinct text) → language profile. One enrichment
+    pass (actor pool), one vectorized filter, one keyed top-1 reduce —
+    the chained shape of a real corpus-curation job."""
+    import hashlib
+
+    import pandas as pd
+
+    from ocr_suite_ray.stages.relational import topk_per_group
+    from ocr_suite_ray.stages.text_ops import LangId, quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    class _Enrich:
+        def __init__(self) -> None:
+            self._lang = LangId()
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            q = quality_score(df)
+            lang = self._lang(df)[["doc_id", "lang_pred"]]
+            out = q.merge(lang, on="doc_id")
+            out["text_hash"] = [
+                hashlib.md5(t.encode()).hexdigest() for t in df["text"]
+            ]
+            return out
+
+    enriched = ds.map_batches(_Enrich, batch_format="pandas", concurrency=(1, 4))
+    gated = enriched.map_batches(
+        lambda df: df[df["quality"] >= 70], batch_format="pandas"
+    )
+    kept = topk_per_group(gated, ["text_hash"], "doc_id", 1, descending=False)
+    return kept.select_columns(["doc_id", "n_tokens", "quality", "lang_pred"])
+
+
+SQL_CURATION = """
+WITH t AS (
+  SELECT doc_id, text,
+         GREATEST(len(string_split(text, ' ')), 1) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','and','of','to'))) AS n_stop,
+         list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS sum_len,
+         len(list_filter(string_split(text,' '),
+             x -> x IN ('the','a','fast','slow','small','big'))) AS c_en,
+         len(list_filter(string_split(text,' '),
+             x -> x IN ('query','table','join','scan','filter','agg'))) AS c_query,
+         len(list_filter(string_split(text,' '),
+             x -> x IN ('stream','window','batch','spark','vector'))) AS c_stream
+  FROM documents
+), f AS (
+  SELECT doc_id, text, n_tokens, c_en, c_query, c_stream,
+         CAST(ROUND(n_stop * 10000.0 / n_tokens, 0) AS BIGINT) AS stop_ratio_e4,
+         CAST(ROUND(sum_len * 100.0 / n_tokens, 0) AS BIGINT) AS mean_token_len_e2
+  FROM t
+), q AS (
+  SELECT doc_id, text, n_tokens, c_en, c_query, c_stream,
+         (CASE WHEN n_tokens BETWEEN 50 AND 1000 THEN 40 ELSE 0 END
+          + CASE WHEN stop_ratio_e4 BETWEEN 200 AND 4000 THEN 30 ELSE 0 END
+          + CASE WHEN mean_token_len_e2 BETWEEN 300 AND 1200 THEN 30 ELSE 0 END)
+             AS quality
+  FROM f
+), g AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM q WHERE quality >= 70
+)
+SELECT doc_id, n_tokens, quality,
+       CASE
+         WHEN c_en = 0 AND c_query = 0 AND c_stream = 0 THEN 'und'
+         WHEN c_en >= c_query AND c_en >= c_stream THEN 'en'
+         WHEN c_query >= c_stream THEN 'query'
+         ELSE 'stream'
+       END AS lang_pred
+FROM g WHERE rn = 1
+"""
+
+
 ML_QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality, SQL_QUALITY),
@@ -304,4 +380,5 @@ ML_QUERIES = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ann_lsh_pairs": (q_ann_lsh, None),
     "cluster_dedup": (q_cluster_dedup, None),
+    "curation_pipeline": (q_curation, SQL_CURATION),
 }

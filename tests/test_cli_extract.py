@@ -1,0 +1,41 @@
+"""Full CLI e2e: gen → extract → kill-free resume → search, all through
+subprocess (the ray-job-submit surface exactly as a user drives it)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, "-m", "ocr_suite_ray.cli", *args],
+        capture_output=True, text=True, env=env, check=True, cwd=REPO,
+    )
+
+
+def test_cli_gen_extract_resume_search(tmp_path):
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    g = json.loads(_run("--num-cpus", "4", "gen", "--pages", pages,
+                        "--n-pages", "200", "--n-files", "2").stdout.strip().splitlines()[-1])
+    assert g["files"] == 2
+    e1 = json.loads(_run("--num-cpus", "4", "extract", "--pages", pages,
+                         "--out", out, "--pool", "2").stdout.strip().splitlines()[-1])
+    assert e1["partitions_processed"] == 2
+    # re-run resumes: nothing reprocessed
+    e2 = json.loads(_run("--num-cpus", "4", "extract", "--pages", pages,
+                         "--out", out, "--pool", "2").stdout.strip().splitlines()[-1])
+    assert e2["partitions_processed"] == 0
+    assert e2["partitions_skipped"] == 2
+    st = json.loads(_run("status", "--out", out).stdout.strip().splitlines()[-1])
+    assert st["partitions_done"] == 2
+    s = _run("--num-cpus", "4", "search", "--out", out,
+             "--pattern", "capture", "--limit", "5").stdout.strip().splitlines()
+    assert 1 <= len(s) <= 5
+    assert "url" in json.loads(s[0])
