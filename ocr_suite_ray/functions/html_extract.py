@@ -31,6 +31,7 @@ Determinism: pure function of the input bytes — no dict-order dependence
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from html.parser import HTMLParser
 
@@ -149,10 +150,17 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
+# token qualifies as a content word iff it contains >= MIN_WORD_CHARS
+# alphanumeric characters ([^\W_] == unicode letters+digits); compiled
+# regex instead of a per-character Python loop (40% of kernel time)
+_WORD_OK = re.compile(r"(?:[\W_]*[^\W_]){%d}" % MIN_WORD_CHARS)
+
+
 def _word_count(text: str) -> int:
+    m = _WORD_OK.match
     n = 0
     for tok in text.split(" "):
-        if sum(c.isalnum() for c in tok) >= MIN_WORD_CHARS:
+        if m(tok):
             n += 1
     return n
 

@@ -452,7 +452,6 @@ def q_asof_join(sf_dir: str):
         clicks, purchases, "user_id", "ts",
         left_cols=["event_id"], right_cols=["purchase_id", "purchase_value"],
     )
-    from ocr_suite_ray.pipelines.queries import _fixed_point  # self, for clarity
 
     def _fp(df):
         import numpy as np
