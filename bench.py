@@ -111,6 +111,18 @@ def run_bench() -> dict:
     from ocr_suite_ray.pipelines.queries import ALL_QUERIES
 
     qtimes: dict[str, float] = {}
+    if os.environ.get("OCS_SKIP_QUERIES"):
+        ray.shutdown()
+        return {
+            "metric": "extract_pipeline_sec",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": tag,
+            "num_cpus": NUM_CPUS,
+            "docs_extracted": docs,
+            "docs_per_sec": round(docs / headline, 1),
+        }
     for name in BENCH_QUERIES:
         fn, _sql = ALL_QUERIES[name]
         t0 = time.monotonic()

@@ -269,8 +269,50 @@ def _commit_wave(
     return total
 
 
+class PipelineLock:
+    """Single-writer guard per output dir (flock) — the reference's
+    single-instance lock (``tools/ocs-watcher/src/ocsw/single_instance.py:
+    12-24``): two concurrent extract runs over one store would race the
+    wave-temp dir and lineage records."""
+
+    def __init__(self, out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        self._path = os.path.join(out_dir, ".lock")
+        self._fh = None
+
+    def __enter__(self):
+        import fcntl
+
+        self._fh = open(self._path, "w")
+        try:
+            fcntl.flock(self._fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            self._fh.close()
+            self._fh = None
+            raise RuntimeError(
+                f"another extract run holds {self._path}; refusing concurrent "
+                "writes to one output store"
+            )
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        if self._fh is not None:
+            fcntl.flock(self._fh, fcntl.LOCK_UN)
+            self._fh.close()
+
+
 def run_extract_phase(pages_dir: str, out_dir: str, cfg: ExtractConfig | None = None) -> dict:
-    """Phase 1: extract all pending partitions, wave by wave. Idempotent."""
+    """Phase 1: extract all pending partitions, wave by wave. Idempotent.
+    Guarded by a per-store single-writer lock."""
+    with PipelineLock(out_dir):
+        return _run_extract_phase_locked(pages_dir, out_dir, cfg)
+
+
+def _run_extract_phase_locked(
+    pages_dir: str, out_dir: str, cfg: ExtractConfig | None = None
+) -> dict:
     cfg = cfg or ExtractConfig()
     files = list_pages_files(pages_dir)
     if not files:
