@@ -636,6 +636,76 @@ GROUP BY r.r_name
 """
 
 
+def q_anti_join_blocklist(sf_dir: str):
+    """Broadcast anti-join: drop documents from blocklisted sources (the
+    corpus-filtering shape: blocklist broadcast once, vectorized is_in per
+    batch — never a shuffle). Reference analogue: is_frame_processed
+    semi-join (database.cpp:122-133), inverted."""
+    blocked = pa.array([f"src{i}" for i in range(0, 20, 3)], pa.string())
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["source"], value_set=blocked))),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE source NOT IN ('src0','src3','src6','src9','src12','src15','src18')
+"""
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic hash-based sampling: keep rows where
+    md5(doc_id) mod 100 < 20 — reproducible at any parallelism (unlike
+    random_sample), expressible in SQL, and uniform by hash. The standard
+    corpus-subsampling primitive."""
+    import hashlib
+
+    def _sample(t: pa.Table) -> pa.Table:
+        keep = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100 < 20
+            for d in t["doc_id"].to_pylist()
+        ]
+        return t.filter(pa.array(keep))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return ds.map_batches(_sample, batch_format="pyarrow")
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 20
+"""
+
+
+def q_text_normalize(sf_dir: str):
+    """Vectorized text canonicalization with Arrow utf8 kernels (lower +
+    trim + length) — the pure-kernel normalization path."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _norm(t: pa.Table) -> pa.Table:
+        low = pc.utf8_trim_whitespace(pc.utf8_lower(t["text"]))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_norm": pc.cast(pc.utf8_length(low), pa.int64()),
+                "first_40": pc.utf8_slice_codeunits(low, 0, 40),
+            }
+        )
+
+    return ds.map_batches(_norm, batch_format="pyarrow")
+
+
+SQL_TEXT_NORMALIZE = """
+SELECT doc_id,
+       length(trim(lower(text))) AS n_chars_norm,
+       substr(trim(lower(text)), 1, 40) AS first_40
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -664,6 +734,9 @@ RELATIONAL_QUERIES = {
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "approx_distinct_users": (q_approx_distinct, None),
     "approx_quantiles": (q_approx_quantiles, None),
+    "anti_join_blocklist": (q_anti_join_blocklist, SQL_ANTI_JOIN),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
 }
 
 ALL_QUERIES.update(RELATIONAL_QUERIES)
