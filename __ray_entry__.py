@@ -27,6 +27,36 @@ if REPO_ROOT not in _pp.split(os.pathsep):
     os.environ["PYTHONPATH"] = REPO_ROOT + (os.pathsep + _pp if _pp else "")
 
 
+def _register_by_value() -> None:
+    """Ship this package's code inside task/actor specs (cloudpickle
+    by-value) so Ray workers never need to import ``ocr_suite_ray`` from
+    disk. The driver may have called ray.init() from any cwd/env before
+    importing this module — module-level actor classes would otherwise be
+    pickled by reference and fail to deserialize in the workers."""
+    import importlib
+    import pkgutil
+
+    import ocr_suite_ray
+
+    for m in pkgutil.walk_packages(ocr_suite_ray.__path__, "ocr_suite_ray."):
+        try:
+            importlib.import_module(m.name)
+        except Exception:
+            pass
+    try:
+        from ray import cloudpickle
+
+        for name, mod in list(sys.modules.items()):
+            if name == "ocr_suite_ray" or name.startswith("ocr_suite_ray."):
+                if mod is not None:
+                    cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass  # best effort; PYTHONPATH covers the normal case
+
+
+_register_by_value()
+
+
 def entry() -> Any:
     """Flagship pipeline: synthetic pages (t1 smoke tier) → extract →
     newest-capture-wins dedup → final extracted store, returned as a

@@ -54,6 +54,7 @@ import pyarrow.parquet as pq
 from ocr_suite_ray.stages.dedup import dedup_latest
 from ocr_suite_ray.stages.extract import PageExtractor, PdfExtractor, sniff_batch
 from ocr_suite_ray.state import lineage as lin
+from ocr_suite_ray.state.bloom import BloomFilter
 
 PAGES_COLUMNS = ["url", "warc_ts", "html"]  # prune at the read: text/lang unused
 
@@ -158,8 +159,6 @@ class DupMembership:
         if len(dup_urls) <= max_exact:
             self._exact = pa.array(dup_urls, pa.string())
         else:
-            from ocr_suite_ray.state.bloom import BloomFilter
-
             bf = BloomFilter(len(dup_urls), fpp=0.01)
             bf.add_many(dup_urls)
             self._bloom = bf
@@ -409,8 +408,8 @@ class FusedExtractWriter:
     174-183``) — no shared writer, no intermediate hand-off."""
 
     def __init__(self, tmp_dir: str, dup_urls: list, max_exact: int = 1_000_000) -> None:
-        from ocr_suite_ray.stages.extract import PageExtractor
-
+        # NB: no runtime package imports here — this body runs in the worker,
+        # which may not have the repo on sys.path (classes ship by value)
         self._sink = _SinkWriter(tmp_dir)
         self._extract = PageExtractor()
         self._member = DupMembership(dup_urls, max_exact=max_exact)

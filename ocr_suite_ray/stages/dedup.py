@@ -34,11 +34,14 @@ Strategies (same result):
 from __future__ import annotations
 
 import hashlib
+import json
 import zlib
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ocr_suite_ray.schemas import EXTRACTED_SCHEMA, SPAN_TYPE
 
 RANK_COL = "__rank"
 BUCKET_COL = "__bucket"
@@ -47,8 +50,6 @@ SPANS_JSON = "__spans_json"
 
 def encode_spans(t: pa.Table) -> pa.Table:
     """list<struct> spans → compact JSON string column (shuffle-safe)."""
-    import json
-
     if "spans" not in t.column_names:
         return t
     enc = pa.array(
@@ -62,10 +63,6 @@ def encode_spans(t: pa.Table) -> pa.Table:
 
 
 def decode_spans(t: pa.Table) -> pa.Table:
-    import json
-
-    from ocr_suite_ray.schemas import EXTRACTED_SCHEMA, SPAN_TYPE
-
     if SPANS_JSON not in t.column_names:
         return t
     dec = pa.array(
