@@ -319,9 +319,14 @@ def _run_extract_phase_locked(
     extracted_dir = os.path.join(out_dir, "extracted")
     os.makedirs(extracted_dir, exist_ok=True)
     # global dup-url set first (url-column-only scan of the whole input);
-    # its fingerprint salts every partition fingerprint, so an input change
-    # that alters cross-partition dup relationships invalidates dependents
+    # its fingerprint — plus the extraction-code fingerprint — salts every
+    # partition fingerprint, so an input change that alters cross-partition
+    # dup relationships OR a change to the extraction code invalidates
+    # dependent partitions (code-version lineage)
+    from ocr_suite_ray.version import extract_code_fingerprint
+
     dup_urls, dupset_fp = _input_dup_urls(files, out_dir, cfg)
+    dupset_fp = f"{dupset_fp}-{extract_code_fingerprint()}"
     pending = lin.pending_partitions(files, out_dir, salt=dupset_fp)
     summary = {
         "partitions_total": len(files),

@@ -223,7 +223,11 @@ def generate_corpus(
     lineage/resume). Distributed via ray.data so bench-scale corpora don't
     serialize on the driver. Idempotent: skips generation when the marker for
     the same (n_pages, seed, n_files) already exists."""
-    marker = os.path.join(out_dir, f".complete-{n_pages}-{seed}-{n_files}")
+    from ocr_suite_ray.version import corpus_code_fingerprint
+
+    marker = os.path.join(
+        out_dir, f".complete-{n_pages}-{seed}-{n_files}-{corpus_code_fingerprint()}"
+    )
     if os.path.exists(marker) and not force:
         return sorted(
             os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")
