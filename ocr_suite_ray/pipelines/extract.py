@@ -447,21 +447,35 @@ class _SinkWriter:
     def __init__(self, tmp_dir: str) -> None:
         self._tmp = tmp_dir
 
-    def __call__(self, t: pa.Table) -> pa.Table:
+    @staticmethod
+    def _content_sig(out: pa.Table) -> str:
+        """Content-derived filename: hashes the full url and text columns,
+        so distinct blocks can never collide (a retried task still rewrites
+        its own file — same block content, same name)."""
         import hashlib
 
+        h = hashlib.sha1()
+        for col in ("url", "text"):
+            chunked = out[col]
+            chunks = chunked.chunks if isinstance(chunked, pa.ChunkedArray) else [chunked]
+            for chunk in chunks:
+                for buf in chunk.buffers():
+                    if buf is not None:
+                        h.update(buf)
+        h.update(str(out.num_rows).encode())
+        return h.hexdigest()[:16]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
         pids: list[int] = []
         ns: list[int] = []
         for pid in pc.unique(t["partition_id"]).to_pylist():
             sub_p = t.filter(pc.equal(t["partition_id"], pid))
             for flag in pc.unique(sub_p["is_dup"]).to_pylist():
                 sub = sub_p.filter(pc.equal(sub_p["is_dup"], flag))
-                out = sub.drop_columns(["partition_id", "is_dup"])
+                out = sub.drop_columns(["partition_id", "is_dup"]).combine_chunks()
                 d = os.path.join(self._tmp, f"partition_id={pid}", f"is_dup={flag}")
                 os.makedirs(d, exist_ok=True)
-                sig = hashlib.sha1(
-                    f"{out['url'][0]}|{out['url'][-1]}|{out.num_rows}".encode()
-                ).hexdigest()[:16]
+                sig = self._content_sig(out)
                 path = os.path.join(d, f"part-{sig}.parquet")
                 pq.write_table(out, path + f".tmp{sig}")
                 os.replace(path + f".tmp{sig}", path)
@@ -680,11 +694,9 @@ def _finalize_split_write(ds, tmp_final: str, key_exchange: str = "narrow") -> N
         else:
             uniq, dups = t, t.slice(0, 0)
         if uniq.num_rows:
-            # deterministic per-block name => a retried task overwrites its
-            # own partial file instead of duplicating rows
-            sig = hashlib.sha1(
-                f"{uniq['url'][0]}|{uniq['url'][-1]}|{uniq.num_rows}".encode()
-            ).hexdigest()[:16]
+            # deterministic content-derived name => a retried task overwrites
+            # its own partial file instead of duplicating rows
+            sig = _SinkWriter._content_sig(uniq.combine_chunks())
             path = os.path.join(tmp_final, f"uniq-{sig}.parquet")
             pq_mod.write_table(uniq, path + ".tmp" + sig)
             os.replace(path + ".tmp" + sig, path)
