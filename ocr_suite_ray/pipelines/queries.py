@@ -706,6 +706,25 @@ FROM documents
 """
 
 
+def q_streaming_state(sf_dir: str):
+    """Incremental keyed-state actors over the ts-ordered event stream
+    (count/sum/max/EMA per user). EMA is arrival-order-dependent — the
+    shared-mutable-state case actors exist for; verified against a
+    sequential oracle in tests/test_streaming.py (rows-only here)."""
+    import pyarrow as pa_mod
+
+    from ocr_suite_ray.stages.streaming import streaming_keyed_aggregate
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    df = streaming_keyed_aggregate(ds, "user_id", "ts", "value", num_buckets=4)
+    import numpy as np
+
+    df = df.copy()
+    for c, scale in (("sum", 100), ("max", 100), ("ema", 10000)):
+        df[c] = np.floor(df[c] * scale + 0.5).astype("int64")
+    return pa_mod.Table.from_pandas(df, preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -737,6 +756,7 @@ RELATIONAL_QUERIES = {
     "anti_join_blocklist": (q_anti_join_blocklist, SQL_ANTI_JOIN),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "streaming_keyed_state": (q_streaming_state, None),
 }
 
 ALL_QUERIES.update(RELATIONAL_QUERIES)
