@@ -327,6 +327,14 @@ def _run_extract_phase_locked(
 
     dup_urls, dupset_fp = _input_dup_urls(files, out_dir, cfg)
     dupset_fp = f"{dupset_fp}-{extract_code_fingerprint()}"
+    # drop partitions no longer present in the (possibly shrunk) input —
+    # their outputs would otherwise leak into the linked final store
+    for pid, rec in lin.load_records(out_dir).items():
+        if pid >= len(files):
+            stale_dir = os.path.join(extracted_dir, f"partition_id={pid}")
+            if os.path.isdir(stale_dir):
+                shutil.rmtree(stale_dir)
+            os.remove(lin.record_path(out_dir, pid))
     pending = lin.pending_partitions(files, out_dir, salt=dupset_fp)
     summary = {
         "partitions_total": len(files),

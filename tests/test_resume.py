@@ -122,3 +122,28 @@ def test_lineage_record_roundtrip(tmp_path):
     lin.write_record(out, rec)
     got = lin.load_records(out)
     assert got[3] == rec
+
+
+def test_shrunk_input_drops_stale_partitions(ray_session, small_corpus, tmp_path):
+    """Fewer input files than a previous run: stale partition outputs must
+    not leak into the final store."""
+    import pyarrow.dataset as pads
+
+    pages_dir, files = small_corpus
+    out = str(tmp_path / "out")
+    cfg = ExtractConfig(wave_size=4, pool_size=2)
+    run_pipeline(pages_dir, out, cfg)
+    full_rows = pads.dataset(f"{out}/final").count_rows()
+    # shrink: copy only the first 2 files
+    small = str(tmp_path / "pages_small")
+    os.makedirs(small)
+    for f in files[:2]:
+        shutil.copy(f, small)
+    run_pipeline(small, out, cfg)
+    final = pads.dataset(f"{out}/final").to_table()
+    assert final.num_rows < full_rows
+    # oracle: fresh run on the shrunk input
+    out2 = str(tmp_path / "fresh")
+    run_pipeline(small, out2, cfg)
+    fresh = pads.dataset(f"{out2}/final").to_table().sort_by("url")
+    assert final.sort_by("url").equals(fresh)
