@@ -267,6 +267,16 @@ WHERE CAST(ROUND(list_cosine_similarity(
 """
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k cosine (k-means coarse quantizer + inverted
+    lists, nprobe-limited search) — the other scale path besides LSH.
+    Approximate → rows-only; recall vs brute force asserted in tests."""
+    from ocr_suite_ray.stages.similarity import ivf_knn
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_knn(ds, _query_vectors(sf_dir), k=10, n_lists=16, nprobe=8)
+
+
 def q_cluster_dedup(sf_dir: str):
     """Near-dup cluster dedup: MinHash-LSH pairs → connected components →
     keep min-id per cluster; isolates pass through. Approximate candidate
@@ -379,6 +389,7 @@ ML_QUERIES = {
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ann_lsh_pairs": (q_ann_lsh, None),
+    "ann_ivf_knn": (q_ann_ivf, None),
     "cluster_dedup": (q_cluster_dedup, None),
     "curation_pipeline": (q_curation, SQL_CURATION),
 }

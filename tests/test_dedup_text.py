@@ -157,3 +157,34 @@ def test_rows_only_queries_run(ray_session):
         assert isinstance(rows, list), name
         if name in ("fingerprint_rolling", "simhash_table"):
             assert len(rows) == 500, name
+
+
+def test_ivf_knn_recall_vs_brute(ray_session):
+    """IVF approximate top-k must reach high recall vs the exact brute-force
+    result at nprobe/n_lists that search a quarter of the lists."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.similarity import ivf_knn, knn_brute
+
+    sf = "/root/testdata/sf0.01"
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = (
+        pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+        .query("vec_id < 4")
+        .rename(columns={"vec_id": "query_id"})
+        .reset_index(drop=True)
+    )
+    exact = knn_brute(ds, qdf, k=10, scale=4).take_all()
+    approx = ivf_knn(ds, qdf, k=10, n_lists=16, nprobe=8).take_all()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # these embeddings are near-isotropic (max pairwise cosine ~0.5), the
+    # hardest case for IVF — half the lists probed must still recall most
+    assert recall >= 0.75
+    # determinism across partitioning
+    approx2 = ivf_knn(ds.repartition(5), qdf, k=10, n_lists=16, nprobe=8).take_all()
+    key = lambda r: (r["query_id"], r["vec_id"])
+    assert sorted(approx, key=key) == sorted(approx2, key=key)
