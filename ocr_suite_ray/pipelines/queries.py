@@ -456,12 +456,16 @@ def q_asof_join(sf_dir: str):
     def _fp(df):
         import numpy as np
 
+        # dtype alignment with the DuckDB oracle (round-1 hash fail was
+        # dtype-only): the union reindex NaN-fills event_id for right-side
+        # rows, leaking float64 — cast back to int64 (left rows are never
+        # null). purchase_* stay float64 (NaN for no-match), matching how
+        # DuckDB's fetchdf renders a nullable BIGINT column.
         df = df.copy()
-        pv = df["purchase_value"].astype(float) * 100
-        df["purchase_value"] = (
-            np.floor(pv + 0.5).astype("Int64")
-        )
-        df["purchase_id"] = df["purchase_id"].astype("Int64")
+        df["event_id"] = df["event_id"].astype("int64")
+        pv = df["purchase_value"].astype("float64") * 100
+        df["purchase_value"] = np.floor(pv + 0.5)
+        df["purchase_id"] = df["purchase_id"].astype("float64")
         return df[["event_id", "user_id", "ts", "purchase_id", "purchase_value"]]
 
     return out.map_batches(_fp, batch_format="pandas")
@@ -557,7 +561,7 @@ SQL_JSON_PROPS = """
 SELECT event_type,
        CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS BIGINT) AS k_bucket,
        COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY 1, 2
 """

@@ -49,9 +49,26 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _kinds(df: pd.DataFrame) -> dict:
+    # dtype KIND per column ('i' int, 'f' float, 'M' datetime, ...) on the
+    # raw frames, BEFORE _canon's leniency — the driver's value-hash is
+    # dtype-sensitive, so an engine int64 vs an oracle float64 is a real
+    # mismatch even when every value is numerically equal (round-1 lesson:
+    # asof_join / json_props failed exactly this way).
+    out = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        out[c] = "i" if k == "u" else k
+    return out
+
+
 def assert_query_matches_oracle(name: str, fn, sql: str, sf_dir: str = SF_DIR):
-    got = _canon(_to_pandas(fn(sf_dir)))
-    want = _canon(_oracle(sql))
+    got_raw = _to_pandas(fn(sf_dir))
+    want_raw = _oracle(sql)
+    gk, wk = _kinds(got_raw), _kinds(want_raw)
+    assert gk == wk, f"{name}: dtype kinds differ: engine {gk} vs oracle {wk}"
+    got = _canon(got_raw)
+    want = _canon(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
