@@ -457,14 +457,16 @@ class _SinkWriter:
 
     @staticmethod
     def _content_sig(out: pa.Table) -> str:
-        """Content-derived filename: hashes the full url and text columns,
-        so distinct blocks can never collide (a retried task still rewrites
-        its own file — same block content, same name)."""
+        """Content-derived filename: hashes EVERY column's buffers (not just
+        url+text — two blocks identical in url+text but differing in warc_ts
+        would otherwise collide and silently overwrite each other), so
+        distinct blocks can never share a name while a retried task still
+        rewrites its own file (same block content, same name)."""
         import hashlib
 
         h = hashlib.sha1()
-        for col in ("url", "text"):
-            chunked = out[col]
+        for name, chunked in zip(out.schema.names, out.itercolumns()):
+            h.update(name.encode())
             chunks = chunked.chunks if isinstance(chunked, pa.ChunkedArray) else [chunked]
             for chunk in chunks:
                 for buf in chunk.buffers():
@@ -495,7 +497,16 @@ class _SinkWriter:
 
 
 def run_finalize_phase(out_dir: str, cfg: ExtractConfig | None = None) -> dict:
-    """Phase 2: newest-capture-wins dedup over all done partitions → final/.
+    """Phase 2 (single-writer-locked, same flock as the extract phase — a
+    finalize racing another process's extract/finalize on one store would
+    corrupt final.tmp / final_manifest.json): newest-capture-wins dedup over
+    all done partitions → final/."""
+    with PipelineLock(out_dir):
+        return _run_finalize_phase_locked(out_dir, cfg)
+
+
+def _run_finalize_phase_locked(out_dir: str, cfg: ExtractConfig | None = None) -> dict:
+    """Newest-capture-wins dedup over all done partitions → final/.
 
     Single-pass split-write (the ``partial`` dedup specialized for a sink):
     after a url-column-only count finds the (rare) duplicate-capture urls,
@@ -603,7 +614,8 @@ def _finalize_linked(extracted_dir: str, tmp_final: str) -> None:
         _local_best,
         lambda t: decode_spans(t.drop_columns([RANK_COL])),
     )
-    pq.write_table(winners, os.path.join(tmp_final, "winners.parquet"))
+    if winners is not None:
+        pq.write_table(winners, os.path.join(tmp_final, "winners.parquet"))
 
 
 def _coalesce_reduce(ds, combine_fn, final_fn=None):
@@ -612,20 +624,22 @@ def _coalesce_reduce(ds, combine_fn, final_fn=None):
     the root. The narrow global-reduce for pre-combined small data — cheaper
     than ``repartition(1)`` (several seconds of executor overhead) and keeps
     the merge off the driver. Only for data a single worker can hold
-    (pre-reduced keys, dup subsets); big data takes the shuffle paths."""
+    (pre-reduced keys, dup subsets); big data takes the shuffle paths.
+
+    Returns ``None`` when every block is empty: empty blocks skip upstream
+    map_batches UDFs and keep their pre-UDF schema, so neither combine_fn nor
+    final_fn can be safely applied to them — callers handle the explicit
+    nothing-to-reduce result."""
     import ray
 
     refs = ds.to_arrow_refs()
 
     @ray.remote
     def _merge(final: bool, *tables):
-        # empty blocks skip upstream map_batches UDFs and keep their original
-        # schema — drop them before concat (schema-mixed otherwise)
-        live = [t for t in tables if t.num_rows > 0]
+        live = [t for t in tables if t is not None and t.num_rows > 0]
         if not live:
-            t = tables[0]
-        else:
-            t = combine_fn(pa.concat_tables(live).combine_chunks())
+            return None
+        t = combine_fn(pa.concat_tables(live).combine_chunks())
         return final_fn(t) if (final and final_fn is not None) else t
 
     while len(refs) > 32:
@@ -671,7 +685,8 @@ def _find_dup_urls(ds, key_exchange: str = "narrow") -> list:
         return t.filter(pc.greater(t["n"], 1)).select(["url"])
 
     partials = ds.map_batches(_local_counts, batch_format="pyarrow")
-    return _coalesce_reduce(partials, _combine, _final).column("url").to_pylist()
+    merged = _coalesce_reduce(partials, _combine, _final)
+    return [] if merged is None else merged.column("url").to_pylist()
 
 
 def _finalize_split_write(ds, tmp_final: str, key_exchange: str = "narrow") -> None:
@@ -728,7 +743,8 @@ def _finalize_split_write(ds, tmp_final: str, key_exchange: str = "narrow") -> N
         _local_best,
         lambda t: decode_spans(t.drop_columns([RANK_COL])),
     )
-    pq_mod.write_table(winners, os.path.join(tmp_final, "winners.parquet"))
+    if winners is not None:
+        pq_mod.write_table(winners, os.path.join(tmp_final, "winners.parquet"))
 
 
 def run_pipeline(pages_dir: str, out_dir: str, cfg: ExtractConfig | None = None) -> dict:

@@ -42,6 +42,7 @@ def connected_components(pairs_ds, max_rounds: int = 16) -> pd.DataFrame:
     nodes = np.unique(np.array([r["node"] for r in first], dtype=np.int64))
     labels = pd.Series(nodes, index=nodes)
 
+    converged = len(nodes) == 0
     for _ in range(max_rounds):
         ref = ray.put(labels)
 
@@ -60,14 +61,23 @@ def connected_components(pairs_ds, max_rounds: int = 16) -> pd.DataFrame:
 
         upd = edges.map_batches(_updates, batch_format="pyarrow").take_all()
         if not upd:
+            converged = True
             break
         df = pd.DataFrame(upd).groupby("node")["lab"].min()
         new = labels.copy()
         new.loc[df.index] = np.minimum(new.loc[df.index].to_numpy(), df.to_numpy())
         if new.equals(labels):
+            converged = True
             break
         labels = new
 
+    if not converged:
+        # silently returning partial labels would split one dup chain into
+        # several components and leak duplicates through cluster dedup
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(similarity-graph diameter exceeds max_rounds); raise max_rounds"
+        )
     return pd.DataFrame({"node_id": labels.index.to_numpy(), "component_id": labels.to_numpy()})
 
 

@@ -248,13 +248,19 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
                 ids.append(i)
                 chunks.append(c)
                 vals.append((h >> (c * chunk_bits)) & ((1 << chunk_bits) - 1))
-                hashes.append(h & 0x7FFFFFFFFFFFFFFF)
+                hashes.append(h)
         return pd.DataFrame(
             {
                 id_col: pd.Series(ids, dtype="int64"),
                 "chunk": pd.Series(chunks, dtype="int32"),
                 "chunk_val": pd.Series(vals, dtype="int64"),
-                "simhash": pd.Series(hashes, dtype="int64"),
+                # full 64 bits, reinterpreted as signed int64 (no bit-63
+                # mask: masking would underreport Hamming distance by 1 for
+                # pairs differing at the top bit while the chunking above
+                # banded on the unmasked value)
+                "simhash": pd.Series(
+                    np.array(hashes, dtype=np.uint64).view(np.int64)
+                ),
             }
         )
 
@@ -264,7 +270,9 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
         rows = []
         ids = g[id_col].tolist()
-        hs = g["simhash"].tolist()
+        # back to unsigned for the XOR popcount (signed ^ signed on Python
+        # ints would sign-extend)
+        hs = g["simhash"].to_numpy().view(np.uint64).tolist()
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 d = bin(hs[i] ^ hs[j]).count("1")

@@ -55,3 +55,19 @@ def test_minhash_to_clusters_end_to_end(ray_session):
     kept = sorted(r["doc_id"] for r in out)
     assert 99 in kept
     assert len(kept) <= 4  # 6 near-dups collapse to <= 3 representatives
+
+
+def test_connected_components_raises_on_non_convergence(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.components import connected_components
+
+    # a 6-node chain has diameter 5; min-label propagation halves the
+    # distance per round, so 1 round cannot converge
+    chain = pd.DataFrame({"id_a": [1, 2, 3, 4, 5], "id_b": [2, 3, 4, 5, 6]})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(rd.from_pandas(chain), max_rounds=1)
+    # and with enough rounds the same graph resolves to one component
+    out = connected_components(rd.from_pandas(chain), max_rounds=16)
+    assert set(out["component_id"]) == {1}
