@@ -54,7 +54,14 @@ import pyarrow.parquet as pq
 from ocr_suite_ray.stages.dedup import dedup_latest
 from ocr_suite_ray.stages.extract import PageExtractor, PdfExtractor, sniff_batch
 from ocr_suite_ray.state import lineage as lin
-from ocr_suite_ray.state.bloom import BloomFilter
+from ocr_suite_ray.state.dupset import (
+    DupMembership,
+    coalesce_reduce,
+    dup_key_table_ref,
+    dup_meta,
+    load_dup_table_ref,
+    membership_ref,
+)
 
 PAGES_COLUMNS = ["url", "warc_ts", "html"]  # prune at the read: text/lang unused
 
@@ -119,11 +126,20 @@ def _read_wave(wave: list[tuple[int, str]], cfg: ExtractConfig):
     return ds.map_batches(_attach_pid, batch_format="pyarrow")
 
 
-def _input_dup_urls(files: list[str], out_dir: str, cfg: ExtractConfig) -> tuple[list, str]:
-    """urls captured more than once across the WHOLE pages input, plus the
-    dup-set fingerprint. Column-pruned read (url only) + the narrow merge
-    from _find_dup_urls. Cached in out_dir keyed by the input fingerprint
-    set, so resumes don't re-scan."""
+def _input_dup_membership(
+    files: list[str], out_dir: str, cfg: ExtractConfig
+) -> tuple[list, str]:
+    """Broadcast membership of "urls captured more than once across the WHOLE
+    pages input", plus the dup-set fingerprint.
+
+    Everything key-shaped stays off the driver (see ``state/dupset.py``): the
+    column-pruned url scan is counted distributively, the dup-url table is
+    persisted as a parquet artifact by a worker task (cached per input
+    fingerprint set, so resumes don't re-scan), and the exact-set/Bloom
+    payload is built in a worker task. The driver holds two scalars and an
+    ObjectRef, returned BOXED in a one-element list so Ray ships the ref —
+    not the payload — to each actor (each actor ray.gets the node-local copy
+    once in __init__)."""
     import hashlib
 
     import ray.data as rd
@@ -131,54 +147,36 @@ def _input_dup_urls(files: list[str], out_dir: str, cfg: ExtractConfig) -> tuple
     inputs_fp = hashlib.sha256(
         "".join(lin.partition_fingerprint(f) for f in files).encode()
     ).hexdigest()[:16]
-    cache = os.path.join(out_dir, "dup_urls.json")
-    if os.path.exists(cache):
-        with open(cache) as fh:
+    os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "dup_urls_meta.json")
+    table_path = os.path.join(out_dir, "dup_urls.parquet")
+    if os.path.exists(meta_path) and os.path.exists(table_path):
+        with open(meta_path) as fh:
             data = json.load(fh)
         if data.get("inputs_fp") == inputs_fp:
-            return data["dup_urls"], data["dupset_fp"]
+            dup_ref = load_dup_table_ref(table_path)
+            return [membership_ref(dup_ref, max_exact=cfg.bloom_threshold)], data[
+                "dupset_fp"
+            ]
     ds = rd.read_parquet(files, columns=["url"])
-    dup_urls = sorted(_find_dup_urls(ds, cfg.key_exchange))
-    dupset_fp = hashlib.sha256("\x00".join(dup_urls).encode()).hexdigest()[:16]
-    os.makedirs(out_dir, exist_ok=True)
-    with open(cache + ".tmp", "w") as fh:
-        json.dump({"inputs_fp": inputs_fp, "dupset_fp": dupset_fp, "dup_urls": dup_urls}, fh)
-    os.replace(cache + ".tmp", cache)
-    return dup_urls, dupset_fp
+    dup_ref = dup_key_table_ref(ds, key_exchange=cfg.key_exchange)
+    n_dups, dupset_fp = dup_meta(dup_ref, persist_path=table_path)
+    with open(meta_path + ".tmp", "w") as fh:
+        json.dump(
+            {"inputs_fp": inputs_fp, "dupset_fp": dupset_fp, "n_dups": n_dups}, fh
+        )
+    os.replace(meta_path + ".tmp", meta_path)
+    return [membership_ref(dup_ref, max_exact=cfg.bloom_threshold)], dupset_fp
 
 
-class DupMembership:
-    """is_dup membership test: exact Arrow value set below ``max_exact``
-    keys, Bloom filter above (1% fpp). Bloom false positives only route a
-    url through the exact winners reduce, which keeps a single capture
-    unchanged — semantics identical, broadcast size bounded."""
-
-    def __init__(self, dup_urls: list, max_exact: int = 1_000_000):
-        self._exact = None
-        self._bloom = None
-        if len(dup_urls) <= max_exact:
-            self._exact = pa.array(dup_urls, pa.string())
-        else:
-            bf = BloomFilter(len(dup_urls), fpp=0.01)
-            bf.add_many(dup_urls)
-            self._bloom = bf
-
-    def flags(self, url_col) -> pa.Array:
-        n = len(url_col)
-        if self._exact is not None:
-            if len(self._exact) == 0:
-                return pa.array([0] * n, pa.int32())
-            return pc.cast(pc.is_in(url_col, value_set=self._exact), pa.int32())
-        mask = self._bloom.contains_many(url_col.to_pylist())
-        return pa.array(mask.astype("int32"), pa.int32())
-
-
-def _tag_dup(ds, dup_urls: list, max_exact: int = 1_000_000):
+def _tag_dup(ds, member_box: list):
     """Append is_dup (0/1) — becomes a hive partition key so the finalize
-    step can link unique files instead of rewriting them."""
-    member = DupMembership(dup_urls, max_exact=max_exact)
+    step can link unique files instead of rewriting them. ``member_box`` is
+    the boxed payload ObjectRef; each task reads the node-local copy."""
+    import ray
 
     def _tag(t: pa.Table) -> pa.Table:
+        member = DupMembership(ray.get(member_box[0]))
         return t.append_column("is_dup", member.flags(t["url"]))
 
     return ds.map_batches(_tag, batch_format="pyarrow")
@@ -325,7 +323,7 @@ def _run_extract_phase_locked(
     # dependent partitions (code-version lineage)
     from ocr_suite_ray.version import extract_code_fingerprint
 
-    dup_urls, dupset_fp = _input_dup_urls(files, out_dir, cfg)
+    member_box, dupset_fp = _input_dup_membership(files, out_dir, cfg)
     dupset_fp = f"{dupset_fp}-{extract_code_fingerprint()}"
     # drop partitions no longer present in the (possibly shrunk) input —
     # their outputs would otherwise leak into the linked final store
@@ -364,13 +362,13 @@ def _run_extract_phase_locked(
                     batch_format="pyarrow",
                     batch_size=1,
                     concurrency=cfg.pool_size,
-                    fn_constructor_args=(tmp_dir, dup_urls, cfg.bloom_threshold),
+                    fn_constructor_args=(tmp_dir, member_box),
                 )
                 .take_all()
             )
         else:
             ds = _extract_ds(_read_wave(wave, cfg), cfg)
-            ds = _tag_dup(ds, dup_urls, max_exact=cfg.bloom_threshold)
+            ds = _tag_dup(ds, member_box)
             # fused sink: each extract task writes its own partition files
             # and emits only (pid, rows) counts — no separate Write operator
             # (the no-shared-writer design, cf. SURVEY §4 shared-writer row)
@@ -420,12 +418,16 @@ class FusedExtractWriter:
     direct frame access + its own DB writes (``src/recognition/main.cpp:
     174-183``) — no shared writer, no intermediate hand-off."""
 
-    def __init__(self, tmp_dir: str, dup_urls: list, max_exact: int = 1_000_000) -> None:
+    def __init__(self, tmp_dir: str, member_box: list) -> None:
         # NB: no runtime package imports here — this body runs in the worker,
-        # which may not have the repo on sys.path (classes ship by value)
+        # which may not have the repo on sys.path (classes ship by value).
+        # member_box holds the membership payload's ObjectRef (boxed so Ray
+        # ships the ref, not the payload) — one node-local get per actor.
+        import ray
+
         self._sink = _SinkWriter(tmp_dir)
         self._extract = PageExtractor()
-        self._member = DupMembership(dup_urls, max_exact=max_exact)
+        self._member = DupMembership(ray.get(member_box[0]))
 
     def __call__(self, spec: pa.Table) -> pa.Table:
         outs = []
@@ -547,7 +549,9 @@ def _run_finalize_phase_locked(out_dir: str, cfg: ExtractConfig | None = None) -
         if drop:
             ds = ds.drop_columns(drop)
         if cfg.dedup_strategy == "partial":
-            _finalize_split_write(ds, tmp_final)
+            _finalize_split_write(
+                ds, tmp_final, cfg.key_exchange, max_exact=cfg.bloom_threshold
+            )
         else:
             deduped = dedup_latest(
                 ds, strategy=cfg.dedup_strategy, num_partitions=cfg.num_partitions
@@ -618,82 +622,21 @@ def _finalize_linked(extracted_dir: str, tmp_final: str) -> None:
         pq.write_table(winners, os.path.join(tmp_final, "winners.parquet"))
 
 
-def _coalesce_reduce(ds, combine_fn, final_fn=None):
-    """Tree-reduce ``ds``'s blocks with remote tasks: ``combine_fn``
-    (Table -> Table, associative) at every fan-in level, ``final_fn`` once at
-    the root. The narrow global-reduce for pre-combined small data — cheaper
-    than ``repartition(1)`` (several seconds of executor overhead) and keeps
-    the merge off the driver. Only for data a single worker can hold
-    (pre-reduced keys, dup subsets); big data takes the shuffle paths.
-
-    Returns ``None`` when every block is empty: empty blocks skip upstream
-    map_batches UDFs and keep their pre-UDF schema, so neither combine_fn nor
-    final_fn can be safely applied to them — callers handle the explicit
-    nothing-to-reduce result."""
-    import ray
-
-    refs = ds.to_arrow_refs()
-
-    @ray.remote
-    def _merge(final: bool, *tables):
-        live = [t for t in tables if t is not None and t.num_rows > 0]
-        if not live:
-            return None
-        t = combine_fn(pa.concat_tables(live).combine_chunks())
-        return final_fn(t) if (final and final_fn is not None) else t
-
-    while len(refs) > 32:
-        refs = [
-            _merge.remote(False, *refs[i : i + 32]) for i in range(0, len(refs), 32)
-        ]
-    return ray.get(_merge.remote(True, *refs))
+# shared tree-reduce (moved to state/dupset.py; alias kept for callers/tests)
+_coalesce_reduce = coalesce_reduce
 
 
-def _find_dup_urls(ds, key_exchange: str = "narrow") -> list:
-    """urls with more than one capture.
-
-    ``narrow`` (default): per-block vectorized value-counts, then ONE
-    coalesce task merges the (url, count) partials — total exchange = the
-    url key column only, no shuffle machinery. Right whenever the key
-    column of the corpus fits one worker (hundreds of millions of urls).
-    ``shuffle``: the groupby-aggregate path for corpora beyond that — same
-    semantics, all-to-all on the key column only.
-    """
-    if key_exchange == "shuffle":
-        from ray.data.aggregate import Count
-
-        counts = (
-            ds.select_columns(["url"]).groupby("url").aggregate(Count(alias_name="__n"))
-        )
-        return [
-            r["url"]
-            for r in counts.map_batches(
-                lambda t: t.filter(pc.greater(t["__n"], 1)) if t.num_columns else t,
-                batch_format="pyarrow",
-            ).take_all()
-        ]
-
-    def _local_counts(t: pa.Table) -> pa.Table:
-        g = t.select(["url"]).group_by("url").aggregate([("url", "count")])
-        return g.rename_columns(["url", "n"])
-
-    def _combine(t: pa.Table) -> pa.Table:
-        g = t.group_by("url").aggregate([("n", "sum")])
-        return g.rename_columns(["url", "n"])
-
-    def _final(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t["n"], 1)).select(["url"])
-
-    partials = ds.map_batches(_local_counts, batch_format="pyarrow")
-    merged = _coalesce_reduce(partials, _combine, _final)
-    return [] if merged is None else merged.column("url").to_pylist()
-
-
-def _finalize_split_write(ds, tmp_final: str, key_exchange: str = "narrow") -> None:
+def _finalize_split_write(
+    ds, tmp_final: str, key_exchange: str = "narrow", max_exact: int = 1_000_000
+) -> None:
     """One streaming pass: unique-url rows written in place, dup rows (the
-    ~2%) forwarded to an exact per-url reduce. See run_finalize_phase."""
-    import hashlib
+    ~2%) forwarded to an exact per-url reduce. See run_finalize_phase.
 
+    The dup-url membership is built distributively (state/dupset.py): exact
+    value set below ``max_exact`` keys, Bloom filter above — a Bloom false
+    positive merely routes a single-capture url through the exact reduce,
+    which keeps it unchanged. No key list ever lands on the driver."""
+    import ray
     import pyarrow.parquet as pq_mod
 
     from ocr_suite_ray.stages.dedup import (
@@ -704,18 +647,15 @@ def _finalize_split_write(ds, tmp_final: str, key_exchange: str = "narrow") -> N
     )
 
     os.makedirs(tmp_final, exist_ok=True)
-    dup_urls = _find_dup_urls(ds, key_exchange)
-    # at trillion-row scale this exact broadcast set becomes a Bloom filter:
-    # false positives only route extra rows through the exact path
-    dup_set = pa.array(sorted(dup_urls), pa.string())
+    dup_ref = dup_key_table_ref(ds, key_exchange=key_exchange)
+    n_dups, _fp = dup_meta(dup_ref)
+    member_box = [membership_ref(dup_ref, max_exact=max_exact)]
 
     def _split(t: pa.Table) -> pa.Table:
-        if len(dup_set):
-            is_dup = pc.is_in(t["url"], value_set=dup_set)
-            uniq = t.filter(pc.invert(is_dup))
-            dups = t.filter(is_dup)
-        else:
-            uniq, dups = t, t.slice(0, 0)
+        member = DupMembership(ray.get(member_box[0]))
+        is_dup = member.mask(t["url"])
+        uniq = t.filter(pc.invert(is_dup))
+        dups = t.filter(is_dup)
         if uniq.num_rows:
             # deterministic content-derived name => a retried task overwrites
             # its own partial file instead of duplicating rows
@@ -727,7 +667,7 @@ def _finalize_split_write(ds, tmp_final: str, key_exchange: str = "narrow") -> N
 
     dups_ds = ds.map_batches(_split, batch_format="pyarrow")
 
-    if not dup_urls:
+    if n_dups == 0:
         dups_ds.count()  # consume: triggers the side-effect writes
         return
     # winners: per-block combiner pre-reduces each block to <= 1 row per url,

@@ -121,7 +121,12 @@ def _add_bucket(t: pa.Table, num_partitions: int) -> pa.Table:
     return t.append_column(BUCKET_COL, pa.array(buckets, pa.int32()))
 
 
-def dedup_latest(ds, strategy: str = "partial", num_partitions: int = 32):
+def dedup_latest(
+    ds,
+    strategy: str = "partial",
+    num_partitions: int = 32,
+    bloom_threshold: int = 1_000_000,
+):
     """Dataset[extracted rows] -> Dataset[one row per url].
 
     Default ``partial``: duplicate-capture urls are the rare case (~2% in a
@@ -141,7 +146,7 @@ def dedup_latest(ds, strategy: str = "partial", num_partitions: int = 32):
     unchanged); the groupby in (3) scales with the dup rate, not the corpus.
     """
     if strategy == "partial":
-        return _dedup_partial(ds)
+        return _dedup_partial(ds, max_exact=bloom_threshold)
     if strategy in ("agg_join",):  # legacy alias for the bucket scale path
         strategy = "bucket"
     if strategy == "map_groups":
@@ -166,28 +171,33 @@ def dedup_latest(ds, strategy: str = "partial", num_partitions: int = 32):
     return ranked.groupby(BUCKET_COL).map_groups(_bucket_best, batch_format="pyarrow")
 
 
-def _dedup_partial(ds):
-    from ray.data.aggregate import Count
+def _dedup_partial(ds, max_exact: int = 1_000_000):
+    import ray
 
-    counts = (
-        ds.select_columns(["url"]).groupby("url").aggregate(Count(alias_name="__n"))
+    from ocr_suite_ray.state.dupset import (
+        DupMembership,
+        dup_key_table_ref,
+        dup_meta,
+        membership_ref,
     )
-    dup_urls = [
-        r["url"]
-        for r in counts.map_batches(
-            lambda t: t.filter(pc.greater(t["__n"], 1)) if t.num_columns else t,
-            batch_format="pyarrow",
-        ).take_all()
-    ]
-    if not dup_urls:
+
+    # dup-url membership is built distributively and broadcast as ONE
+    # object-store payload (exact set below max_exact keys, Bloom above —
+    # false positives only route a url through the exact reduce, which keeps
+    # a single capture unchanged); the driver sees two scalars, never keys
+    dup_ref = dup_key_table_ref(ds, key_exchange="narrow")
+    n_dups, _fp = dup_meta(dup_ref)
+    if n_dups == 0:
         return ds
-    dup_set = pa.array(sorted(dup_urls), pa.string())  # shipped once per task spec
+    member_box = [membership_ref(dup_ref, max_exact=max_exact)]
 
     def _uniques(t: pa.Table) -> pa.Table:
-        return t.filter(pc.invert(pc.is_in(t["url"], value_set=dup_set)))
+        member = DupMembership(ray.get(member_box[0]))
+        return t.filter(pc.invert(member.mask(t["url"])))
 
     def _dups(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["url"], value_set=dup_set))
+        member = DupMembership(ray.get(member_box[0]))
+        return t.filter(member.mask(t["url"]))
 
     uniques = ds.map_batches(_uniques, batch_format="pyarrow")
 

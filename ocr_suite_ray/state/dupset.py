@@ -1,0 +1,213 @@
+"""Distributed dup-key membership — the driver never holds a key list.
+
+The flagship dedup (newest-capture-wins per url, ``stages/dedup.py``) and the
+finalize split need ONE piece of global state: "which urls have more than one
+capture?". Round 1 built that set with ``take_all()`` + a Python list on the
+driver — at 10^12 docs with a ~2% dup rate that is ~2x10^10 strings in driver
+heap, the pipeline's only real scale-killer. This module replaces it:
+
+1. **Count** duplicates distributively: per-block vectorized (url, n)
+   partials, merged in a remote tree (``coalesce_reduce``) or via the
+   groupby shuffle — the driver sees only ObjectRefs.
+2. **Materialize** the dup-url table once in the object store (and
+   optionally as a parquet artifact for resume) — written by a worker task.
+3. **Build** the broadcast membership structure in a worker task: an exact
+   Arrow value set below ``max_exact`` keys, a Bloom filter above (false
+   positives only route a url through the exact winners reduce — semantics
+   unchanged, see ``state/bloom.py``). ``ray.put``-equivalent: the payload
+   lives in the object store once; every actor/task reads the local copy.
+
+Scale contract: the merged dup-key table and the membership build are
+dup-rate bound (one worker must hold the dup keys once). Beyond that, use
+``dedup_latest(strategy="bucket")`` — the full shuffle needs no membership.
+
+Reference analogue: the ``is_frame_processed`` semi-join / UNIQUE-index
+membership check (``src/common/database.cpp:58-60``), taken distributed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ocr_suite_ray.state.bloom import BloomFilter
+
+_FANIN = 32
+
+
+def coalesce_reduce(ds, combine_fn, final_fn=None, materialize: bool = True):
+    """Tree-reduce ``ds``'s blocks with remote tasks: ``combine_fn``
+    (Table -> Table, associative) at every fan-in level, ``final_fn`` once at
+    the root. The narrow global-reduce for pre-combined small data — cheaper
+    than ``repartition(1)`` (several seconds of executor overhead) and keeps
+    the merge off the driver. Only for data a single worker can hold
+    (pre-reduced keys, dup subsets); big data takes the shuffle paths.
+
+    Resolves to ``None`` when every block is empty: empty blocks skip
+    upstream map_batches UDFs and keep their pre-UDF schema, so neither
+    combine_fn nor final_fn can be safely applied to them.
+
+    ``materialize=False`` returns the root ObjectRef instead of the value —
+    the result never touches the driver."""
+    import ray
+
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def _merge(final: bool, *tables):
+        live = [t for t in tables if t is not None and t.num_rows > 0]
+        if not live:
+            return None
+        t = combine_fn(pa.concat_tables(live).combine_chunks())
+        return final_fn(t) if (final and final_fn is not None) else t
+
+    while len(refs) > _FANIN:
+        refs = [
+            _merge.remote(False, *refs[i : i + _FANIN])
+            for i in range(0, len(refs), _FANIN)
+        ]
+    root = _merge.remote(True, *refs)
+    return ray.get(root) if materialize else root
+
+
+def dup_key_table_ref(ds, key_col: str = "url", key_exchange: str = "narrow"):
+    """ObjectRef[pa.Table | None]: the sorted table of keys appearing more
+    than once in ``ds[key_col]``. Never materialized on the driver.
+
+    ``narrow`` (default): per-block value-counts + remote tree merge — total
+    exchange is the key column only; right whenever the distinct keys of the
+    corpus fit one worker. ``shuffle``: groupby-aggregate for corpora beyond
+    that — all-to-all on the key column only; the dup SUBSET (output) is
+    still merged to one ref (dup-rate bound, see module contract)."""
+    import ray
+
+    def _sorted(t: pa.Table) -> pa.Table:
+        return t.take(pc.sort_indices(t, sort_keys=[(key_col, "ascending")]))
+
+    if key_exchange == "shuffle":
+        from ray.data.aggregate import Count
+
+        counts = (
+            ds.select_columns([key_col])
+            .groupby(key_col)
+            .aggregate(Count(alias_name="__n"))
+        )
+        dups = counts.map_batches(
+            lambda t: (
+                t.filter(pc.greater(t["__n"], 1)).select([key_col])
+                if "__n" in t.column_names
+                else t.select([key_col])
+            ),
+            batch_format="pyarrow",
+        )
+        return coalesce_reduce(dups, lambda t: t, _sorted, materialize=False)
+
+    def _local_counts(t: pa.Table) -> pa.Table:
+        g = t.select([key_col]).group_by(key_col).aggregate([(key_col, "count")])
+        return g.rename_columns([key_col, "n"])
+
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(key_col).aggregate([("n", "sum")])
+        return g.rename_columns([key_col, "n"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        return _sorted(t.filter(pc.greater(t["n"], 1)).select([key_col]))
+
+    partials = ds.map_batches(_local_counts, batch_format="pyarrow")
+    return coalesce_reduce(partials, _combine, _final, materialize=False)
+
+
+def dup_meta(dup_ref, key_col: str = "url", persist_path: str | None = None):
+    """(n_dups, fingerprint) of the dup-key table, computed worker-side; the
+    driver receives two scalars. Optionally persists the table as a parquet
+    artifact (atomic write) so a resumed run can reload it without
+    re-scanning the input. The fingerprint is sha256 over the sorted keys —
+    stable across partitioning and replay."""
+    import ray
+
+    @ray.remote
+    def _meta(path, t):
+        if t is None:
+            t = pa.table({key_col: pa.array([], pa.string())})
+        keys = t.column(key_col).to_pylist()
+        fp = hashlib.sha256("\x00".join(keys).encode()).hexdigest()[:16]
+        if path is not None:
+            pq.write_table(t, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        return t.num_rows, fp
+
+    return ray.get(_meta.remote(persist_path, dup_ref))
+
+
+def load_dup_table_ref(path: str):
+    """ObjectRef[pa.Table | None] from a persisted dup-key artifact."""
+    import ray
+
+    @ray.remote
+    def _load(p):
+        t = pq.read_table(p)
+        return t if t.num_rows else None
+
+    return _load.remote(path)
+
+
+def membership_ref(dup_ref, key_col: str = "url", max_exact: int = 1_000_000):
+    """ObjectRef to the broadcast membership payload: ``("exact", Array)``
+    below ``max_exact`` keys, ``("bloom", BloomFilter)`` above. Built ONCE in
+    a worker task; actors wrap it with ``DupMembership`` (one object-store
+    read per actor, zero re-shipping per batch)."""
+    import ray
+
+    @ray.remote
+    def _build(t):
+        if t is None or t.num_rows == 0:
+            return ("exact", pa.array([], pa.string()))
+        keys = t.column(key_col).combine_chunks()
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.chunk(0) if keys.num_chunks else pa.array([], pa.string())
+        if len(keys) <= max_exact:
+            return ("exact", keys)
+        bf = BloomFilter(len(keys), fpp=0.01)
+        bf.add_many(keys.to_pylist())
+        return ("bloom", bf)
+
+    return _build.remote(dup_ref)
+
+
+class DupMembership:
+    """is_dup membership test over a built payload (see membership_ref).
+    Bloom false positives only route a key through the exact winners reduce,
+    which keeps a single capture unchanged — semantics identical, broadcast
+    size bounded."""
+
+    def __init__(self, payload: tuple):
+        kind, data = payload
+        self._exact = data if kind == "exact" else None
+        self._bloom = data if kind == "bloom" else None
+
+    @classmethod
+    def from_keys(cls, keys, max_exact: int = 1_000_000) -> "DupMembership":
+        """Driver-side ctor for small inputs and tests."""
+        if len(keys) <= max_exact:
+            return cls(("exact", pa.array(list(keys), pa.string())))
+        bf = BloomFilter(len(keys), fpp=0.01)
+        bf.add_many(keys)
+        return cls(("bloom", bf))
+
+    def flags(self, key_col) -> pa.Array:
+        """0/1 int32 per row."""
+        n = len(key_col)
+        if self._exact is not None:
+            if len(self._exact) == 0:
+                return pa.array([0] * n, pa.int32())
+            return pc.cast(pc.is_in(key_col, value_set=self._exact), pa.int32())
+        mask = self._bloom.contains_many(key_col.to_pylist())
+        return pa.array(mask.astype("int32"), pa.int32())
+
+    def mask(self, key_col) -> pa.Array:
+        """boolean per row (for filter())."""
+        return pc.cast(self.flags(key_col), pa.bool_())

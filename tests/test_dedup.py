@@ -95,3 +95,16 @@ def test_coalesce_reduce_all_empty_returns_none(ray_session):
         lambda t: t.select(["nope"]),
     )
     assert out is None
+
+
+def test_partial_with_bloom_membership_matches_exact(ray_session):
+    import ray.data as rd
+
+    exact = dedup_latest(
+        rd.from_arrow(_extracted_table(ROWS)), strategy="partial"
+    ).take_all()
+    bloom = dedup_latest(
+        rd.from_arrow(_extracted_table(ROWS)), strategy="partial", bloom_threshold=0
+    ).take_all()
+    key = lambda r: r["url"]
+    assert sorted(exact, key=key) == sorted(bloom, key=key)
