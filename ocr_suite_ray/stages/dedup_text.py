@@ -140,65 +140,237 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     k: int = 3,
+    num_partitions: int = 16,
+    narrow_verify_limit: int = 200_000,
 ):
     """Candidate pairs via LSH banding, verified with exact shingle Jaccard.
 
-    Stages: (1) per-batch signatures (numpy); (2) explode to one row per
-    (band, band_hash) — the LSH bucket key; (3) ONE groupby shuffle on the
-    bucket key; (4) per-bucket pairing + exact verification against the
-    broadcast shingle sets... no — shingles are recomputed per bucket member
-    from the text carried along, keeping the stage self-contained (no global
-    state). Pairs are deduped across buckets by a final distinct.
-    """
+    The exchange carries NO text: (1) per-batch signatures (numpy), exploded
+    to (band, band_hash:int64, id) rows — 20 bytes per band row, so the ONE
+    banding shuffle moves ~640 B/doc (round 1 carried the full document text
+    x32 bands: a 3,200-TB exchange at 100 TB corpus scale); (2) per-bucket
+    candidate PAIRS of ids, deduped across bands inside a narrow remote tree
+    (candidate-bound — no second shuffle); (3) exact verification on the
+    candidate subset only: the candidate doc-id set is broadcast (object
+    store, dup-rate bound) and a second streaming pass over the input
+    computes the candidate docs' shingle sets — no full-corpus shuffle.
+    Verification itself is candidate-bound: below ``narrow_verify_limit``
+    pairs, one remote task verifies all pairs against the tree-merged
+    shingle table; above it, a distributed join + per-pair groupby does the
+    same with no single-task bound. No false positives (verified exactly),
+    recall identical to the text-carrying version (same banding), results
+    independent of partitioning."""
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def _sig_explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows_id, rows_band, rows_hash, rows_text = [], [], [], []
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    _empty_pairs = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+    _empty_out = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "jaccard_e4": pd.Series(dtype="int64"),
+        }
+    )
+
+    n_shards = 64
+
+    def _band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, bands, hashes = [], [], []
         for i, t in zip(df[id_col], df[text_col]):
             sig = _minhash_sig(_shingles(t, k))
             for b in range(LSH_BANDS):
                 band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                h = hashlib.blake2b(band.tobytes(), digest_size=8).hexdigest()
-                rows_id.append(i)
-                rows_band.append(b)
-                rows_hash.append(h)
-                rows_text.append(t)
+                h = int.from_bytes(
+                    hashlib.blake2b(band.tobytes(), digest_size=8).digest(), "little"
+                )
+                ids.append(i)
+                bands.append(b)
+                hashes.append(h)
+        hv = np.array(hashes, dtype=np.uint64)
+        bv = np.array(bands, dtype=np.uint64)
+        # coarse co-location key: ONE map_groups call per shard, not per
+        # bucket (a per-bucket UDF call is ~0.1 ms of pandas overhead x one
+        # call per (band, band_hash) — the corpus has ~32 buckets/doc, so
+        # per-bucket dispatch dominated the round-1 wall time)
+        shard = ((hv * np.uint64(0x9E3779B97F4A7C15) + bv) % np.uint64(n_shards)).astype(
+            np.int32
+        )
         return pd.DataFrame(
             {
-                id_col: pd.Series(rows_id, dtype="int64"),
-                "band": pd.Series(rows_band, dtype="int32"),
-                "band_hash": rows_hash,
-                text_col: rows_text,
+                id_col: pd.Series(ids, dtype="int64"),
+                "band": pd.Series(bands, dtype="int32"),
+                "band_hash": pd.Series(hv.view(np.int64)),
+                "shard": shard,
             }
         )
 
-    exploded = ds.map_batches(_sig_explode, batch_format="pandas")
+    exploded = ds.map_batches(_band_rows, batch_format="pandas")
 
-    def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "jaccard_e4": pd.Series(dtype="int64")}
-            )
-        ids = g[id_col].tolist()
-        shs = [_shingles(t, k) for t in g[text_col]]
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jac = jaccard(shs[i], shs[j])
-                if jac >= threshold:
-                    rows.append((ids[i], ids[j], int(np.floor(jac * 10000 + 0.5))))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard_e4"]).astype(
-            {"id_a": "int64", "id_b": "int64", "jaccard_e4": "int64"}
+    def _shard_cand(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized singleton elimination: only buckets holding >= 2 docs
+        # (the rare case) reach the Python pairing loop
+        g = g.drop_duplicates(subset=["band", "band_hash", id_col])
+        sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
+        multi = g[sizes.to_numpy() > 1]
+        if multi.empty:
+            return _empty_pairs
+        rows_a: list = []
+        rows_b: list = []
+        for _, grp in multi.groupby(["band", "band_hash"], sort=False):
+            ids = sorted(grp[id_col])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    rows_a.append(ids[i])
+                    rows_b.append(ids[j])
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(rows_a, dtype="int64"),
+                "id_b": pd.Series(rows_b, dtype="int64"),
+            }
         )
 
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    # same pair can surface from several bands -> distinct
-    from ocr_suite_ray.stages.relational import distinct
+    cand = exploded.groupby("shard").map_groups(_shard_cand, batch_format="pandas")
 
-    return distinct(pairs, ["id_a", "id_b", "jaccard_e4"])
+    # one candidate table in the object store (candidate-bound, never driver);
+    # the same pair surfaces from many bands — dedup inside the tree merge
+    # (sorted: deterministic regardless of block arrival order)
+    def _dedup_pairs(t: pa.Table) -> pa.Table:
+        t = t.group_by(["id_a", "id_b"]).aggregate([]).combine_chunks()
+        return t.take(
+            pc.sort_indices(
+                t, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]
+            )
+        )
+
+    cand_ref = coalesce_reduce(cand, _dedup_pairs, materialize=False)
+
+    @ray.remote
+    def _cand_ids(t):
+        if t is None:
+            return None
+        return pc.unique(
+            pa.concat_arrays(
+                [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()]
+            )
+        )
+
+    ids_box = [_cand_ids.remote(cand_ref)]
+    n_cand = ray.get(
+        ray.remote(lambda t: 0 if t is None else t.num_rows).remote(cand_ref)
+    )
+    if n_cand == 0:
+        return rd.from_pandas(_empty_out)
+
+    # second streaming pass: candidate docs' text only (no full-corpus shuffle)
+    def _filter_cand(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_box[0])
+        t = t.select([id_col, text_col])
+        return t.filter(pc.is_in(t[id_col], value_set=ids)).rename_columns(
+            ["__doc", text_col]
+        )
+
+    docs_c = ds.map_batches(_filter_cand, batch_format="pyarrow")
+
+    if n_cand <= narrow_verify_limit:
+        # narrow verify: shingle sets for candidate docs merged in the tree,
+        # all pairs checked in ONE remote task — zero additional shuffles
+        def _shingle_rows(t: pa.Table) -> pa.Table:
+            texts = t[text_col].to_pylist()
+            grams = [sorted(_shingles(x, k)) for x in texts]
+            return pa.table(
+                {
+                    "__doc": t["__doc"],
+                    "grams": pa.array(grams, pa.large_list(pa.uint64())),
+                }
+            )
+
+        sh_ref = coalesce_reduce(
+            docs_c.map_batches(_shingle_rows, batch_format="pyarrow"),
+            lambda t: t,
+            materialize=False,
+        )
+
+        @ray.remote
+        def _verify_all(cand_t, sh_t):
+            if cand_t is None or sh_t is None:
+                return pa.table(
+                    {
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "jaccard_e4": pa.array([], pa.int64()),
+                    }
+                )
+            by_id = dict(
+                zip(sh_t["__doc"].to_pylist(), sh_t["grams"].to_pylist())
+            )
+            ia, ib, je = [], [], []
+            for a, b in zip(cand_t["id_a"].to_pylist(), cand_t["id_b"].to_pylist()):
+                sa, sb = by_id.get(a), by_id.get(b)
+                if sa is None or sb is None:
+                    continue
+                jac = jaccard(set(sa), set(sb))
+                if jac >= threshold:
+                    ia.append(a)
+                    ib.append(b)
+                    je.append(int(np.floor(jac * 10000 + 0.5)))
+            return pa.table(
+                {
+                    "id_a": pa.array(ia, pa.int64()),
+                    "id_b": pa.array(ib, pa.int64()),
+                    "jaccard_e4": pa.array(je, pa.int64()),
+                }
+            )
+
+        return rd.from_arrow_refs([_verify_all.remote(cand_ref, sh_ref)])
+
+    def _sides(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__doc": pa.concat_arrays(
+                    [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()]
+                ),
+                "id_a": pa.concat_arrays(
+                    [t["id_a"].combine_chunks(), t["id_a"].combine_chunks()]
+                ),
+                "id_b": pa.concat_arrays(
+                    [t["id_b"].combine_chunks(), t["id_b"].combine_chunks()]
+                ),
+            }
+        )
+
+    sides = rd.from_arrow_refs([cand_ref]).map_batches(_sides, batch_format="pyarrow")
+    joined = sides.join(
+        docs_c, join_type="inner", on=("__doc",), num_partitions=num_partitions
+    )
+
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["__doc"])
+        if len(g) != 2:
+            return _empty_out
+        g = g.sort_values("__doc")
+        a, b = g[text_col].iloc[0], g[text_col].iloc[1]
+        jac = jaccard(_shingles(a, k), _shingles(b, k))
+        if jac < threshold:
+            return _empty_out
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([g["id_a"].iloc[0]], dtype="int64"),
+                "id_b": pd.Series([g["id_b"].iloc[0]], dtype="int64"),
+                "jaccard_e4": pd.Series(
+                    [int(np.floor(jac * 10000 + 0.5))], dtype="int64"
+                ),
+            }
+        )
+
+    return joined.groupby(["id_a", "id_b"]).map_groups(
+        _verify, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -240,6 +412,8 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
 
+    n_shards = 64
+
     def _explode(df: pd.DataFrame) -> pd.DataFrame:
         ids, chunks, vals, hashes = [], [], [], []
         for i, t in zip(df[id_col], df[text_col]):
@@ -249,11 +423,17 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
                 chunks.append(c)
                 vals.append((h >> (c * chunk_bits)) & ((1 << chunk_bits) - 1))
                 hashes.append(h)
+        cv = np.array(vals, dtype=np.uint64)
+        ck = np.array(chunks, dtype=np.uint64)
+        # coarse shard key: one map_groups call per shard, not per bucket
+        shard = ((cv * np.uint64(0x9E3779B97F4A7C15) + ck) % np.uint64(n_shards)).astype(
+            np.int32
+        )
         return pd.DataFrame(
             {
                 id_col: pd.Series(ids, dtype="int64"),
                 "chunk": pd.Series(chunks, dtype="int32"),
-                "chunk_val": pd.Series(vals, dtype="int64"),
+                "chunk_val": pd.Series(cv.view(np.int64)),
                 # full 64 bits, reinterpreted as signed int64 (no bit-63
                 # mask: masking would underreport Hamming distance by 1 for
                 # pairs differing at the top bit while the chunking above
@@ -261,29 +441,43 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
                 "simhash": pd.Series(
                     np.array(hashes, dtype=np.uint64).view(np.int64)
                 ),
+                "shard": shard,
             }
         )
 
     exploded = ds.map_batches(_explode, batch_format="pandas")
 
-    def _verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+    def _shard_verify(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized singleton elimination (see minhash_lsh_pairs)
+        g = g.drop_duplicates(subset=["chunk", "chunk_val", id_col])
+        sizes = g.groupby(["chunk", "chunk_val"])[id_col].transform("size")
+        multi = g[sizes.to_numpy() > 1]
+        if multi.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
         rows = []
-        ids = g[id_col].tolist()
-        # back to unsigned for the XOR popcount (signed ^ signed on Python
-        # ints would sign-extend)
-        hs = g["simhash"].to_numpy().view(np.uint64).tolist()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(hs[i] ^ hs[j]).count("1")
-                if d <= max_hamming:
-                    rows.append((ids[i], ids[j], d))
+        for _, grp in multi.groupby(["chunk", "chunk_val"], sort=False):
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].tolist()
+            # back to unsigned for the XOR popcount (signed ^ signed on
+            # Python ints would sign-extend)
+            hs = grp["simhash"].to_numpy().view(np.uint64).tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = bin(hs[i] ^ hs[j]).count("1")
+                    if d <= max_hamming:
+                        rows.append((ids[i], ids[j], d))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(
             {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
         )
 
-    pairs = exploded.groupby(["chunk", "chunk_val"]).map_groups(
-        _verify, batch_format="pandas"
+    pairs = exploded.groupby("shard").map_groups(
+        _shard_verify, batch_format="pandas"
     )
     from ocr_suite_ray.stages.relational import distinct
 
