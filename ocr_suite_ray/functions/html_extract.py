@@ -82,8 +82,174 @@ class Block:
         return nfc(collapse_ws("".join(self.chunks)))
 
 
+class _BlockSink:
+    """Flat-block accumulation shared by both tokenizers: block-level tags
+    open a block, text nodes accumulate, <a> text feeds the link-char
+    counter (the link-density feature)."""
+
+    def __init__(self) -> None:
+        self.blocks: list[Block] = []
+        self._cur: Block | None = None
+        self._link_depth = 0
+
+    def _flush(self) -> None:
+        if self._cur is not None and self._cur.total_chars > 0:
+            self.blocks.append(self._cur)
+        self._cur = None
+
+    def start(self, tag: str) -> None:
+        if tag == "a":
+            self._link_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+            self._cur = Block(kind=_KIND_BY_TAG.get(tag, KIND_PARAGRAPH), chunks=[])
+        elif tag == "br":
+            if self._cur is not None:
+                self._cur.chunks.append(" ")
+
+    def end(self, tag: str) -> None:
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def data(self, text: str) -> None:
+        if not text:
+            return
+        if self._cur is None:
+            if not text.strip():
+                return
+            self._cur = Block(kind=KIND_PARAGRAPH, chunks=[])
+        stripped_len = len(text.strip())
+        self._cur.chunks.append(text)
+        self._cur.total_chars += stripped_len
+        if self._link_depth:
+            self._cur.link_chars += stripped_len
+
+    def close(self) -> None:
+        self._flush()
+
+
+# --- fast scanner tokenizer --------------------------------------------------
+#
+# stdlib html.parser is correct but allocation-heavy (incremental buffer
+# management, attribute parsing, per-construct regex dispatch) — at 28
+# concurrent parsers its string churn saturates a single box's memory bus
+# (BASELINE.md control experiment). This scanner walks the document once with
+# str.find + a handful of compiled regexes, allocating only the text slices
+# the sink actually keeps, and mimics html.parser's OBSERVABLE behavior for
+# this sink: tag open/close events, charref-converted text, script/style as
+# CDATA until the first matching close tag, comments/declarations/PIs
+# skipped, and an unterminated construct at EOF emitted as raw data
+# (html.parser goahead(end=1) fallback). Byte-identical output vs
+# _BlockParser is enforced by tests/test_extract_functions.py on handcrafted
+# edge cases and a large synthetic corpus.
+#
+# Known divergence (documented, absent from crawls our heuristics target):
+# a '>' INSIDE a quoted attribute value ends the tag early here;
+# html.parser's quote-aware scan does not.
+
+_TAGNAME = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
+_ENDTAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script", re.IGNORECASE),
+    "style": re.compile(r"</\s*style", re.IGNORECASE),
+}
+
+
+def _incomplete(raw: str, i: int) -> tuple[str, int]:
+    """html.parser's end-of-input fallback for an unterminated construct:
+    emit raw data up to the next '>' (inclusive) / next '<' / one char."""
+    k = raw.find(">", i + 1)
+    if k < 0:
+        k = raw.find("<", i + 1)
+        if k < 0:
+            k = i + 1
+    else:
+        k += 1
+    return raw[i:k], k
+
+
+def _scan_html(raw: str, sink: _BlockSink) -> None:
+    from html import unescape
+
+    n = len(raw)
+    find = raw.find
+    i = 0
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            text = raw[i:]
+            sink.data(unescape(text) if "&" in text else text)
+            break
+        if lt > i:
+            text = raw[i:lt]
+            sink.data(unescape(text) if "&" in text else text)
+        nxt = raw[lt + 1 : lt + 2]
+        if "a" <= nxt <= "z" or "A" <= nxt <= "Z":  # start tag (ASCII letter
+            # only — html.parser's starttagopen; unicode letters are data)
+            m = _TAGNAME.match(raw, lt + 1)
+            name = m.group(0).lower()
+            gt = find(">", lt + 1)
+            if gt < 0:
+                text, i = _incomplete(raw, lt)
+                sink.data(text)
+                continue
+            selfclosing = raw[gt - 1] == "/" and gt - 1 > lt
+            i = gt + 1
+            if not selfclosing and name in _CDATA_CLOSE:
+                # CDATA content model: skip to the FIRST matching close tag
+                # (html.parser never reports constructs inside script/style)
+                mc = _CDATA_CLOSE[name].search(raw, i)
+                if mc is None:
+                    break  # unterminated script/style: rest is dead content
+                me = _ENDTAG.match(raw, mc.start())
+                i = me.end() if me else find(">", mc.start()) + 1 or n
+                continue
+            if selfclosing:
+                # parity with _BlockParser.handle_startendtag: only <br/>
+                # has an effect (a space); other self-closed tags are inert
+                if name == "br":
+                    sink.start("br")
+            else:
+                sink.start(name)
+        elif nxt == "/":  # end tag
+            m = _ENDTAG.match(raw, lt)
+            if m is None:
+                gt = find(">", lt + 1)
+                if gt < 0:
+                    text, i = _incomplete(raw, lt)
+                    sink.data(text)
+                else:
+                    i = gt + 1  # bogus end tag: ignored
+                continue
+            sink.end(m.group(1).lower())
+            i = m.end()
+        elif raw.startswith("<!--", lt):  # comment
+            e = find("-->", lt + 4)
+            if e < 0:
+                text, i = _incomplete(raw, lt)
+                sink.data(text)
+                continue
+            i = e + 3
+        elif nxt in ("!", "?"):  # declaration / processing instruction
+            gt = find(">", lt + 1)
+            if gt < 0:
+                text, i = _incomplete(raw, lt)
+                sink.data(text)
+                continue
+            i = gt + 1
+        else:  # bare '<': literal data
+            sink.data("<")
+            i = lt + 1
+    sink.close()
+
+
 class _BlockParser(HTMLParser):
-    """Tokenizes HTML into flat text blocks with link-char accounting."""
+    """Tokenizes HTML into flat text blocks with link-char accounting.
+
+    Retained as the differential ORACLE for the fast scanner above
+    (tests assert byte-identical extraction); not on the hot path."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -151,18 +317,32 @@ class _BlockParser(HTMLParser):
 
 
 # token qualifies as a content word iff it contains >= MIN_WORD_CHARS
-# alphanumeric characters ([^\W_] == unicode letters+digits); compiled
-# regex instead of a per-character Python loop (40% of kernel time)
-_WORD_OK = re.compile(r"(?:[\W_]*[^\W_]){%d}" % MIN_WORD_CHARS)
+# alphanumeric characters ([^\W_] == unicode letters+digits). ONE C-speed
+# scan per block instead of a Python loop with a regex match per token (was
+# ~25% of kernel time): a match starts at a token boundary ((?<![^ ]) — the
+# text is already whitespace-collapsed, so tokens are single-space
+# separated) and consumes non-alnum filler ([^\w ]|_ == [\W_] minus the
+# separator) between the required alphanumerics, never crossing a space.
+_WORD_OK = re.compile(r"(?<![^ ])(?:(?:[^\w ]|_)*[^\W_ ]){%d}" % MIN_WORD_CHARS)
 
 
 def _word_count(text: str) -> int:
-    m = _WORD_OK.match
     n = 0
-    for tok in text.split(" "):
-        if m(tok):
-            n += 1
+    for _ in _WORD_OK.finditer(text):
+        n += 1
     return n
+
+
+def _has_min_words(text: str) -> bool:
+    """True iff the block has >= MIN_WORDS content words — early-exits after
+    the MIN_WORDS-th match, so long kept paragraphs cost 3 matches, not a
+    full scan."""
+    need = MIN_WORDS
+    for _ in _WORD_OK.finditer(text):
+        need -= 1
+        if need == 0:
+            return True
+    return False
 
 
 def classify(block: Block, text: str) -> bool:
@@ -172,35 +352,62 @@ def classify(block: Block, text: str) -> bool:
     if block.kind == KIND_TITLE:
         return True
     link_density = (block.link_chars / block.total_chars) if block.total_chars else 1.0
-    return link_density <= MAX_LINK_DENSITY and _word_count(text) >= MIN_WORDS
+    return link_density <= MAX_LINK_DENSITY and _has_min_words(text)
 
 
 def extract_html(payload: bytes) -> dict:
     """bytes → {text, spans, n_blocks_kept, n_blocks_dropped}.
 
     Raises on undecodable garbage only via explicit checks upstream; the
-    parser itself is total (html.parser never raises on malformed markup).
-    """
+    scanner itself is total (never raises on malformed markup)."""
+    raw, _charset = decode_bytes(payload)
+    sink = _BlockSink()
+    _scan_html(raw, sink)
+    return _assemble(sink.blocks)
+
+
+def extract_html_oracle(payload: bytes) -> dict:
+    """Reference implementation over stdlib html.parser — the differential
+    oracle for the fast scanner (tests byte-diff the two)."""
     raw, _charset = decode_bytes(payload)
     parser = _BlockParser()
     parser.feed(raw)
     parser.close()
+    return _assemble(parser.blocks)
 
+
+def _assemble(blocks: list) -> dict:
     pieces: list[str] = []
     spans: list[tuple[int, int, str]] = []
     kept = dropped = 0
     pos = 0
-    for block in parser.blocks:
-        text = block.text()
-        if classify(block, text):
-            if pieces:
-                pos += 2  # "\n\n" separator
-            pieces.append(text)
-            spans.append((pos, pos + len(text), block.kind))
-            pos += len(text)
-            kept += 1
-        elif text:
-            dropped += 1
+    for block in blocks:
+        # drop-by-link-density BEFORE normalizing: nav/footer blocks never
+        # pay collapse_ws+nfc. Sound because every flushed block has
+        # total_chars > 0, which guarantees non-empty normalized text (the
+        # old `elif text: dropped += 1` was always true for them).
+        if block.kind != KIND_TITLE:
+            ld = (
+                (block.link_chars / block.total_chars) if block.total_chars else 1.0
+            )
+            if ld > MAX_LINK_DENSITY:
+                dropped += 1
+                continue
+            text = block.text()
+            if not _has_min_words(text):
+                if text:
+                    dropped += 1
+                continue
+        else:
+            text = block.text()
+            if not text:
+                continue
+        if pieces:
+            pos += 2  # "\n\n" separator
+        pieces.append(text)
+        spans.append((pos, pos + len(text), block.kind))
+        pos += len(text)
+        kept += 1
     return {
         "text": "\n\n".join(pieces),
         "spans": spans,

@@ -158,8 +158,14 @@ def _input_dup_membership(
             return [membership_ref(dup_ref, max_exact=cfg.bloom_threshold)], data[
                 "dupset_fp"
             ]
-    ds = rd.read_parquet(files, columns=["url"])
-    dup_ref = dup_key_table_ref(ds, key_exchange=cfg.key_exchange)
+    if cfg.key_exchange == "narrow":
+        # per-row-group remote read tasks: skips the Dataset ramp (~1-2 s)
+        from ocr_suite_ray.state.dupset import dup_key_table_ref_from_files
+
+        dup_ref = dup_key_table_ref_from_files(files)
+    else:
+        ds = rd.read_parquet(files, columns=["url"])
+        dup_ref = dup_key_table_ref(ds, key_exchange=cfg.key_exchange)
     n_dups, dupset_fp = dup_meta(dup_ref, persist_path=table_path)
     with open(meta_path + ".tmp", "w") as fh:
         json.dump(
@@ -609,12 +615,18 @@ def _finalize_linked(extracted_dir: str, tmp_final: str) -> None:
             )
     if not dup_files:
         return
-    dups_ds = rd.read_parquet(dup_files)
-    pre = dups_ds.map_batches(
-        lambda t: _local_best(encode_spans(t)), batch_format="pyarrow"
-    )
-    winners = _coalesce_reduce(
-        pre,
+    # dup subset is tiny (dup-rate bound): per-file remote read+combine tasks
+    # feed the tree directly — no Dataset execution ramp
+    import ray
+
+    from ocr_suite_ray.state.dupset import tree_reduce_refs
+
+    @ray.remote
+    def _read_best(path: str):
+        return _local_best(encode_spans(pq.read_table(path)))
+
+    winners = tree_reduce_refs(
+        [_read_best.remote(f) for f in dup_files],
         _local_best,
         lambda t: decode_spans(t.drop_columns([RANK_COL])),
     )

@@ -84,8 +84,12 @@ class PageExtractor:
         self._extract = extract_payload
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["html"].to_pylist()
-        results = [self._extract(p) for p in payloads]
+        # slice-as-you-go over the Arrow column: one payload is materialized
+        # as Python bytes at a time and freed before the next, instead of a
+        # full-batch to_pylist() copy held alongside the Arrow buffers —
+        # halves peak per-task memory traffic on payload-heavy blocks
+        ext = self._extract
+        results = [ext(v.as_py()) for v in batch["html"]]
         return _result_table(batch, results)
 
 
@@ -96,7 +100,8 @@ class HtmlExtractor:
         self._extract = extract_payload
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        results = [self._extract(p, "html") for p in batch["html"].to_pylist()]
+        ext = self._extract
+        results = [ext(v.as_py(), "html") for v in batch["html"]]
         return _result_table(batch, results)
 
 
@@ -107,7 +112,8 @@ class PdfExtractor:
         self._extract = extract_payload
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        results = [self._extract(p, KIND_PDF) for p in batch["html"].to_pylist()]
+        ext = self._extract
+        results = [ext(v.as_py(), KIND_PDF) for v in batch["html"]]
         return _result_table(batch, results)
 
 

@@ -39,23 +39,12 @@ from ocr_suite_ray.state.bloom import BloomFilter
 _FANIN = 32
 
 
-def coalesce_reduce(ds, combine_fn, final_fn=None, materialize: bool = True):
-    """Tree-reduce ``ds``'s blocks with remote tasks: ``combine_fn``
-    (Table -> Table, associative) at every fan-in level, ``final_fn`` once at
-    the root. The narrow global-reduce for pre-combined small data — cheaper
-    than ``repartition(1)`` (several seconds of executor overhead) and keeps
-    the merge off the driver. Only for data a single worker can hold
-    (pre-reduced keys, dup subsets); big data takes the shuffle paths.
-
-    Resolves to ``None`` when every block is empty: empty blocks skip
-    upstream map_batches UDFs and keep their pre-UDF schema, so neither
-    combine_fn nor final_fn can be safely applied to them.
-
-    ``materialize=False`` returns the root ObjectRef instead of the value —
-    the result never touches the driver."""
+def tree_reduce_refs(refs: list, combine_fn, final_fn=None, materialize: bool = True):
+    """Tree-reduce a list of ObjectRefs to Arrow tables with remote tasks —
+    the ref-level core of ``coalesce_reduce`` (see its contract); also used
+    directly over per-file read tasks to skip a Dataset execution's fixed
+    ramp for small narrow reductions."""
     import ray
-
-    refs = ds.to_arrow_refs()
 
     @ray.remote
     def _merge(final: bool, *tables):
@@ -72,6 +61,62 @@ def coalesce_reduce(ds, combine_fn, final_fn=None, materialize: bool = True):
         ]
     root = _merge.remote(True, *refs)
     return ray.get(root) if materialize else root
+
+
+def coalesce_reduce(ds, combine_fn, final_fn=None, materialize: bool = True):
+    """Tree-reduce ``ds``'s blocks with remote tasks: ``combine_fn``
+    (Table -> Table, associative) at every fan-in level, ``final_fn`` once at
+    the root. The narrow global-reduce for pre-combined small data — cheaper
+    than ``repartition(1)`` (several seconds of executor overhead) and keeps
+    the merge off the driver. Only for data a single worker can hold
+    (pre-reduced keys, dup subsets); big data takes the shuffle paths.
+
+    Resolves to ``None`` when every block is empty: empty blocks skip
+    upstream map_batches UDFs and keep their pre-UDF schema, so neither
+    combine_fn nor final_fn can be safely applied to them.
+
+    ``materialize=False`` returns the root ObjectRef instead of the value —
+    the result never touches the driver."""
+    return tree_reduce_refs(ds.to_arrow_refs(), combine_fn, final_fn, materialize)
+
+
+def dup_key_table_ref_from_files(
+    files: list, key_col: str = "url", row_group_parallel: bool = True
+):
+    """Like ``dup_key_table_ref`` (narrow path) but reads the key column with
+    plain remote tasks — one per row group — skipping a Dataset execution's
+    ~1-2 s fixed ramp. Used by the flagship's url-only duplicate scan, where
+    that ramp was a measurable share of the wall at bench scale."""
+    import ray
+
+    @ray.remote
+    def _file_counts(path: str, row_group: int):
+        f = pq.ParquetFile(path)
+        t = (
+            f.read_row_group(row_group, columns=[key_col])
+            if row_group >= 0
+            else f.read(columns=[key_col])
+        )
+        g = t.group_by(key_col).aggregate([(key_col, "count")])
+        return g.rename_columns([key_col, "n"])
+
+    refs = []
+    for path in files:
+        if row_group_parallel:
+            n_rg = pq.read_metadata(path).num_row_groups
+            refs.extend(_file_counts.remote(path, rg) for rg in range(n_rg))
+        else:
+            refs.append(_file_counts.remote(path, -1))
+
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(key_col).aggregate([("n", "sum")])
+        return g.rename_columns([key_col, "n"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n"], 1)).select([key_col])
+        return t.take(pc.sort_indices(t, sort_keys=[(key_col, "ascending")]))
+
+    return tree_reduce_refs(refs, _combine, _final, materialize=False)
 
 
 def dup_key_table_ref(ds, key_col: str = "url", key_exchange: str = "narrow"):

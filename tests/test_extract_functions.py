@@ -103,3 +103,38 @@ def test_extraction_is_pure():
     a = [extract_payload(p) for p in payloads]
     b = [extract_payload(p) for p in payloads]
     assert a == b
+
+
+def test_scanner_matches_html_parser_oracle():
+    """The fast scanner must be byte-identical to the stdlib html.parser
+    implementation — on handcrafted edge cases and a synthetic corpus slice
+    (incl. giant DOMs, truncated/malformed payloads, entities, script
+    poison content)."""
+    from ocr_suite_ray.functions.html_extract import extract_html_oracle
+    from ocr_suite_ray.sources.synthetic import generate_pages_table
+
+    edges = [
+        b"<p>plain paragraph with enough words here</p>",
+        b"<p>ends mid tag <a href='/x",                      # truncated tag
+        b"<p>bare < less-than and & amp alone</p>",
+        b"<p>ent &amp; &lt;x&gt; &copy; &#65; &#x42;</p>",
+        b"<script>var x = \"<p>not content</p>\";</script><p>real words follow here now</p>",
+        b"<script>unterminated... <p>dead</p>",              # unterminated cdata
+        b"<!-- comment <p>ghost</p> --><p>after comment words here</p>",
+        b"<!-- unterminated comment <p>ghost",
+        b"<!DOCTYPE html><?pi data?><p>declaration then words here</p>",
+        b"<br/><p>self closing<br/>break here words</p><div/>",
+        b"<P>UPPER case TAGS with Words Here</P>",
+        b"<p>unicode \xc3\xa9\xc3\xa8 l\xc3\xa0 words here</p>",
+        b"<p>tag soup </bogus!> < 5 more words here</p>",
+        b"</ p>odd end tag form words here</p>",
+        b"<title>t</title><ul><li>item one here</li><li>item two there</li></ul>",
+        b"\x00\x01<p>binary prefix words here</p>\xff\xfe",
+    ]
+    for payload in edges:
+        assert extract_html(payload) == extract_html_oracle(payload), payload
+
+    t = generate_pages_table(800, seed=99)
+    for h in t["html"].to_pylist():
+        if h and not h.startswith(b"%PDF"):
+            assert extract_html(h) == extract_html_oracle(h)
