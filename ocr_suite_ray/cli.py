@@ -55,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--pattern", required=True)
     ps.add_argument("--limit", type=int, default=20)
 
+    pv = sub.add_parser("view", help="point lookup: source payload + extraction for one url")
+    pv.add_argument("--pages", required=True)
+    pv.add_argument("--out", required=True)
+    pv.add_argument("--url", required=True)
+
     pst = sub.add_parser("status", help="lineage / progress readout")
     pst.add_argument("--out", required=True)
 
@@ -65,6 +70,19 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--seed", type=int, default=42)
 
     a = p.parse_args(argv)
+
+    if a.cmd == "view":
+        # point lookup via parquet predicate pushdown — no Ray session needed
+        from ocr_suite_ray.pipelines.search import view_document
+
+        rec = view_document(a.pages, os.path.join(a.out, "final"), a.url)
+        rec["payload"] = (
+            rec["payload"].decode("utf-8", "replace")
+            if rec["payload"] is not None
+            else None
+        )
+        print(json.dumps({k: str(v) for k, v in rec.items()}))
+        return 0
 
     if a.cmd == "status":
         from ocr_suite_ray.state import lineage as lin

@@ -83,6 +83,8 @@ class ExtractConfig:
     key_exchange: str = "narrow"     # dup-url detection: narrow | shuffle
     size_cluster: bool = False       # explicit within-block (kind,size) sort
     fused_wave: bool = True          # one-operator read+extract+write waves
+    fused_compute: str = "tasks"     # fused stage scheduling: tasks (warm
+                                     # per-worker cache, no pool ramp) | actors
     bloom_threshold: int = 1_000_000 # dup-set size above which a Bloom
                                      # filter replaces the exact broadcast
 
@@ -329,7 +331,9 @@ def _run_extract_phase_locked(
     # dependent partitions (code-version lineage)
     from ocr_suite_ray.version import extract_code_fingerprint
 
+    t_dup0 = time.monotonic()
     member_box, dupset_fp = _input_dup_membership(files, out_dir, cfg)
+    dup_scan_s = time.monotonic() - t_dup0
     dupset_fp = f"{dupset_fp}-{extract_code_fingerprint()}"
     # drop partitions no longer present in the (possibly shrunk) input —
     # their outputs would otherwise leak into the linked final store
@@ -346,6 +350,9 @@ def _run_extract_phase_locked(
         "partitions_processed": 0,
         "rows_extracted": 0,
         "waves": 0,
+        "dup_scan_s": round(dup_scan_s, 3),
+        "waves_s": 0.0,
+        "commit_s": 0.0,
     }
     for w0 in range(0, len(pending), cfg.wave_size):
         wave = pending[w0 : w0 + cfg.wave_size]
@@ -360,16 +367,29 @@ def _run_extract_phase_locked(
             import ray.data as rd
 
             specs = _wave_specs(wave)
+            if cfg.fused_compute == "tasks":
+                # task pool + per-worker warm cache: reuses the session's
+                # warm workers (no per-wave actor spawn/import ramp)
+                map_kw: dict = {
+                    "batch_format": "pyarrow",
+                    "batch_size": 1,
+                    "fn_kwargs": {"tmp_dir": tmp_dir, "member_box": member_box},
+                }
+                if isinstance(cfg.pool_size, int):
+                    map_kw["concurrency"] = cfg.pool_size
+                stage = fused_extract_task
+            else:
+                map_kw = {
+                    "batch_format": "pyarrow",
+                    "batch_size": 1,
+                    "concurrency": cfg.pool_size,
+                    "fn_constructor_args": (tmp_dir, member_box),
+                }
+                stage = FusedExtractWriter
             counts = (
                 rd.from_arrow(specs)
                 .repartition(specs.num_rows)  # one block per spec => full task parallelism
-                .map_batches(
-                    FusedExtractWriter,
-                    batch_format="pyarrow",
-                    batch_size=1,
-                    concurrency=cfg.pool_size,
-                    fn_constructor_args=(tmp_dir, member_box),
-                )
+                .map_batches(stage, **map_kw)
                 .take_all()
             )
         else:
@@ -382,8 +402,22 @@ def _run_extract_phase_locked(
                 _SinkWriter(tmp_dir), batch_format="pyarrow"
             ).take_all()
         wall = time.monotonic() - t0
+        summary["waves_s"] = round(summary["waves_s"] + wall, 3)
+        if counts and "read_s" in counts[0]:
+            # pool busy-time decomposition (per-spec rows may repeat the
+            # same timing across pids in one call; calls are 1 spec here)
+            for phase in ("read_s", "extract_s", "tag_s", "write_s"):
+                summary[f"pool_{phase}"] = round(
+                    summary.get(f"pool_{phase}", 0.0)
+                    + sum(r[phase] for r in counts),
+                    2,
+                )
+        t_c0 = time.monotonic()
         summary["rows_extracted"] += _commit_wave(
             tmp_dir, extracted_dir, wave, wall, salt=dupset_fp, counts=counts
+        )
+        summary["commit_s"] = round(
+            summary["commit_s"] + (time.monotonic() - t_c0), 3
         )
         summary["partitions_processed"] += len(wave)
         summary["waves"] += 1
@@ -413,10 +447,32 @@ def _wave_specs(wave: list[tuple[int, str]]) -> pa.Table:
     )
 
 
+_FUSED_CACHE: dict = {}
+
+
+def fused_extract_task(
+    spec: pa.Table, *, tmp_dir: str, member_box: list
+) -> pa.Table:
+    """Task-pool form of the fused wave stage: a plain ``map_batches``
+    function with the warm state cached per WORKER PROCESS (module global
+    keyed by sink dir + membership ref). Tasks reuse the session's
+    already-warm workers, so a wave pays ZERO pool ramp — measured ~2-3 s
+    of actor-process spawn+import per wave at 28-actor concurrency, the
+    dominant fixed cost once the extract kernel got fast. Cache holds one
+    entry (waves are sequential); a new wave's key evicts the old."""
+    key = (tmp_dir, member_box[0])
+    writer = _FUSED_CACHE.get(key)
+    if writer is None:
+        _FUSED_CACHE.clear()
+        writer = FusedExtractWriter(tmp_dir, member_box)
+        _FUSED_CACHE[key] = writer
+    return writer(spec)
+
+
 class FusedExtractWriter:
-    """The whole wave in ONE actor-pool operator: each call takes one
+    """The whole wave in ONE operator: each call takes one
     (path, row_group, pid) spec, reads that row group directly (no object
-    store transfer — Ray cannot fuse task-based reads into actor pools, so
+    store transfer — Ray cannot fuse task-based reads into pool stages, so
     we fuse by hand), sniffs, extracts with the warm parser, tags is_dup,
     writes the partition files, and returns only (pid, n) counts.
 
@@ -442,13 +498,28 @@ class FusedExtractWriter:
             spec["row_group"].to_pylist(),
             spec["partition_id"].to_pylist(),
         ):
+            t0 = time.monotonic()
             t = pq.ParquetFile(path).read_row_group(rg, columns=PAGES_COLUMNS)
             t = t.append_column(
                 "partition_id", pa.array([pid] * t.num_rows, pa.int64())
             )
+            t_read = time.monotonic()
             ext = self._extract(t)
+            t_ext = time.monotonic()
             ext = ext.append_column("is_dup", self._member.flags(ext["url"]))
-            outs.append(self._sink(ext))
+            t_tag = time.monotonic()
+            counts = self._sink(ext)
+            t_done = time.monotonic()
+            counts = counts.append_column(
+                "read_s", pa.array([t_read - t0] * counts.num_rows, pa.float64())
+            ).append_column(
+                "extract_s", pa.array([t_ext - t_read] * counts.num_rows, pa.float64())
+            ).append_column(
+                "tag_s", pa.array([t_tag - t_ext] * counts.num_rows, pa.float64())
+            ).append_column(
+                "write_s", pa.array([t_done - t_tag] * counts.num_rows, pa.float64())
+            )
+            outs.append(counts)
         return pa.concat_tables(outs) if outs else pa.table(
             {"pid": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
         )
@@ -486,16 +557,36 @@ class _SinkWriter:
     def __call__(self, t: pa.Table) -> pa.Table:
         pids: list[int] = []
         ns: list[int] = []
-        for pid in pc.unique(t["partition_id"]).to_pylist():
-            sub_p = t.filter(pc.equal(t["partition_id"], pid))
-            for flag in pc.unique(sub_p["is_dup"]).to_pylist():
-                sub = sub_p.filter(pc.equal(sub_p["is_dup"], flag))
+        uniq_pids = pc.unique(t["partition_id"]).to_pylist()
+        for pid in uniq_pids:
+            # single-pid blocks (always true on the fused path: one spec =
+            # one row group = one partition) skip the filter copy — the
+            # output column is bandwidth-expensive to rewrite
+            sub_p = (
+                t if len(uniq_pids) == 1
+                else t.filter(pc.equal(t["partition_id"], pid))
+            )
+            uniq_flags = pc.unique(sub_p["is_dup"]).to_pylist()
+            for flag in uniq_flags:
+                sub = (
+                    sub_p if len(uniq_flags) == 1
+                    else sub_p.filter(pc.equal(sub_p["is_dup"], flag))
+                )
                 out = sub.drop_columns(["partition_id", "is_dup"]).combine_chunks()
                 d = os.path.join(self._tmp, f"partition_id={pid}", f"is_dup={flag}")
                 os.makedirs(d, exist_ok=True)
                 sig = self._content_sig(out)
                 path = os.path.join(d, f"part-{sig}.parquet")
-                pq.write_table(out, path + f".tmp{sig}")
+                # dictionary encoding is pure overhead for near-unique text/
+                # url values, and statistics only pay for themselves on url
+                # (fetch_payload's pushdown key) — both measurably inflate
+                # write CPU under full-box concurrency
+                pq.write_table(
+                    out,
+                    path + f".tmp{sig}",
+                    use_dictionary=False,
+                    write_statistics=["url", "warc_ts"],
+                )
                 os.replace(path + f".tmp{sig}", path)
             pids.append(int(pid))
             ns.append(sub_p.num_rows)
@@ -673,7 +764,12 @@ def _finalize_split_write(
             # its own partial file instead of duplicating rows
             sig = _SinkWriter._content_sig(uniq.combine_chunks())
             path = os.path.join(tmp_final, f"uniq-{sig}.parquet")
-            pq_mod.write_table(uniq, path + ".tmp" + sig)
+            pq_mod.write_table(
+                uniq,
+                path + ".tmp" + sig,
+                use_dictionary=False,
+                write_statistics=["url", "warc_ts"],
+            )
             os.replace(path + ".tmp" + sig, path)
         return dups
 
@@ -702,5 +798,7 @@ def _finalize_split_write(
 def run_pipeline(pages_dir: str, out_dir: str, cfg: ExtractConfig | None = None) -> dict:
     """End-to-end: resumable extract waves, then dedup/finalize."""
     s1 = run_extract_phase(pages_dir, out_dir, cfg)
+    t0 = time.monotonic()
     s2 = run_finalize_phase(out_dir, cfg)
+    s2["finalize_s"] = round(time.monotonic() - t0, 3)
     return {**s1, "finalize": s2, "final_dir": os.path.join(out_dir, "final")}

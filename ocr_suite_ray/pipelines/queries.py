@@ -12,6 +12,8 @@ No function here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -684,6 +686,31 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10
 """
 
 
+def q_point_lookup(sf_dir: str):
+    """frame_view-analogue point lookup (``src/viewer/views/frame_view.cpp:
+    22-37`` re-reads one frame on demand): fetch a fixed key set straight
+    from parquet with a pushed-down predicate — row-group statistics prune
+    non-matching groups, I/O is O(matching row groups) not O(table). Same
+    mechanism as pipelines.search.fetch_payload, exercised over the sf
+    documents table so the oracle can check it."""
+    import pyarrow.dataset as pads
+
+    keys = [0, 17, 42, 123]
+    dset = pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+    t = dset.to_table(
+        filter=pads.field("doc_id").isin(keys),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+SQL_POINT_LOOKUP = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (0, 17, 42, 123)
+ORDER BY doc_id
+"""
+
+
 def q_text_normalize(sf_dir: str):
     """Vectorized text canonicalization with Arrow utf8 kernels (lower +
     trim + length) — the pure-kernel normalization path."""
@@ -760,6 +787,7 @@ RELATIONAL_QUERIES = {
     "anti_join_blocklist": (q_anti_join_blocklist, SQL_ANTI_JOIN),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
     "streaming_keyed_state": (q_streaming_state, None),
 }
 

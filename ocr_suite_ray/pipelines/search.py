@@ -46,6 +46,40 @@ def search_hierarchy(final_dir: str, pattern: str):
     )
 
 
+def fetch_payload(pages_dir: str, url: str, columns: list | None = None) -> pa.Table:
+    """Point lookup of the ORIGINAL crawl payload(s) for one url — the
+    viewer's frame re-decode (``src/viewer/views/frame_view.cpp:22-37``
+    re-reads the exact source frame for a selected match on demand).
+
+    A single-record fetch is not a distributed job: this reads the pages
+    store directly through ``pyarrow.dataset`` with a pushed-down predicate,
+    so parquet row-group statistics prune every row group whose url range
+    excludes the key — I/O is O(matching row groups), not O(store). Returns
+    every capture of the url (dup urls have several), newest first."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(pages_dir, format="parquet")
+    t = dset.to_table(filter=pc.field("url") == url, columns=columns)
+    if t.num_rows > 1 and "warc_ts" in t.column_names:
+        t = t.take(pc.sort_indices(t, sort_keys=[("warc_ts", "descending")]))
+    return t
+
+
+def view_document(pages_dir: str, final_dir: str, url: str) -> dict:
+    """frame_view parity: the extracted record for ``url`` joined with its
+    winning source payload (the raw bytes the viewer re-renders). Both sides
+    are pushdown point lookups."""
+    src = fetch_payload(pages_dir, url)
+    ext = fetch_payload(final_dir, url)
+    if ext.num_rows == 0:
+        raise KeyError(f"url not in extracted store: {url}")
+    rec = ext.slice(0, 1).to_pylist()[0]
+    # the dedup winner is the newest capture; pair it with that payload
+    rec["payload"] = src["html"][0].as_py() if src.num_rows else None
+    rec["n_captures"] = src.num_rows
+    return rec
+
+
 def matches_per_url(final_dir: str, pattern: str):
     """Per-document match counts for a pattern (texts-per-frame analogue)."""
     import re

@@ -1,26 +1,34 @@
-"""Incremental keyed state in actors — the stream-shaped operator the
-Dataset API cannot express (shared mutable per-key state across batches).
+"""Incremental keyed state over a partitioned event-time stream.
 
 Reference analogue: the speed meter's windowed counters mutated by every
 consumer under a mutex (``src/recognition/speed_meter.cpp:35-58``) and the
 watermark's running max (``src/common/database.cpp:135-150``). Here the
-state is sharded instead of locked: one ``@ray.remote`` actor per key-hash
-bucket, each owning its keys' state, fed batches in event-time order.
+state is sharded instead of locked: the stream is hash-partitioned by key
+into ``num_buckets`` buckets, and each bucket's rows are applied IN EVENT-
+TIME ORDER by a sequential kernel running on a worker — the order-dependent
+update (EMA) the Dataset's hash aggregate cannot express.
 
-Per the public Ray guidance for stream-shaped workloads: input is treated
-as an ordered, partitioned log — the driver iterates the ts-sorted dataset
-and routes each batch's rows to the bucket actors; actors apply updates
-incrementally and can snapshot at any point. Ordering assumption: batches
-arrive in global ts order (the caller sorts); within a batch, rows are
-applied in position order.
+Dataflow (all worker-side; the driver never sees a row):
+  1. ``map_batches`` tags each row with ``hash(key) % num_buckets``
+     (vectorized) — rows of one key always share a bucket.
+  2. ``groupby(bucket).map_groups`` — Ray Data's one shuffle — delivers each
+     bucket's rows to a single worker task, which sorts them by
+     ``(ts, key)`` (stable) and folds them through the incremental state.
+  3. Each task emits only its final per-key state; results stream out as a
+     Dataset.
+
+Partitioning assumption (documented per the custom-operator contract): one
+bucket's narrow projection ``(key, ts, value)`` must fit a worker's heap —
+size ``num_buckets ~ stream_bytes / 1 GiB`` at scale. Rows tied on
+``(ts, key)`` are applied in an unspecified order (same caveat as any
+distributed sort).
 """
 
 from __future__ import annotations
 
-import zlib
-
-import numpy as np
 import pandas as pd
+
+_BUCKET_COL = "__kbucket"
 
 
 class _BucketState:
@@ -58,6 +66,38 @@ class _BucketState:
         )
 
 
+def streaming_keyed_aggregate_ds(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    num_buckets: int = 8,
+    alpha: float = 0.2,
+):
+    """Distributed keyed-state fold; returns the per-key final state as a
+    Dataset (key, n, sum, max, ema) — nothing is materialized on the
+    driver."""
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key_col, ts_col, value_col]].copy()
+        df[_BUCKET_COL] = (
+            pd.util.hash_array(df[key_col].to_numpy()) % num_buckets
+        ).astype("int64")
+        return df
+
+    def _fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([ts_col, key_col], kind="mergesort")
+        st = _BucketState(alpha)
+        st.update(g[key_col].to_numpy(), g[value_col].to_numpy())
+        return st.snapshot()
+
+    return (
+        ds.map_batches(_tag, batch_format="pandas")
+        .groupby(_BUCKET_COL)
+        .map_groups(_fold, batch_format="pandas")
+    )
+
+
 def streaming_keyed_aggregate(
     ds,
     key_col: str,
@@ -65,36 +105,15 @@ def streaming_keyed_aggregate(
     value_col: str,
     num_buckets: int = 8,
     alpha: float = 0.2,
-    batch_size: int = 4096,
+    batch_size: int = 4096,  # kept for API compatibility; unused
 ) -> pd.DataFrame:
-    """Feed the ts-sorted stream through bucket actors; return the final
-    per-key state (key, n, sum, max, ema). EMA depends on arrival order —
-    exactly the semantics that force actor state instead of a groupby."""
-    import ray
-
-    BucketActor = ray.remote(_BucketState)
-    actors = [BucketActor.remote(alpha) for _ in range(num_buckets)]
-
-    sorted_ds = ds.sort([ts_col, key_col])
-    pending = []
-    for batch in sorted_ds.iter_batches(batch_size=batch_size, batch_format="pandas"):
-        keys = batch[key_col].to_numpy()
-        vals = batch[value_col].to_numpy()
-        buckets = np.fromiter(
-            (zlib.crc32(str(k).encode()) % num_buckets for k in keys),
-            dtype=np.int64,
-            count=len(keys),
-        )
-        # routing preserves within-batch order per bucket; batches are
-        # applied in stream order per actor (awaited before next dispatch
-        # to the same actor would reorder -> we simply wait per round)
-        refs = []
-        for b in range(num_buckets):
-            m = buckets == b
-            if m.any():
-                refs.append(actors[b].update.remote(keys[m].tolist(), vals[m].tolist()))
-        ray.get(refs)  # barrier per batch round: keeps per-actor order = ts order
-        pending.clear()
-    parts = ray.get([a.snapshot.remote() for a in actors])
-    out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+    """Small-result convenience wrapper: run the distributed fold and pull
+    the per-key state table (rows = distinct keys) to the driver, sorted by
+    key. Use :func:`streaming_keyed_aggregate_ds` when the key cardinality
+    itself is large."""
+    out = streaming_keyed_aggregate_ds(
+        ds, key_col, ts_col, value_col, num_buckets=num_buckets, alpha=alpha
+    ).to_pandas()
+    if out.empty:
+        return out
     return out.sort_values("key").reset_index(drop=True)

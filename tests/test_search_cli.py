@@ -61,6 +61,55 @@ def test_matches_per_url(ray_session, final_store):
     assert all(r["n_matches"] >= 1 for r in rows)
 
 
+def test_fetch_payload_point_lookup(ray_session, small_corpus, final_store):
+    """frame_view parity: pushdown point lookup returns every capture of a
+    url (newest first) and view_document pairs the extracted record with
+    the winning payload."""
+    import pyarrow.dataset as pads
+
+    from ocr_suite_ray.pipelines.search import fetch_payload, view_document
+
+    pages_dir, _ = small_corpus
+    final, _out = final_store
+    pages = pads.dataset(pages_dir).to_table()
+    urls = pages["url"].to_pylist()
+    # a dup url (multiple captures) if one exists, else any url
+    from collections import Counter
+
+    counts = Counter(urls)
+    dup_url = next((u for u, c in counts.items() if c > 1), urls[0])
+
+    t = fetch_payload(pages_dir, dup_url)
+    assert t.num_rows == counts[dup_url]
+    ts = t["warc_ts"].to_pylist()
+    assert ts == sorted(ts, reverse=True), "captures must come newest first"
+
+    rec = view_document(pages_dir, final, dup_url)
+    assert rec["url"] == dup_url
+    assert rec["n_captures"] == counts[dup_url]
+    # the paired payload is the newest capture's raw bytes
+    assert rec["payload"] == t["html"][0].as_py()
+    with pytest.raises(KeyError):
+        view_document(pages_dir, final, "https://not.a.real/url")
+
+
+def test_cli_view(ray_session, small_corpus, final_store):
+    import pyarrow.dataset as pads
+
+    pages_dir, _ = small_corpus
+    _final, out = final_store
+    url = pads.dataset(pages_dir).to_table()["url"][0].as_py()
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, "-m", "ocr_suite_ray.cli", "view",
+         "--pages", pages_dir, "--out", out, "--url", url],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    rec = json.loads(r.stdout)
+    assert rec["url"] == url
+    assert int(rec["n_captures"]) >= 1
+
+
 def test_cli_status_and_search(ray_session, final_store):
     _, out = final_store
     env = dict(os.environ, PYTHONPATH=REPO)
