@@ -354,11 +354,22 @@ def _run_extract_phase_locked(
         "waves_s": 0.0,
         "commit_s": 0.0,
     }
+    first_wave = True
     for w0 in range(0, len(pending), cfg.wave_size):
         wave = pending[w0 : w0 + cfg.wave_size]
         tmp_dir = os.path.join(out_dir, "_wave_tmp")
+        done_units: dict = {}
         if os.path.isdir(tmp_dir):
-            shutil.rmtree(tmp_dir)  # leftovers from a killed run
+            if first_wave and cfg.fused_wave and not cfg.split_pdf_pool:
+                # leftovers from a killed run: units that completed (files
+                # written + marker committed, verified against the current
+                # input fingerprint + code salt) are reused — a killed job
+                # loses at most the in-flight row-group units, not the wave
+                # (reference row-level skip, src/ffmpeg/decoder.cpp:301-304)
+                done_units = _load_unit_markers(tmp_dir, dupset_fp)
+            if not done_units:
+                shutil.rmtree(tmp_dir)
+        first_wave = False
         t0 = time.monotonic()
         if cfg.fused_wave and not cfg.split_pdf_pool:
             # fully fused: read + extract + tag + write in one actor-pool
@@ -366,14 +377,31 @@ def _run_extract_phase_locked(
             # nor outputs ever cross the object store
             import ray.data as rd
 
-            specs = _wave_specs(wave)
+            specs = _wave_specs(wave, salt=dupset_fp)
+            reused: list[dict] = []
+            if done_units:
+                keep = []
+                for k in range(specs.num_rows):
+                    key = (specs["path"][k].as_py(), specs["row_group"][k].as_py())
+                    done = done_units.get(key)
+                    # pid must match too: if the input list shifted, a
+                    # marker's rows sit under the wrong partition dir
+                    if done is not None and done["pid"] == specs["partition_id"][k].as_py():
+                        reused.append(done)
+                    else:
+                        keep.append(k)
+                specs = specs.take(pa.array(keep, pa.int64()))
             if cfg.fused_compute == "tasks":
                 # task pool + per-worker warm cache: reuses the session's
                 # warm workers (no per-wave actor spawn/import ramp)
                 map_kw: dict = {
                     "batch_format": "pyarrow",
                     "batch_size": 1,
-                    "fn_kwargs": {"tmp_dir": tmp_dir, "member_box": member_box},
+                    "fn_kwargs": {
+                        "tmp_dir": tmp_dir,
+                        "member_box": member_box,
+                        "salt": dupset_fp,
+                    },
                 }
                 if isinstance(cfg.pool_size, int):
                     map_kw["concurrency"] = cfg.pool_size
@@ -383,7 +411,7 @@ def _run_extract_phase_locked(
                     "batch_format": "pyarrow",
                     "batch_size": 1,
                     "concurrency": cfg.pool_size,
-                    "fn_constructor_args": (tmp_dir, member_box),
+                    "fn_constructor_args": (tmp_dir, member_box, dupset_fp),
                 }
                 stage = FusedExtractWriter
             counts = (
@@ -391,7 +419,8 @@ def _run_extract_phase_locked(
                 .repartition(specs.num_rows)  # one block per spec => full task parallelism
                 .map_batches(stage, **map_kw)
                 .take_all()
-            )
+            ) if specs.num_rows else []
+            counts = counts + reused
         else:
             ds = _extract_ds(_read_wave(wave, cfg), cfg)
             ds = _tag_dup(ds, member_box)
@@ -403,13 +432,13 @@ def _run_extract_phase_locked(
             ).take_all()
         wall = time.monotonic() - t0
         summary["waves_s"] = round(summary["waves_s"] + wall, 3)
-        if counts and "read_s" in counts[0]:
-            # pool busy-time decomposition (per-spec rows may repeat the
-            # same timing across pids in one call; calls are 1 spec here)
+        if counts and any("read_s" in r for r in counts):
+            # pool busy-time decomposition (reused-marker rows carry no
+            # timings; live rows are 1 spec per call)
             for phase in ("read_s", "extract_s", "tag_s", "write_s"):
                 summary[f"pool_{phase}"] = round(
                     summary.get(f"pool_{phase}", 0.0)
-                    + sum(r[phase] for r in counts),
+                    + sum(r.get(phase, 0.0) for r in counts),
                     2,
                 )
         t_c0 = time.monotonic()
@@ -426,32 +455,71 @@ def _run_extract_phase_locked(
     return summary
 
 
-def _wave_specs(wave: list[tuple[int, str]]) -> pa.Table:
-    """(path, row_group, pid) work units for the fused wave — row-group
+def _wave_specs(wave: list[tuple[int, str]], salt: str = "") -> pa.Table:
+    """(path, row_group, pid, fp) work units for the fused wave — row-group
     granularity gives ~seconds-long tasks and natural size bucketing (row
     groups are written with a fixed row count, so byte-heavy groups carry
-    the giant DOMs)."""
-    paths, rgs, pids = [], [], []
+    the giant DOMs). ``fp`` is the salted input fingerprint the worker
+    stamps into each unit's completion marker (computed here so the worker
+    never touches lineage code)."""
+    paths, rgs, pids, fps = [], [], [], []
     for pid, path in wave:
         md = pq.read_metadata(path)
+        fp = lin.fingerprint_with_salt(path, salt)
         for rg in range(md.num_row_groups):
             paths.append(path)
             rgs.append(rg)
             pids.append(pid)
+            fps.append(fp)
     return pa.table(
         {
             "path": pa.array(paths, pa.string()),
             "row_group": pa.array(rgs, pa.int32()),
             "partition_id": pa.array(pids, pa.int64()),
+            "fp": pa.array(fps, pa.string()),
         }
     )
+
+
+_UNITS_DIR = "_units"
+
+
+def _unit_marker_name(path: str, row_group: int) -> str:
+    import hashlib
+
+    h = hashlib.sha1(f"{path}|{row_group}".encode()).hexdigest()[:16]
+    return f"u-{h}.json"
+
+
+def _load_unit_markers(tmp_dir: str, salt: str) -> dict:
+    """{(path, row_group): {"pid","n"}} for every completed unit of a killed
+    wave whose input file still fingerprints identically under the current
+    salt (input content + dup-set + extraction-code version). Any invalid or
+    unreadable marker invalidates the whole leftover dir (caller deletes) —
+    correctness first, the rerun merely redoes the wave."""
+    udir = os.path.join(tmp_dir, _UNITS_DIR)
+    if not os.path.isdir(udir):
+        return {}
+    out: dict = {}
+    for f in os.listdir(udir):
+        if not f.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(udir, f)) as fh:
+                m = json.load(fh)
+            if m["fp"] != lin.fingerprint_with_salt(m["path"], salt):
+                return {}
+            out[(m["path"], m["row_group"])] = {"pid": m["pid"], "n": m["n"]}
+        except (OSError, ValueError, KeyError):
+            return {}
+    return out
 
 
 _FUSED_CACHE: dict = {}
 
 
 def fused_extract_task(
-    spec: pa.Table, *, tmp_dir: str, member_box: list
+    spec: pa.Table, *, tmp_dir: str, member_box: list, salt: str = ""
 ) -> pa.Table:
     """Task-pool form of the fused wave stage: a plain ``map_batches``
     function with the warm state cached per WORKER PROCESS (module global
@@ -464,7 +532,7 @@ def fused_extract_task(
     writer = _FUSED_CACHE.get(key)
     if writer is None:
         _FUSED_CACHE.clear()
-        writer = FusedExtractWriter(tmp_dir, member_box)
+        writer = FusedExtractWriter(tmp_dir, member_box, salt)
         _FUSED_CACHE[key] = writer
     return writer(spec)
 
@@ -480,7 +548,7 @@ class FusedExtractWriter:
     direct frame access + its own DB writes (``src/recognition/main.cpp:
     174-183``) — no shared writer, no intermediate hand-off."""
 
-    def __init__(self, tmp_dir: str, member_box: list) -> None:
+    def __init__(self, tmp_dir: str, member_box: list, salt: str = "") -> None:
         # NB: no runtime package imports here — this body runs in the worker,
         # which may not have the repo on sys.path (classes ship by value).
         # member_box holds the membership payload's ObjectRef (boxed so Ray
@@ -490,14 +558,31 @@ class FusedExtractWriter:
         self._sink = _SinkWriter(tmp_dir)
         self._extract = PageExtractor()
         self._member = DupMembership(ray.get(member_box[0]))
+        self._salt = salt
+        self._units_dir = os.path.join(tmp_dir, _UNITS_DIR)
+
+    def _write_marker(self, path: str, rg: int, pid: int, n: int, fp: str) -> None:
+        """Unit completion marker, written AFTER the unit's sink files are in
+        place: a resume reuses (path, row_group) outputs with a valid marker
+        and redoes only unmarked units — row-group-level resume granularity
+        (reference row-level skip, ``src/ffmpeg/decoder.cpp:301-304``)."""
+        os.makedirs(self._units_dir, exist_ok=True)
+        name = _unit_marker_name(path, rg)
+        tmp = os.path.join(self._units_dir, name + f".tmp{os.getpid()}")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"path": path, "row_group": rg, "pid": pid, "n": n, "fp": fp}, fh
+            )
+        os.replace(tmp, os.path.join(self._units_dir, name))
 
     def __call__(self, spec: pa.Table) -> pa.Table:
         outs = []
-        for path, rg, pid in zip(
+        has_fp = "fp" in spec.column_names
+        for k, (path, rg, pid) in enumerate(zip(
             spec["path"].to_pylist(),
             spec["row_group"].to_pylist(),
             spec["partition_id"].to_pylist(),
-        ):
+        )):
             t0 = time.monotonic()
             t = pq.ParquetFile(path).read_row_group(rg, columns=PAGES_COLUMNS)
             t = t.append_column(
@@ -509,6 +594,12 @@ class FusedExtractWriter:
             ext = ext.append_column("is_dup", self._member.flags(ext["url"]))
             t_tag = time.monotonic()
             counts = self._sink(ext)
+            if has_fp:
+                self._write_marker(
+                    path, rg, pid,
+                    int(pc.sum(counts["n"]).as_py() or 0),
+                    spec["fp"][k].as_py(),
+                )
             t_done = time.monotonic()
             counts = counts.append_column(
                 "read_s", pa.array([t_read - t0] * counts.num_rows, pa.float64())
@@ -674,7 +765,6 @@ def _finalize_linked(extracted_dir: str, tmp_final: str) -> None:
     import ray.data as rd
 
     from ocr_suite_ray.stages.dedup import (
-        RANK_COL,
         _local_best,
         decode_spans,
         encode_spans,
@@ -719,7 +809,7 @@ def _finalize_linked(extracted_dir: str, tmp_final: str) -> None:
     winners = tree_reduce_refs(
         [_read_best.remote(f) for f in dup_files],
         _local_best,
-        lambda t: decode_spans(t.drop_columns([RANK_COL])),
+        decode_spans,
     )
     if winners is not None:
         pq.write_table(winners, os.path.join(tmp_final, "winners.parquet"))
@@ -743,7 +833,6 @@ def _finalize_split_write(
     import pyarrow.parquet as pq_mod
 
     from ocr_suite_ray.stages.dedup import (
-        RANK_COL,
         _local_best,
         decode_spans,
         encode_spans,
@@ -789,7 +878,7 @@ def _finalize_split_write(
     winners = _coalesce_reduce(
         pre,
         _local_best,
-        lambda t: decode_spans(t.drop_columns([RANK_COL])),
+        decode_spans,
     )
     if winners is not None:
         pq_mod.write_table(winners, os.path.join(tmp_final, "winners.parquet"))

@@ -13,8 +13,6 @@ comparison.
 
 from __future__ import annotations
 
-import hashlib
-
 import pyarrow as pa
 
 from ocr_suite_ray.functions.extract import extract_payload
@@ -22,13 +20,17 @@ from ocr_suite_ray.schemas import EXTRACTED_SCHEMA, SPAN_TYPE
 
 
 def _rank(row: dict) -> tuple:
-    h = hashlib.sha256(
-        "{}|{}|{}|{}|{}".format(
-            row["text"], row["status"], row["payload_kind"],
-            row["n_blocks_kept"], row["n_blocks_dropped"],
-        ).encode()
-    ).hexdigest()[:16]
-    return (row["warc_ts"], h)
+    # same total order as stages.dedup.ORDER_KEYS: newest warc_ts, ties
+    # broken by the content tuple (Python str compare == Arrow's UTF-8
+    # bytewise order, so the distributed sort agrees exactly)
+    return (
+        row["warc_ts"],
+        row["text"],
+        row["status"],
+        row["payload_kind"],
+        row["n_blocks_kept"],
+        row["n_blocks_dropped"],
+    )
 
 
 def golden_extract(pages: pa.Table) -> pa.Table:

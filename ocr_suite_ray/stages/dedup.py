@@ -5,27 +5,27 @@ Reference analogue: ``text_entries.value TEXT UNIQUE`` + ``INSERT OR IGNORE``
 ``src/common/database.cpp:181``) combined with the idempotent re-processing
 check (``database.cpp:58-60``). Per ``BASELINE.json north_star`` the required
 semantics is: one output row per ``url``, winner = max ``warc_ts``,
-deterministic tiebreak (content hash) when timestamps tie — the result is
+deterministic content-tuple tiebreak when timestamps tie — the result is
 identical at any parallelism, partitioning, or replay.
 
 All stages are Arrow-native (``batch_format="pyarrow"``); the nested
-``spans`` column is carried as a flat JSON string through the exchange
-(Ray's shuffle/aggregate machinery mishandles list<struct> in several code
-paths) and re-nested on the way out.
+``spans`` column is carried as three parallel plain-list columns through the
+exchange (Ray's shuffle/aggregate machinery mishandles list<struct> in
+several code paths) and re-nested zero-copy on the way out.
 
 Strategies (same result):
 
 - ``bucket`` (default, scale path): classic hash-partitioned reduce.
-  1. within-block combiner: vectorized keep-max-rank-per-url (cuts duplicate
+  1. within-block combiner: vectorized keep-max-per-url (cuts duplicate
      captures before any data moves);
-  2. add ``bucket = crc32(url) % P``;
+  2. add ``bucket = hash(url) % P``;
   3. ``groupby(bucket).map_groups`` — ONE shuffle; the UDF runs once per
      *bucket* (P calls total, not per url) and does the same vectorized
      keep-last. P bounds per-task memory: size P so total_bytes/P fits a
      worker (at trillion-row scale P grows with the input, the shuffle stays
      all-to-all once).
-  The rank is a lexicographic string (zero-padded warc_ts || content hash),
-  so "max rank" == newest-capture-wins with a deterministic tiebreak.
+  Winner order = (warc_ts, content tuple) multi-key sort (``ORDER_KEYS``),
+  so "keep last" == newest-capture-wins with a deterministic tiebreak.
 - ``map_groups``: the obvious per-url ``groupby(url).map_groups`` — one
   Python call per url group; kept for small inputs and as the semantics
   oracle for the scale path.
@@ -33,91 +33,113 @@ Strategies (same result):
 
 from __future__ import annotations
 
-import hashlib
-import json
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ocr_suite_ray.schemas import EXTRACTED_SCHEMA, SPAN_TYPE
 
-RANK_COL = "__rank"
+RANK_COL = "__rank"  # legacy name: rank is now implicit in ORDER_KEYS (no column)
 BUCKET_COL = "__bucket"
-SPANS_JSON = "__spans_json"
+_SP_START = "__spans_start"
+_SP_STOP = "__spans_stop"
+_SP_KIND = "__spans_kind"
 
 
 def encode_spans(t: pa.Table) -> pa.Table:
-    """list<struct> spans → compact JSON string column (shuffle-safe)."""
+    """list<struct> spans → three parallel plain-list columns (shuffle-safe:
+    Ray's exchange machinery mishandles list<struct> in several code paths,
+    but plain large_list<int64/string> round-trips fine). Zero-copy both
+    ways — the list offsets and struct children are reused, no per-row
+    Python."""
     if "spans" not in t.column_names:
         return t
-    enc = pa.array(
-        [
-            json.dumps([[s["start"], s["stop"], s["kind"]] for s in row], separators=(",", ":"))
-            for row in t["spans"].to_pylist()
-        ],
-        pa.large_string(),
-    )
-    return t.drop_columns(["spans"]).append_column(SPANS_JSON, enc)
+    col = t["spans"].combine_chunks()
+    values = col.values  # StructArray
+    off = col.offsets
+    t = t.drop_columns(["spans"])
+    t = t.append_column(_SP_START, pa.LargeListArray.from_arrays(off, values.field("start")))
+    t = t.append_column(_SP_STOP, pa.LargeListArray.from_arrays(off, values.field("stop")))
+    t = t.append_column(_SP_KIND, pa.LargeListArray.from_arrays(off, values.field("kind")))
+    return t
 
 
 def decode_spans(t: pa.Table) -> pa.Table:
-    if SPANS_JSON not in t.column_names:
+    if _SP_START not in t.column_names:
         return t
-    dec = pa.array(
+    starts = t[_SP_START].combine_chunks()
+    stops = t[_SP_STOP].combine_chunks()
+    kinds = t[_SP_KIND].combine_chunks()
+    # the three columns share row-wise list lengths by construction, so one
+    # column's offsets index all three value buffers — but each column's
+    # values must be re-based to ITS offsets (they may differ after slices)
+    struct = pa.StructArray.from_arrays(
         [
-            [{"start": s[0], "stop": s[1], "kind": s[2]} for s in json.loads(row)]
-            for row in t[SPANS_JSON].to_pylist()
+            pc.list_flatten(starts),
+            pc.list_flatten(stops),
+            pc.list_flatten(kinds),
         ],
-        pa.large_list(SPAN_TYPE),
+        fields=list(SPAN_TYPE),
     )
-    t = t.drop_columns([SPANS_JSON]).append_column("spans", dec)
+    lens = pc.list_value_length(starts).cast(pa.int64())
+    off = pa.concat_arrays(
+        [pa.array([0], pa.int64()), pc.cumulative_sum(lens)]
+    )
+    dec = pa.LargeListArray.from_arrays(off, struct)
+    t = t.drop_columns([_SP_START, _SP_STOP, _SP_KIND]).append_column("spans", dec)
     order = [n for n in EXTRACTED_SCHEMA.names if n in t.column_names]
     order += [n for n in t.column_names if n not in order]
     return t.select(order)
 
 
-def _rank_array(t: pa.Table) -> pa.Array:
-    """Lexicographic rank: zero-padded warc_ts_us || sha256 over every
-    observable payload-derived field — rows with equal rank are
-    interchangeable, so the winner's content is a pure function of the
-    input *set* (not its order)."""
-    ts = pc.cast(t["warc_ts"], pa.int64()).to_pylist()
-    texts = t["text"].to_pylist()
-    status = t["status"].to_pylist()
-    kinds = t["payload_kind"].to_pylist()
-    nk = t["n_blocks_kept"].to_pylist()
-    nd = t["n_blocks_dropped"].to_pylist()
-    ranks = [
-        f"{ti:020d}|" + hashlib.sha256(f"{x}|{s}|{k}|{a}|{b}".encode()).hexdigest()[:16]
-        for ti, x, s, k, a, b in zip(ts, texts, status, kinds, nk, nd)
-    ]
-    return pa.array(ranks, pa.string())
+# Deterministic winner order among same-url captures: newest warc_ts first,
+# ties broken by the CONTENT TUPLE (text, status, kind, block counts) under
+# ascending multi-key comparison. Rows equal under every key are fully
+# interchangeable, so the winner's content is a pure function of the input
+# *set* (not its order) — same contract the old hash-rank gave, but the
+# whole compare is Arrow's C-speed multi-column sort (UTF-8 bytewise string
+# order == Python code-point order, so the golden's tuple compare agrees).
+ORDER_KEYS = (
+    "warc_ts",
+    "text",
+    "status",
+    "payload_kind",
+    "n_blocks_kept",
+    "n_blocks_dropped",
+)
 
 
 def _keep_last_per_url(t: pa.Table) -> pa.Table:
-    """Sort by (url, rank), keep the last row of each url run — vectorized
-    run-boundary detection, no per-group calls."""
+    """Sort by (url, ORDER_KEYS...), keep the last row of each url run —
+    vectorized run-boundary detection, no per-row Python. Associative:
+    applying per block then across blocks gives the global max per url."""
     if t.num_rows == 0:
         return t
-    idx = pc.sort_indices(t, sort_keys=[("url", "ascending"), (RANK_COL, "ascending")])
-    t = t.take(idx)
-    urls = np.asarray(t["url"].to_pylist(), dtype=object)
-    mask = np.append(urls[:-1] != urls[1:], True)
-    return t.filter(pa.array(mask))
+    keys = [("url", "ascending")] + [
+        (k, "ascending") for k in ORDER_KEYS if k in t.column_names
+    ]
+    t = t.take(pc.sort_indices(t, sort_keys=keys))
+    u = t["url"].combine_chunks()
+    n = len(u)
+    if n == 1:
+        return t
+    boundary = pc.not_equal(u.slice(0, n - 1), u.slice(1, n - 1))
+    mask = pa.chunked_array([boundary, pa.array([True])])
+    return t.filter(mask)
 
 
-def _local_best(t: pa.Table) -> pa.Table:
-    if RANK_COL not in t.column_names:
-        t = t.append_column(RANK_COL, _rank_array(t))
-    return _keep_last_per_url(t)
+_local_best = _keep_last_per_url  # combiner == finisher (associative reduce)
 
 
 def _add_bucket(t: pa.Table, num_partitions: int) -> pa.Table:
-    buckets = [
-        zlib.crc32(u.encode()) % num_partitions for u in t["url"].to_pylist()
-    ]
+    """Hash-bucket the url column (partitioning only — the bucket is dropped
+    before output, so the hash needs determinism within a run, not across
+    library versions; pandas' fixed-key siphash is C-speed per element)."""
+    import pandas as pd
+
+    buckets = (
+        pd.util.hash_array(t["url"].to_numpy(zero_copy_only=False)) % num_partitions
+    ).astype(np.int32)
     return t.append_column(BUCKET_COL, pa.array(buckets, pa.int32()))
 
 
@@ -151,7 +173,7 @@ def dedup_latest(
         strategy = "bucket"
     if strategy == "map_groups":
         def _best_group(t: pa.Table) -> pa.Table:
-            return _local_best(t.combine_chunks()).drop_columns([RANK_COL])
+            return _local_best(t.combine_chunks())
 
         enc = ds.map_batches(encode_spans, batch_format="pyarrow")
         out = enc.groupby("url").map_groups(_best_group, batch_format="pyarrow")
@@ -166,7 +188,7 @@ def dedup_latest(
 
     def _bucket_best(t: pa.Table) -> pa.Table:
         t = _keep_last_per_url(t.combine_chunks())
-        return decode_spans(t.drop_columns([RANK_COL, BUCKET_COL]))
+        return decode_spans(t.drop_columns([BUCKET_COL]))
 
     return ranked.groupby(BUCKET_COL).map_groups(_bucket_best, batch_format="pyarrow")
 
@@ -203,7 +225,7 @@ def _dedup_partial(ds, max_exact: int = 1_000_000):
 
     def _best_group(t: pa.Table) -> pa.Table:
         return decode_spans(
-            _local_best(encode_spans(t.combine_chunks())).drop_columns([RANK_COL])
+            _local_best(encode_spans(t.combine_chunks()))
         )
 
     winners = (

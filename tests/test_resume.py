@@ -147,3 +147,63 @@ def test_shrunk_input_drops_stale_partitions(ray_session, small_corpus, tmp_path
     run_pipeline(small, out2, cfg)
     fresh = pads.dataset(f"{out2}/final").to_table().sort_by("url")
     assert final.sort_by("url").equals(fresh)
+
+
+def test_killed_wave_resumes_at_unit_granularity(ray_session, small_corpus, tmp_path):
+    """A killed wave's COMPLETED row-group units (sink files + marker) are
+    reused on resume: their files keep their mtimes, only unmarked units are
+    re-extracted, and the final output is byte-identical to a clean run."""
+    import pyarrow as pa
+    import ray
+
+    from ocr_suite_ray.pipelines.extract import (
+        DupMembership,
+        FusedExtractWriter,
+        _input_dup_membership,
+        _wave_specs,
+        list_pages_files,
+    )
+    from ocr_suite_ray.version import extract_code_fingerprint
+
+    pages_dir, files = small_corpus
+    out = str(tmp_path / "out_unit")
+    clean_out = str(tmp_path / "out_clean")
+    cfg = ExtractConfig(wave_size=4, pool_size=2)
+
+    # simulate a killed wave: process only the FIRST unit by hand, leaving
+    # its sink files + completion marker in _wave_tmp
+    member_box, dupset_fp = _input_dup_membership(list_pages_files(pages_dir), out, cfg)
+    dupset_fp = f"{dupset_fp}-{extract_code_fingerprint()}"
+    wave = list(enumerate(list_pages_files(pages_dir)))[: cfg.wave_size]
+    specs = _wave_specs(wave, salt=dupset_fp)
+    tmp_dir = os.path.join(out, "_wave_tmp")
+    writer = FusedExtractWriter(tmp_dir, member_box, dupset_fp)
+    writer(specs.slice(0, 1))
+    unit_files = _mtimes_under(tmp_dir)
+    assert unit_files, "the hand-run unit must have written sink files"
+    assert any("_units" in p for p in unit_files), "marker must exist"
+
+    s = run_extract_phase(pages_dir, out, cfg)
+    assert s["partitions_processed"] == len(wave)
+    run_finalize_phase(out, cfg)
+
+    # reused unit's files were promoted (not rewritten): mtimes preserved
+    promoted = _mtimes(out)
+    for p, mt in unit_files.items():
+        if p.endswith(".parquet"):
+            moved = p.replace("/_wave_tmp/", "/extracted/")
+            assert promoted.get(moved) == mt, f"reused unit file rewritten: {p}"
+
+    run_pipeline(pages_dir, clean_out, cfg)
+    a = pads.dataset(os.path.join(out, "final")).to_table().sort_by("url")
+    b = pads.dataset(os.path.join(clean_out, "final")).to_table().sort_by("url")
+    assert a.equals(b)
+
+
+def _mtimes_under(root: str) -> dict:
+    out = {}
+    for dirpath, _dirs, names in os.walk(root):
+        for f in names:
+            p = os.path.join(dirpath, f)
+            out[p] = os.stat(p).st_mtime_ns
+    return out
