@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--pool", type=int, default=8)
     pe.add_argument("--batch-size", type=int, default=64)
     pe.add_argument("--wave-size", type=int, default=8)
+    pe.add_argument(
+        "--debug-dump", action="store_true",
+        help="side-dump raw payloads of error rows to OUT/debug/ for triage",
+    )
 
     ps = sub.add_parser("search", help="substring search over the final store")
     ps.add_argument("--out", required=True)
@@ -113,7 +117,8 @@ def main(argv: list[str] | None = None) -> int:
             from ocr_suite_ray.pipelines.extract import ExtractConfig, run_pipeline
 
             cfg = ExtractConfig(
-                batch_size=a.batch_size, pool_size=a.pool, wave_size=a.wave_size
+                batch_size=a.batch_size, pool_size=a.pool, wave_size=a.wave_size,
+                debug_dump=a.debug_dump,
             )
             print(json.dumps(run_pipeline(a.pages, a.out, cfg)))
         elif a.cmd == "search":

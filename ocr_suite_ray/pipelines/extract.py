@@ -87,6 +87,9 @@ class ExtractConfig:
                                      # per-worker cache, no pool ramp) | actors
     bloom_threshold: int = 1_000_000 # dup-set size above which a Bloom
                                      # filter replaces the exact broadcast
+    debug_dump: bool = False         # side-dump raw payloads of error rows
+                                     # to out_dir/debug/ (bmp.cpp triage
+                                     # analogue); fused waves only
 
 
 def list_pages_files(pages_dir: str) -> list[str]:
@@ -394,6 +397,7 @@ def _run_extract_phase_locked(
             if cfg.fused_compute == "tasks":
                 # task pool + per-worker warm cache: reuses the session's
                 # warm workers (no per-wave actor spawn/import ramp)
+                debug_dir = os.path.join(out_dir, "debug") if cfg.debug_dump else None
                 map_kw: dict = {
                     "batch_format": "pyarrow",
                     "batch_size": 1,
@@ -401,6 +405,7 @@ def _run_extract_phase_locked(
                         "tmp_dir": tmp_dir,
                         "member_box": member_box,
                         "salt": dupset_fp,
+                        "debug_dir": debug_dir,
                     },
                 }
                 if isinstance(cfg.pool_size, int):
@@ -411,7 +416,12 @@ def _run_extract_phase_locked(
                     "batch_format": "pyarrow",
                     "batch_size": 1,
                     "concurrency": cfg.pool_size,
-                    "fn_constructor_args": (tmp_dir, member_box, dupset_fp),
+                    "fn_constructor_args": (
+                        tmp_dir,
+                        member_box,
+                        dupset_fp,
+                        os.path.join(out_dir, "debug") if cfg.debug_dump else None,
+                    ),
                 }
                 stage = FusedExtractWriter
             counts = (
@@ -519,7 +529,12 @@ _FUSED_CACHE: dict = {}
 
 
 def fused_extract_task(
-    spec: pa.Table, *, tmp_dir: str, member_box: list, salt: str = ""
+    spec: pa.Table,
+    *,
+    tmp_dir: str,
+    member_box: list,
+    salt: str = "",
+    debug_dir: str | None = None,
 ) -> pa.Table:
     """Task-pool form of the fused wave stage: a plain ``map_batches``
     function with the warm state cached per WORKER PROCESS (module global
@@ -528,11 +543,11 @@ def fused_extract_task(
     of actor-process spawn+import per wave at 28-actor concurrency, the
     dominant fixed cost once the extract kernel got fast. Cache holds one
     entry (waves are sequential); a new wave's key evicts the old."""
-    key = (tmp_dir, member_box[0])
+    key = (tmp_dir, member_box[0], debug_dir)
     writer = _FUSED_CACHE.get(key)
     if writer is None:
         _FUSED_CACHE.clear()
-        writer = FusedExtractWriter(tmp_dir, member_box, salt)
+        writer = FusedExtractWriter(tmp_dir, member_box, salt, debug_dir)
         _FUSED_CACHE[key] = writer
     return writer(spec)
 
@@ -548,7 +563,13 @@ class FusedExtractWriter:
     direct frame access + its own DB writes (``src/recognition/main.cpp:
     174-183``) — no shared writer, no intermediate hand-off."""
 
-    def __init__(self, tmp_dir: str, member_box: list, salt: str = "") -> None:
+    def __init__(
+        self,
+        tmp_dir: str,
+        member_box: list,
+        salt: str = "",
+        debug_dir: str | None = None,
+    ) -> None:
         # NB: no runtime package imports here — this body runs in the worker,
         # which may not have the repo on sys.path (classes ship by value).
         # member_box holds the membership payload's ObjectRef (boxed so Ray
@@ -560,6 +581,30 @@ class FusedExtractWriter:
         self._member = DupMembership(ray.get(member_box[0]))
         self._salt = salt
         self._units_dir = os.path.join(tmp_dir, _UNITS_DIR)
+        self._debug_dir = debug_dir
+
+    def _dump_errors(self, src: pa.Table, ext: pa.Table) -> None:
+        """BMP-debug-sink analogue (``src/recognition/bmp.cpp:52-87`` dumps
+        the raw frame a recognizer choked on): side-write the RAW payloads
+        of error-status rows for triage. Positional 1:1 between src and ext
+        rows; content-derived names keep retries idempotent. Side channel —
+        not part of the atomic wave commit (triage aid, not lineage)."""
+        bad = pc.starts_with(ext["status"], "error:")
+        if not pc.any(bad).as_py():
+            return
+        dump = pa.table(
+            {
+                "url": src["url"],
+                "warc_ts": src["warc_ts"],
+                "payload": src["html"],
+                "status": ext["status"],
+            }
+        ).filter(bad)
+        os.makedirs(self._debug_dir, exist_ok=True)
+        sig = _SinkWriter._content_sig(dump.combine_chunks())
+        path = os.path.join(self._debug_dir, f"errors-{sig}.parquet")
+        pq.write_table(dump, path + f".tmp{sig}", use_dictionary=False)
+        os.replace(path + f".tmp{sig}", path)
 
     def _write_marker(self, path: str, rg: int, pid: int, n: int, fp: str) -> None:
         """Unit completion marker, written AFTER the unit's sink files are in
@@ -591,6 +636,8 @@ class FusedExtractWriter:
             t_read = time.monotonic()
             ext = self._extract(t)
             t_ext = time.monotonic()
+            if self._debug_dir is not None:
+                self._dump_errors(t, ext)
             ext = ext.append_column("is_dup", self._member.flags(ext["url"]))
             t_tag = time.monotonic()
             counts = self._sink(ext)

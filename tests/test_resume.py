@@ -207,3 +207,45 @@ def _mtimes_under(root: str) -> dict:
             p = os.path.join(dirpath, f)
             out[p] = os.stat(p).st_mtime_ns
     return out
+
+
+def test_debug_dump_captures_error_payloads(ray_session, small_corpus, tmp_path):
+    """debug_dump side-writes the RAW payload of every error-status row
+    (bmp.cpp triage analogue) and nothing else; the main output is
+    unchanged."""
+    import pyarrow as pa
+
+    pages_dir, files = small_corpus
+    out = str(tmp_path / "out_dbg")
+    run_pipeline(pages_dir, out, ExtractConfig(wave_size=4, pool_size=2, debug_dump=True))
+
+    final = pads.dataset(os.path.join(out, "final")).to_table()
+    # extracted store keeps error rows too (status column); dump must match
+    extracted = pads.dataset(
+        os.path.join(out, "extracted"),
+        partitioning="hive",
+        schema=None,
+    ).to_table()
+    n_errors_extracted = len(
+        [s for s in extracted["status"].to_pylist() if s.startswith("error:")]
+    )
+    dump_dir = os.path.join(out, "debug")
+    assert os.path.isdir(dump_dir)
+    dump = pads.dataset(dump_dir).to_table()
+    assert dump.num_rows == n_errors_extracted > 0
+    assert set(dump.column_names) == {"url", "warc_ts", "payload", "status"}
+    # dumped payloads are the original input bytes
+    src = pa.concat_tables([_read_pages(f) for f in files])
+    by_url = dict(zip(src["url"].to_pylist(), src["html"].to_pylist()))
+    for r in dump.to_pylist():
+        assert r["payload"] in (by_url[r["url"]],) or any(
+            r["payload"] == h
+            for u, h in zip(src["url"].to_pylist(), src["html"].to_pylist())
+            if u == r["url"]
+        )
+
+
+def _read_pages(path: str):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)
