@@ -59,7 +59,7 @@ def _sql_fp(expr: str, scale: int, alias: str) -> str:
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shape grouped aggregate with a pre-aggregable derived column.
     Reference analogue: grouped counts (search_results_view.cpp:63-68)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(
         sf_dir,
@@ -67,19 +67,40 @@ def q_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def _rev(t: pa.Table) -> pa.Table:
+    def _partial(t: pa.Table) -> pa.Table:
+        # combine-before-shuffle: per-block Arrow hash aggregate collapses
+        # ~100k rows to <= 6 partial rows; the global groupby merges partials
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("rev", rev)
+        t = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "rev": rev,
+                "l_discount": t["l_discount"],
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("rev", "sum"), ("l_discount", "sum"), ("rev", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue", "sum_disc", "n_rows"]
+        )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t["sum_disc"], pc.cast(t["n_rows"], pa.float64()))
+        return t.drop_columns(["sum_disc"]).append_column("avg_disc", avg)
 
     out = (
-        ds.map_batches(_rev, batch_format="pyarrow")
+        ds.map_batches(_partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("rev", alias_name="sum_revenue"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="n_rows"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_revenue", alias_name="sum_revenue"),
+            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("n_rows", alias_name="n_rows"),
         )
+        .map_batches(_finish, batch_format="pyarrow")
     )
     return _fixed_point(out, {"sum_qty": 100, "sum_revenue": 100, "avg_disc": 10000})
 
@@ -262,9 +283,7 @@ def q_broadcast_join(sf_dir: str):
     (database.cpp:69-78) done the scale-correct way."""
     import pyarrow.parquet as pq
 
-    from ray.data.aggregate import Count, Sum
-
-    from ocr_suite_ray.stages.relational import broadcast_join
+    from ocr_suite_ray.stages.relational import broadcast_join_agg
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
@@ -277,16 +296,12 @@ def q_broadcast_join(sf_dir: str):
     ].rename(columns={"n_name": "nation"})
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
-        batch_format="pandas",
+        lambda t: t.rename_columns(["c_custkey", "o_totalprice"]),
+        batch_format="pyarrow",  # zero-copy rename, no pandas round-trip
     )
-    out = (
-        broadcast_join(orders, dim, on="c_custkey")
-        .groupby("nation")
-        .aggregate(
-            Sum("o_totalprice", alias_name="revenue"),
-            Count(alias_name="n_orders"),
-        )
+    out = broadcast_join_agg(
+        orders, dim, on="c_custkey", group_col="nation",
+        sum_cols={"revenue": "o_totalprice"}, count_col="n_orders",
     )
     return _fixed_point(out, {"revenue": 100})
 
@@ -311,16 +326,21 @@ def q_large_join(sf_dir: str):
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def _rev(t: pa.Table) -> pa.Table:
+    def _rev_partial(t: pa.Table) -> pa.Table:
+        # pre-aggregate below the join: collapse each block to one row per
+        # orderkey (sum of revenue + item count) BEFORE the hash exchange —
+        # the join and the final groupby both move ~4x fewer rows
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
+        t = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
+        g = t.group_by("o_orderkey").aggregate([("rev", "sum"), ("rev", "count")])
+        return g.rename_columns(["o_orderkey", "rev", "n"])
 
-    li = li.map_batches(_rev, batch_format="pyarrow")
+    li = li.map_batches(_rev_partial, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = join_on(li, orders, on=("o_orderkey",), num_partitions=16)
     out = joined.groupby("o_orderpriority").aggregate(
         Sum("rev", alias_name="revenue"),
-        Count(alias_name="n_items"),
+        Sum("n", alias_name="n_items"),
     )
     return _fixed_point(out, {"revenue": 100})
 
@@ -603,9 +623,7 @@ def q_region_revenue(sf_dir: str):
     lineitem streams (TPC-H Q5 shape)."""
     import pyarrow.parquet as pq
 
-    from ray.data.aggregate import Count, Sum
-
-    from ocr_suite_ray.stages.relational import broadcast_join
+    from ocr_suite_ray.stages.relational import broadcast_join_agg
 
     sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]).to_pandas()
     nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]).to_pandas()
@@ -622,10 +640,9 @@ def q_region_revenue(sf_dir: str):
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return pa.table({"l_suppkey": t["l_suppkey"], "rev": rev})
 
-    out = (
-        broadcast_join(li.map_batches(_rev, batch_format="pyarrow"), dim, on="l_suppkey")
-        .groupby("region")
-        .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+    out = broadcast_join_agg(
+        li.map_batches(_rev, batch_format="pyarrow"), dim, on="l_suppkey",
+        group_col="region", sum_cols={"revenue": "rev"}, count_col="n_items",
     )
     return _fixed_point(out, {"revenue": 100})
 

@@ -22,32 +22,82 @@ import pandas as pd
 import pyarrow as pa
 
 
+_BJOIN_CACHE: dict = {}
+
+
 def broadcast_join(
     ds,
     small_df: pd.DataFrame,
     on: str | list,
     how: str = "inner",
-    concurrency: tuple = (1, 4),
+    concurrency=None,
 ):
     """Hash-join ``ds`` against a small pandas table broadcast via ray.put.
 
     The reference analogue is the id-resolving point lookup after dedup
     insert (``src/common/database.cpp:69-78``): a shared read-only lookup
-    every worker consults. One object-store copy, read per actor/task."""
+    every worker consults. One object-store copy; tasks (not an actor pool
+    — actor spawn costs ~2-3 s of ramp per query at high concurrency) read
+    it through a per-worker-process cache, so each worker deserializes the
+    small side once and every later task on that worker reuses it."""
     import ray
 
     ref = ray.put(small_df)
 
-    class _Join:
-        def __init__(self) -> None:
-            self._small = ray.get(ref)  # once per actor
+    def _join(batch: pd.DataFrame) -> pd.DataFrame:
+        small = _BJOIN_CACHE.get(ref)
+        if small is None:
+            _BJOIN_CACHE.clear()
+            small = ray.get(ref)
+            _BJOIN_CACHE[ref] = small
+        return batch.merge(small, on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self._small, on=on, how=how)
+    kw = {"batch_format": "pandas"}
+    if concurrency is not None:
+        kw["concurrency"] = concurrency
+    return ds.map_batches(_join, **kw)
 
-    # autoscaling pool: a fixed pool sized at the CPU count would starve the
-    # upstream read stage (pool + reads > cluster CPUs ⇒ pipeline stalls)
-    return ds.map_batches(_Join, batch_format="pandas", concurrency=concurrency)
+
+def broadcast_join_agg(
+    ds,
+    small_df: pd.DataFrame,
+    on: str | list,
+    group_col: str,
+    sum_cols: dict,
+    count_col: str | None = None,
+):
+    """Broadcast join fused with a PARTIAL per-batch aggregate: each batch
+    joins against the broadcast side and collapses to at most one row per
+    group before anything moves, so the global groupby shuffles O(groups ×
+    blocks) partial rows instead of the full fact table. The standard
+    combine-before-shuffle pattern for dimension-grouped rollups.
+
+    ``sum_cols``: {output_name: source_col} summed per group;
+    ``count_col``: output name for the per-group row count (optional)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ref = ray.put(small_df)
+
+    def _join_agg(batch: pd.DataFrame) -> pd.DataFrame:
+        small = _BJOIN_CACHE.get(ref)
+        if small is None:
+            _BJOIN_CACHE.clear()
+            small = ray.get(ref)
+            _BJOIN_CACHE[ref] = small
+        m = batch.merge(small, on=on, how="inner")
+        specs = {name: (src, "sum") for name, src in sum_cols.items()}
+        if count_col:
+            any_col = next(iter(sum_cols.values()))
+            specs[count_col] = (any_col, "size")
+        return m.groupby(group_col, as_index=False).agg(**specs)
+
+    partial = ds.map_batches(_join_agg, batch_format="pandas")
+    aggs = [Sum(name, alias_name=name) for name in sum_cols]
+    if count_col:
+        aggs.append(Sum(count_col, alias_name=count_col))
+    return partial.groupby(group_col).aggregate(*aggs)
 
 
 def join_on(left, right, on: tuple, num_partitions: int = 16, join_type: str = "inner"):

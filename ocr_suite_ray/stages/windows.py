@@ -21,21 +21,44 @@ import pyarrow.compute as pc
 
 def tumbling_window_agg(ds, key_col: str, ts_col: str, value_col: str, every: str = "hour"):
     """Per (key, window) count + sum + mean. ``every`` is a pyarrow
-    floor_temporal unit ("hour", "day", "minute")."""
-    from ray.data.aggregate import Count, Mean, Sum
+    floor_temporal unit ("hour", "day", "minute").
 
-    def _win(t: pa.Table) -> pa.Table:
+    Combine-before-shuffle: each block collapses to one partial row per
+    (key, window) with an Arrow hash aggregate, so the global groupby moves
+    O(groups x blocks) partials instead of every event row; the mean is
+    derived from total sum / total count after the merge."""
+    from ray.data.aggregate import Sum
+
+    def _win_partial(t: pa.Table) -> pa.Table:
         w = pc.cast(pc.floor_temporal(t[ts_col], unit=every), pa.timestamp("us"))
-        return t.append_column("window_start", w)
+        t = pa.table(
+            {key_col: t[key_col], "window_start": w, value_col: t[value_col]}
+        )
+        g = t.group_by([key_col, "window_start"]).aggregate(
+            [(value_col, "sum"), (value_col, "count")]
+        )
+        return g.rename_columns([key_col, "window_start", "sum_value", "n_events"])
+
+    def _finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t["sum_value"], pc.cast(t["n_events"], pa.float64()))
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "window_start": t["window_start"],
+                "n_events": t["n_events"],
+                "sum_value": t["sum_value"],
+                "avg_value": avg,
+            }
+        )
 
     return (
-        ds.map_batches(_win, batch_format="pyarrow")
+        ds.map_batches(_win_partial, batch_format="pyarrow")
         .groupby([key_col, "window_start"])
         .aggregate(
-            Count(alias_name="n_events"),
-            Sum(value_col, alias_name="sum_value"),
-            Mean(value_col, alias_name="avg_value"),
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
         )
+        .map_batches(_finish, batch_format="pyarrow")
     )
 
 
