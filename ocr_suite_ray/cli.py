@@ -67,6 +67,19 @@ def main(argv: list[str] | None = None) -> int:
     pst = sub.add_parser("status", help="lineage / progress readout")
     pst.add_argument("--out", required=True)
 
+    pw = sub.add_parser(
+        "watch",
+        help="poll the pages dir; run an incremental extract when input changes",
+    )
+    pw.add_argument("--pages", required=True)
+    pw.add_argument("--out", required=True)
+    pw.add_argument("--pool", type=int, default=8)
+    pw.add_argument("--interval", type=float, default=10.0, help="poll seconds")
+    pw.add_argument(
+        "--max-rounds", type=int, default=0,
+        help="stop after N polls (0 = run until interrupted)",
+    )
+
     pg = sub.add_parser("gen", help="generate a synthetic pages corpus")
     pg.add_argument("--pages", required=True)
     pg.add_argument("--n-pages", type=int, default=10_000)
@@ -121,6 +134,40 @@ def main(argv: list[str] | None = None) -> int:
                 debug_dump=a.debug_dump,
             )
             print(json.dumps(run_pipeline(a.pages, a.out, cfg)))
+        elif a.cmd == "watch":
+            # The watcher analogue (tools/ocs-watcher/src/ocsw/watcher.py:
+            # 10-29 re-triggers recognition when files change). Polling +
+            # resumable pipeline replaces inotify: every round is a full
+            # run_pipeline, and lineage makes unchanged partitions free, so
+            # re-running on a live directory is safe and idempotent — the
+            # exact property the reference's watcher relies on.
+            import time as _time
+
+            from ocr_suite_ray.pipelines.extract import (
+                ExtractConfig,
+                list_pages_files,
+                run_pipeline,
+            )
+            from ocr_suite_ray.state import lineage as lin_mod
+
+            cfg = ExtractConfig(pool_size=a.pool)
+            last_fps: dict = {}
+            rounds = 0
+            while True:
+                files = list_pages_files(a.pages) if os.path.isdir(a.pages) else []
+                fps = {f: lin_mod.partition_fingerprint(f) for f in files}
+                if fps and fps != last_fps:
+                    s = run_pipeline(a.pages, a.out, cfg)
+                    print(json.dumps({"round": rounds, **{
+                        k: s[k] for k in (
+                            "partitions_total", "partitions_skipped",
+                            "partitions_processed", "rows_extracted")
+                    }}), flush=True)
+                    last_fps = fps
+                rounds += 1
+                if a.max_rounds and rounds >= a.max_rounds:
+                    break
+                _time.sleep(a.interval)
         elif a.cmd == "search":
             from ocr_suite_ray.pipelines.search import search_extracted
 

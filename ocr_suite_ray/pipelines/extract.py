@@ -15,10 +15,13 @@ The Ray-Data restatement of the reference's recognition loop (``SURVEY.md``
 Phase 1 runs in **waves** of input partitions: each wave is one streaming
 Dataset execution whose per-partition outputs are committed atomically
 (temp dir + rename) together with their lineage records. A killed job loses
-at most the in-flight wave; `pending_partitions` prunes everything already
-committed — the watermark+seek resume of the reference (``src/common/
-database.cpp:110-150``, ``src/ffmpeg/decoder.cpp:178-211``) at partition
-granularity.
+at most the in-flight row-group UNITS of the current wave (per-unit
+completion markers, `_load_unit_markers`); `pending_partitions` prunes
+everything already committed — the watermark+seek resume of the reference
+(``src/common/database.cpp:110-150``, ``src/ffmpeg/decoder.cpp:178-211``)
+at row-group granularity. Partitions are salted with the fingerprint of
+their OWN dup-membership decisions (`_per_file_dup_fps`), so growing the
+input re-extracts only partitions whose flags actually changed.
 
 The fused wave exists because Ray cannot fuse a task-based ReadParquet into
 an actor-pool map_batches: the unfused pipeline moves every payload byte
@@ -180,6 +183,31 @@ def _input_dup_membership(
     return [membership_ref(dup_ref, max_exact=cfg.bloom_threshold)], dupset_fp
 
 
+def _per_file_dup_fps(files: list[str], member_box: list) -> dict:
+    """{path: fingerprint of THIS file's dup-membership decisions} — the
+    per-partition share of the global dup state. A partition's extract
+    output depends on the dup set only through the is_dup flags of ITS OWN
+    urls, so salting each partition with the fingerprint of its flagged-url
+    set (computed with the SAME membership payload the tag step uses —
+    Bloom false positives included, they change the output layout too) makes
+    input growth invalidate exactly the partitions whose flags changed,
+    instead of the whole store. Narrow: one url-column read per file, all
+    remote, driver sees only hashes."""
+    import ray
+
+    @ray.remote
+    def _fp(path: str, payload):
+        import hashlib
+
+        member = DupMembership(payload)
+        t = pq.ParquetFile(path).read(columns=["url"])
+        flagged = t.filter(member.mask(t["url"]))["url"].to_pylist()
+        h = hashlib.sha256("\n".join(sorted(set(flagged))).encode())
+        return path, h.hexdigest()[:16]
+
+    return dict(ray.get([_fp.remote(p, member_box[0]) for p in files]))
+
+
 def _tag_dup(ds, member_box: list):
     """Append is_dup (0/1) — becomes a hive partition key so the finalize
     step can link unique files instead of rewriting them. ``member_box`` is
@@ -336,8 +364,13 @@ def _run_extract_phase_locked(
 
     t_dup0 = time.monotonic()
     member_box, dupset_fp = _input_dup_membership(files, out_dir, cfg)
+    code_fp = extract_code_fingerprint()
+    file_fps = _per_file_dup_fps(files, member_box)
+    # per-partition salt: this file's dup-decision fingerprint + code
+    # version — input growth elsewhere leaves this partition's salt (and
+    # its done record) intact unless its own flags changed
+    dupset_fp = {p: f"{fp}-{code_fp}" for p, fp in file_fps.items()}
     dup_scan_s = time.monotonic() - t_dup0
-    dupset_fp = f"{dupset_fp}-{extract_code_fingerprint()}"
     # drop partitions no longer present in the (possibly shrunk) input —
     # their outputs would otherwise leak into the linked final store
     for pid, rec in lin.load_records(out_dir).items():
@@ -404,7 +437,6 @@ def _run_extract_phase_locked(
                     "fn_kwargs": {
                         "tmp_dir": tmp_dir,
                         "member_box": member_box,
-                        "salt": dupset_fp,
                         "debug_dir": debug_dir,
                     },
                 }
@@ -419,7 +451,6 @@ def _run_extract_phase_locked(
                     "fn_constructor_args": (
                         tmp_dir,
                         member_box,
-                        dupset_fp,
                         os.path.join(out_dir, "debug") if cfg.debug_dump else None,
                     ),
                 }
@@ -533,7 +564,6 @@ def fused_extract_task(
     *,
     tmp_dir: str,
     member_box: list,
-    salt: str = "",
     debug_dir: str | None = None,
 ) -> pa.Table:
     """Task-pool form of the fused wave stage: a plain ``map_batches``
@@ -547,7 +577,7 @@ def fused_extract_task(
     writer = _FUSED_CACHE.get(key)
     if writer is None:
         _FUSED_CACHE.clear()
-        writer = FusedExtractWriter(tmp_dir, member_box, salt, debug_dir)
+        writer = FusedExtractWriter(tmp_dir, member_box, debug_dir)
         _FUSED_CACHE[key] = writer
     return writer(spec)
 
@@ -567,7 +597,6 @@ class FusedExtractWriter:
         self,
         tmp_dir: str,
         member_box: list,
-        salt: str = "",
         debug_dir: str | None = None,
     ) -> None:
         # NB: no runtime package imports here — this body runs in the worker,
@@ -579,7 +608,6 @@ class FusedExtractWriter:
         self._sink = _SinkWriter(tmp_dir)
         self._extract = PageExtractor()
         self._member = DupMembership(ray.get(member_box[0]))
-        self._salt = salt
         self._units_dir = os.path.join(tmp_dir, _UNITS_DIR)
         self._debug_dir = debug_dir
 

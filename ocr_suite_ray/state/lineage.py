@@ -89,7 +89,7 @@ def load_records(out_dir: str) -> dict[int, LineageRecord]:
 
 
 def pending_partitions(
-    files: list[str], out_dir: str, salt: str = ""
+    files: list[str], out_dir: str, salt: str | dict = ""
 ) -> list[tuple[int, str]]:
     """(pid, path) for every input partition that is not verifiably done.
 
@@ -97,10 +97,11 @@ def pending_partitions(
     identity, cf. the watcher's sorted-file convention,
     ``tools/ocs-watcher/src/ocsw/executor.py:98``). A record is honored only
     if status==done, the fingerprint matches the current input file, and the
-    schema version matches (the migration-ladder guard). ``salt`` lets the
-    pipeline mix global derived state (e.g. the dup-url-set fingerprint)
-    into the per-partition fingerprint, so a change anywhere in the input
-    that alters that state invalidates every dependent partition."""
+    schema version matches (the migration-ladder guard). ``salt`` mixes
+    derived state into the per-partition fingerprint; a ``dict`` maps each
+    path to ITS OWN salt (e.g. the fingerprint of this partition's dup-url
+    membership decisions), so growing the input only invalidates partitions
+    whose derived state actually changed — not the whole store."""
     records = load_records(out_dir)
     pending: list[tuple[int, str]] = []
     for pid, path in enumerate(files):
@@ -116,7 +117,9 @@ def pending_partitions(
     return pending
 
 
-def fingerprint_with_salt(path: str, salt: str = "") -> str:
+def fingerprint_with_salt(path: str, salt: str | dict = "") -> str:
+    if isinstance(salt, dict):
+        salt = salt.get(path, "")
     fp = partition_fingerprint(path)
     return f"{fp}:{salt}" if salt else fp
 

@@ -172,12 +172,16 @@ def test_killed_wave_resumes_at_unit_granularity(ray_session, small_corpus, tmp_
 
     # simulate a killed wave: process only the FIRST unit by hand, leaving
     # its sink files + completion marker in _wave_tmp
-    member_box, dupset_fp = _input_dup_membership(list_pages_files(pages_dir), out, cfg)
-    dupset_fp = f"{dupset_fp}-{extract_code_fingerprint()}"
-    wave = list(enumerate(list_pages_files(pages_dir)))[: cfg.wave_size]
-    specs = _wave_specs(wave, salt=dupset_fp)
+    files = list_pages_files(pages_dir)
+    member_box, _dupset_fp = _input_dup_membership(files, out, cfg)
+    from ocr_suite_ray.pipelines.extract import _per_file_dup_fps
+
+    code_fp = extract_code_fingerprint()
+    salts = {p: f"{fp}-{code_fp}" for p, fp in _per_file_dup_fps(files, member_box).items()}
+    wave = list(enumerate(files))[: cfg.wave_size]
+    specs = _wave_specs(wave, salt=salts)
     tmp_dir = os.path.join(out, "_wave_tmp")
-    writer = FusedExtractWriter(tmp_dir, member_box, dupset_fp)
+    writer = FusedExtractWriter(tmp_dir, member_box)
     writer(specs.slice(0, 1))
     unit_files = _mtimes_under(tmp_dir)
     assert unit_files, "the hand-run unit must have written sink files"

@@ -120,3 +120,43 @@ def test_cli_status_and_search(ray_session, final_store):
     status = json.loads(st.stdout)
     assert status["partitions_done"] == 4
     assert status["rows_done"] > 0
+
+
+def test_cli_watch_incremental(ray_session, tmp_path):
+    """watch polls the pages dir and re-extracts incrementally: round 1
+    processes the initial files, a file added between polls is picked up
+    with only the NEW partition processed (lineage skips the rest)."""
+    from ocr_suite_ray.sources.synthetic import generate_corpus
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    generate_corpus(pages, 200, seed=7, n_files=2)
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ocr_suite_ray.cli", "--num-cpus", "4", "watch",
+         "--pages", pages, "--out", out, "--pool", "2",
+         "--interval", "1.5", "--max-rounds", "30"],
+        stdout=subprocess.PIPE, text=True, env=env,
+    )
+    try:
+        line1 = json.loads(proc.stdout.readline())
+        assert line1["partitions_processed"] == 2
+        # drop a new file with DISJOINT page ids (disjoint urls keep the
+        # dup-url set unchanged, so old partitions stay valid — adding
+        # overlapping urls would legitimately invalidate everything)
+        import pyarrow.parquet as pq
+
+        from ocr_suite_ray.sources.synthetic import generate_pages_table
+
+        extra_t = generate_pages_table(100, seed=7, start=10_000)
+        tmp_extra = os.path.join(pages, ".pages_zz_extra.tmp")
+        pq.write_table(extra_t, tmp_extra)
+        os.rename(tmp_extra, os.path.join(pages, "pages_zz_extra.parquet"))
+        line2 = json.loads(proc.stdout.readline())
+        assert line2["partitions_total"] == 3
+        assert line2["partitions_skipped"] == 2, "old partitions must be skipped"
+        assert line2["partitions_processed"] == 1
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
