@@ -375,6 +375,84 @@ FROM g WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus hygiene: PII scrubbing, dataset splitting, repetition filters
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+_PII_NUM = r"[0-9]+"
+
+
+def q_pii_scrub(sf_dir: str):
+    """Pattern scrubbing over events.props: redact emails/phones/number runs
+    with <LABEL> markers and count matches per row — one vectorized RE2 pass
+    per pattern (pyarrow and DuckDB both run RE2, so the oracle is
+    byte-exact). The standard pre-training PII redaction stage."""
+    from ocr_suite_ray.stages.text_ops import scrub_patterns
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    pats = {"EMAIL": _PII_EMAIL, "PHONE": _PII_PHONE, "NUM": _PII_NUM}
+    return scrub_patterns(ds, "props", pats, out_col="props_scrubbed")
+
+
+SQL_PII_SCRUB = f"""
+SELECT event_id, props,
+       len(regexp_extract_all(props, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(props, '{_PII_PHONE}')) AS n_phone,
+       len(regexp_extract_all(props, '{_PII_NUM}')) AS n_num,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(props, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+         '{_PII_NUM}', '<NUM>', 'g') AS props_scrubbed
+FROM events
+"""
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by md5(doc_id) —
+    reproducible at any parallelism, disjoint by construction."""
+    from ocr_suite_ray.stages.text_ops import assign_split
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return assign_split(ds, "doc_id", train_pct=80, val_pct=10)
+
+
+SQL_DATASET_SPLIT = """
+SELECT doc_id,
+       CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS h
+  FROM documents
+)
+"""
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition features per doc (distinct-token fraction,
+    most-common-token share) — the low-quality boilerplate gate."""
+    from ocr_suite_ray.stages.text_ops import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_stats(ds, "doc_id", "text")
+
+
+SQL_REPETITION = """
+WITH tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(FLOOR(COUNT(*) * 10000.0 / SUM(c) + 0.5) AS BIGINT) AS distinct_frac_e4,
+       CAST(FLOOR(MAX(c) * 10000.0 / SUM(c) + 0.5) AS BIGINT) AS top_token_frac_e4
+FROM tc GROUP BY doc_id
+"""
+
+
 ML_QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality, SQL_QUALITY),
@@ -392,4 +470,7 @@ ML_QUERIES = {
     "ann_ivf_knn": (q_ann_ivf, None),
     "cluster_dedup": (q_cluster_dedup, None),
     "curation_pipeline": (q_curation, SQL_CURATION),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
+    "repetition_ratio": (q_repetition, SQL_REPETITION),
 }

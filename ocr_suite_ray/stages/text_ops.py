@@ -132,3 +132,95 @@ def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
 
     out["rolling_hash"] = [_roll(t) for t in batch["text"]]
     return out
+
+
+# PII / pattern scrubbing: RE2-compatible patterns (pyarrow's
+# replace_substring_regex and DuckDB's regexp_replace both run RE2, so the
+# oracle matches byte-for-byte). The standard pre-training redaction pass.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"\+?[0-9][0-9() .-]{6,}[0-9]",
+    "NUM": r"[0-9]+",
+}
+
+
+def scrub_patterns(ds, text_col: str, patterns: dict, out_col: str | None = None):
+    """Redact every match of each pattern with ``<LABEL>`` and count the
+    redactions — fully vectorized Arrow regex kernels (one C pass per
+    pattern per batch, no per-row Python). Emits ``{out_col}`` (the scrubbed
+    text) and ``n_<label>`` match counts per row.
+
+    Reference analogue: the per-token drop filters of the recognize loop
+    (``provider.h:26``) generalized to content-rewriting filters; the
+    pattern set is the caller's policy (PII_PATTERNS covers the usual
+    email/phone/number classes)."""
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc
+
+    out_col = out_col or f"{text_col}_scrubbed"
+
+    def _scrub(t: pa_mod.Table) -> pa_mod.Table:
+        # counts measured on the ORIGINAL text (order-independent, so the
+        # SQL oracle is a flat projection); replacements applied in pattern
+        # order on the running string
+        cur = t[text_col]
+        for label, pat in patterns.items():
+            n = pc.count_substring_regex(t[text_col], pat)
+            t = t.append_column(f"n_{label.lower()}", pc.cast(n, pa_mod.int64()))
+            cur = pc.replace_substring_regex(cur, pat, f"<{label}>")
+        return t.append_column(out_col, cur)
+
+    return ds.map_batches(_scrub, batch_format="pyarrow")
+
+
+def assign_split(
+    ds,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    mod: int = 100,
+):
+    """Deterministic train/val/test assignment by md5(id) — reproducible at
+    any parallelism and re-run (unlike random_sample), disjoint by
+    construction, and expressible in SQL for the oracle. The md5 is the only
+    per-row Python here (kept for DuckDB hash parity — cf. q_hash_sample);
+    everything downstream is vectorized."""
+    import pyarrow as pa_mod
+
+    def _split(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % mod
+                for d in batch[id_col]
+            ],
+            dtype=np.int64,
+        )
+        out = batch.copy()
+        out["split"] = np.where(
+            h < train_pct, "train", np.where(h < train_pct + val_pct, "val", "test")
+        )
+        return out
+
+    return ds.map_batches(_split, batch_format="pandas")
+
+
+def repetition_stats(ds, id_col: str, text_col: str):
+    """Gopher-style repetition features: distinct-token fraction and
+    most-common-token share, fixed-point e4. High repetition (low distinct
+    fraction / high top-token share) marks low-quality boilerplate docs —
+    a standard pre-training quality gate."""
+
+    def _rep(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].str.split(" ")
+        n = toks.map(len).astype("int64").clip(lower=1)
+        n_distinct = toks.map(lambda ws: len(set(ws))).astype("int64")
+        top = toks.map(
+            lambda ws: max(pd.Series(ws).value_counts().iloc[0], 1) if ws else 0
+        ).astype("int64")
+        out = batch[[id_col]].copy()
+        out["n_tokens"] = n
+        out["distinct_frac_e4"] = np.floor(n_distinct * 10000.0 / n + 0.5).astype("int64")
+        out["top_token_frac_e4"] = np.floor(top * 10000.0 / n + 0.5).astype("int64")
+        return out
+
+    return ds.map_batches(_rep, batch_format="pandas")

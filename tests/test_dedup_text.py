@@ -188,3 +188,49 @@ def test_ivf_knn_recall_vs_brute(ray_session):
     approx2 = ivf_knn(ds.repartition(5), qdf, k=10, n_lists=16, nprobe=8).take_all()
     key = lambda r: (r["query_id"], r["vec_id"])
     assert sorted(approx, key=key) == sorted(approx2, key=key)
+
+
+def test_scrub_patterns_redacts_pii(ray_session):
+    """Crafted payloads (the sf corpus has no PII): emails and phones are
+    redacted with labels, counts measured on the original text."""
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import PII_PATTERNS, scrub_patterns
+
+    rows = [
+        {"id": 0, "text": "contact bob.smith+x@ex-ample.org or call +1 (415) 555-0199 now"},
+        {"id": 1, "text": "no pii here at all"},
+        {"id": 2, "text": "two mails a@b.co c@d.io and 12345678901"},
+    ]
+    out = {
+        r["id"]: r
+        for r in scrub_patterns(
+            rd.from_items(rows), "text", PII_PATTERNS
+        ).take_all()
+    }
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+    assert "<EMAIL>" in out[0]["text_scrubbed"]
+    assert "<PHONE>" in out[0]["text_scrubbed"]
+    assert "bob.smith" not in out[0]["text_scrubbed"]
+    assert "555" not in out[0]["text_scrubbed"]
+    assert out[1]["n_email"] == out[1]["n_phone"] == out[1]["n_num"] == 0
+    assert out[1]["text_scrubbed"] == "no pii here at all"
+    assert out[2]["n_email"] == 2
+    assert out[2]["text_scrubbed"].count("<EMAIL>") == 2
+
+
+def test_assign_split_fractions_and_determinism(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import assign_split
+
+    ds = rd.range(5000).map_batches(
+        lambda df: df.rename(columns={"id": "doc_id"}), batch_format="pandas"
+    )
+    a = assign_split(ds, "doc_id").to_pandas().sort_values("doc_id")
+    b = assign_split(ds.repartition(17), "doc_id").to_pandas().sort_values("doc_id")
+    assert list(a["split"]) == list(b["split"]), "parallelism-invariant"
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.07 < frac["val"] < 0.13
+    assert 0.07 < frac["test"] < 0.13
