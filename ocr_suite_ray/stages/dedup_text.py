@@ -378,7 +378,8 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash64(text: str) -> int:
-    """Classic 64-bit SimHash over whitespace tokens (weight 1 each)."""
+    """Classic 64-bit SimHash over whitespace tokens (weight 1 each).
+    Scalar reference — the differential oracle for ``simhash64_batch``."""
     acc = np.zeros(64, dtype=np.int64)
     for w in text.split(" "):
         h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
@@ -391,15 +392,67 @@ def simhash64(text: str) -> int:
     return out
 
 
+# per-worker token-hash memo: web-corpus tokens are Zipfian, so the cache
+# absorbs almost every blake2b call after warmup; bounded to keep worker
+# heaps flat (clear-on-full is simpler and nearly as good as LRU here)
+_TOKEN_HASH_CACHE: dict = {}
+_TOKEN_HASH_CACHE_MAX = 1_000_000
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized SimHash for a whole batch: one token-hash lookup loop
+    (memoized blake2b), then ONE numpy bit-matrix reduction per batch
+    instead of per-token Python/numpy work — byte-identical to
+    ``simhash64`` (unit-tested). Returns uint64[len(texts)]."""
+    tok_lists = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists))
+    cache = _TOKEN_HASH_CACHE
+    flat = np.empty(int(lens.sum()), dtype=np.uint64)
+    i = 0
+    for ws in tok_lists:
+        for w in ws:
+            h = cache.get(w)
+            if h is None:
+                if len(cache) >= _TOKEN_HASH_CACHE_MAX:
+                    cache.clear()
+                h = int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
+                )
+                cache[w] = h
+            flat[i] = h
+            i += 1
+    # T x 64 bit matrix summed per doc with reduceat, processed in doc
+    # chunks whose token slice stays cache-sized (a whole 10M-token block
+    # would materialize a multi-GB matrix and thrash the memory bus)
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.empty(len(texts), dtype=np.uint64)
+    chunk_tokens = 1 << 20
+    d0 = 0
+    while d0 < len(texts):
+        d1 = d0 + 1
+        while d1 < len(texts) and starts[d1] - starts[d0] < chunk_tokens:
+            d1 += 1
+        t0 = starts[d0]
+        t1 = starts[d1 - 1] + lens[d1 - 1]
+        # int16 accumulators unless a doc in the chunk could overflow them
+        acc_dtype = np.int16 if lens[d0:d1].max() < 32767 else np.int32
+        bits = ((flat[t0:t1, None] >> shifts) & 1).astype(acc_dtype)
+        sums = np.add.reduceat(bits, (starts[d0:d1] - t0), axis=0).astype(np.int64)
+        acc = 2 * sums - lens[d0:d1, None]
+        out[d0:d1] = ((acc > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        d0 = d1
+    return out
+
+
 def simhash_table(ds, id_col: str = "doc_id", text_col: str = "text"):
     """(id, simhash) per doc — signed int64 (bit 63 folded) for Arrow/SQL."""
 
     def _sh(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[id_col]].copy()
-        out["simhash"] = pd.Series(
-            [simhash64(t) & 0x7FFFFFFFFFFFFFFF for t in df[text_col]], dtype="int64",
-            index=df.index,
-        )
+        sh = simhash64_batch(list(df[text_col])) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        out["simhash"] = pd.Series(sh.view(np.int64), dtype="int64", index=df.index)
         return out
 
     return ds.map_batches(_sh, batch_format="pandas")
@@ -415,16 +468,14 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
     n_shards = 64
 
     def _explode(df: pd.DataFrame) -> pd.DataFrame:
-        ids, chunks, vals, hashes = [], [], [], []
-        for i, t in zip(df[id_col], df[text_col]):
-            h = simhash64(t)
-            for c in range(n_chunks):
-                ids.append(i)
-                chunks.append(c)
-                vals.append((h >> (c * chunk_bits)) & ((1 << chunk_bits) - 1))
-                hashes.append(h)
-        cv = np.array(vals, dtype=np.uint64)
-        ck = np.array(chunks, dtype=np.uint64)
+        sh = simhash64_batch(list(df[text_col]))  # uint64 per doc
+        d = len(df)
+        ids = np.repeat(df[id_col].to_numpy(), n_chunks)
+        chunks = np.tile(np.arange(n_chunks, dtype=np.uint64), d)
+        hashes = np.repeat(sh, n_chunks)
+        mask = np.uint64((1 << chunk_bits) - 1)
+        cv = (hashes >> (chunks * np.uint64(chunk_bits))) & mask
+        ck = chunks
         # coarse shard key: one map_groups call per shard, not per bucket
         shard = ((cv * np.uint64(0x9E3779B97F4A7C15) + ck) % np.uint64(n_shards)).astype(
             np.int32
@@ -432,15 +483,13 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
         return pd.DataFrame(
             {
                 id_col: pd.Series(ids, dtype="int64"),
-                "chunk": pd.Series(chunks, dtype="int32"),
+                "chunk": pd.Series(chunks.astype(np.int32)),
                 "chunk_val": pd.Series(cv.view(np.int64)),
                 # full 64 bits, reinterpreted as signed int64 (no bit-63
                 # mask: masking would underreport Hamming distance by 1 for
                 # pairs differing at the top bit while the chunking above
                 # banded on the unmasked value)
-                "simhash": pd.Series(
-                    np.array(hashes, dtype=np.uint64).view(np.int64)
-                ),
+                "simhash": pd.Series(hashes.view(np.int64)),
                 "shard": shard,
             }
         )

@@ -234,3 +234,19 @@ def test_assign_split_fractions_and_determinism(ray_session):
     assert 0.75 < frac["train"] < 0.85
     assert 0.07 < frac["val"] < 0.13
     assert 0.07 < frac["test"] < 0.13
+
+
+def test_simhash_batch_matches_scalar():
+    from ocr_suite_ray.stages.dedup_text import simhash64, simhash64_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "a",
+        "repeat repeat repeat repeat repeat",
+        "unicode tést éléments here now",
+        " leading and  double  spaces ",
+    ] + [f"doc {i} filler words vary {i * 7 % 13}" for i in range(50)]
+    got = simhash64_batch(texts)
+    want = [simhash64(t) for t in texts]
+    assert [int(x) for x in got] == want
