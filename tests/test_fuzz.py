@@ -56,3 +56,75 @@ def test_collapse_ws_idempotent(s):
     once = collapse_ws(s)
     assert collapse_ws(once) == once
     assert "  " not in once
+
+
+# --- scanner vs html.parser differential fuzz ------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2048))
+def test_scanner_matches_oracle_on_arbitrary_bytes(payload):
+    """The fast scanner must agree with the stdlib-html.parser oracle on
+    ARBITRARY byte soup, not just handcrafted cases (the known quoted-'>'
+    divergence needs a quote character inside an open tag — hypothesis byte
+    soup virtually never forms it; excluded by filtering)."""
+    from ocr_suite_ray.functions.html_extract import extract_html_oracle
+
+    raw, _ = decode_bytes(payload)
+    # skip inputs that hit the single documented divergence: '>' inside a
+    # quoted attribute value (needs < [letter] ... ["'] ... > ... ["'])
+    import re as _re
+
+    if _re.search(r"<[A-Za-z][^>]*[\"'][^\"'>]*>", raw):
+        return
+    assert extract_html(payload) == extract_html_oracle(payload)
+
+
+# --- spans shuffle codec roundtrip -----------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 10**6),
+                st.integers(0, 10**6),
+                st.sampled_from(["title", "heading", "paragraph", "list"]),
+            ),
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_spans_codec_roundtrip(span_lists):
+    """encode_spans/decode_spans must roundtrip arbitrary span tables —
+    including empty lists, sliced tables, and multi-chunk columns."""
+    import pyarrow as pa
+
+    from ocr_suite_ray.schemas import SPAN_TYPE
+    from ocr_suite_ray.stages.dedup import decode_spans, encode_spans
+
+    spans = pa.array(
+        [
+            [{"start": a, "stop": b, "kind": k} for a, b, k in row]
+            for row in span_lists
+        ],
+        pa.large_list(SPAN_TYPE),
+    )
+    t = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(len(span_lists))]),
+            "spans": spans,
+        }
+    )
+    rt = decode_spans(encode_spans(t))
+    assert rt["spans"].to_pylist() == t["spans"].to_pylist()
+    # sliced input (non-zero offset buffers)
+    if len(span_lists) > 2:
+        s = t.slice(1, len(span_lists) - 2)
+        rt2 = decode_spans(encode_spans(s))
+        assert rt2["spans"].to_pylist() == s["spans"].to_pylist()
+    # multi-chunk input
+    tc = pa.concat_tables([t, t])
+    rt3 = decode_spans(encode_spans(tc))
+    assert rt3["spans"].to_pylist() == tc["spans"].to_pylist()
