@@ -453,6 +453,63 @@ FROM tc GROUP BY doc_id
 """
 
 
+def q_vocab_top(sf_dir: str):
+    """Corpus vocabulary: top-50 tokens by global count (tokenizer-training
+    first step), deterministic (n desc, token asc) tie-break."""
+    from ocr_suite_ray.stages.text_ops import token_frequencies
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return token_frequencies(ds, "text", top_k=50)
+
+
+SQL_VOCAB_TOP = """
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 50
+"""
+
+
+def q_seq_packing(sf_dir: str):
+    """Deterministic sequence packing for pre-training: exclusive running
+    token count in doc_id order (distributed two-pass prefix scan —
+    stages/scan.py) assigns each doc its sequence id and offset at
+    seq_len=2048."""
+    import pyarrow as pa_mod
+
+    from ocr_suite_ray.stages.scan import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ntok(t: pa_mod.Table) -> pa_mod.Table:
+        import pyarrow.compute as pc_mod
+
+        n = pc_mod.add(pc_mod.count_substring(t["text"], " "), 1)
+        return pa_mod.table(
+            {"doc_id": t["doc_id"], "n_tokens": pc_mod.cast(n, pa_mod.int64())}
+        )
+
+    narrow = ds.map_batches(_ntok, batch_format="pyarrow")
+    return pack_sequences(narrow, "doc_id", "n_tokens", seq_len=2048)
+
+
+SQL_SEQ_PACKING = """
+WITH d AS (
+  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM d
+)
+SELECT doc_id, n_tokens, tokens_before,
+       CAST(FLOOR(tokens_before / 2048) AS BIGINT) AS seq_id,
+       tokens_before % 2048 AS seq_offset
+FROM c
+"""
+
+
 ML_QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality, SQL_QUALITY),
@@ -473,4 +530,6 @@ ML_QUERIES = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "repetition_ratio": (q_repetition, SQL_REPETITION),
+    "vocab_top": (q_vocab_top, SQL_VOCAB_TOP),
+    "seq_packing": (q_seq_packing, SQL_SEQ_PACKING),
 }

@@ -1,0 +1,88 @@
+"""Distributed prefix scan (cumulative sum) and sequence packing.
+
+The prefix scan is the order-dependent primitive the Dataset API lacks
+(reference analogue: the monotone ``last_processed_frame`` watermark,
+``src/common/database.cpp:135-150``, generalized to a running total over a
+keyed order). Standard two-pass shape:
+
+  1. sort by the order key (range-partitioned blocks, disjoint key ranges);
+  2. per-block partial sums -> a TINY (blocks x 2) summary table;
+  3. exclusive per-block offsets from the summary (driver holds one row per
+     block, never row data);
+  4. second vectorized pass adds block offset + within-block cumsum.
+
+Partitioning assumption (documented per the custom-operator contract):
+``ds.sort(key)`` yields blocks with disjoint, ordered key ranges — Ray's
+range-partitioned sort guarantees this; ties within a key must carry the
+whole tie run in one block for a deterministic scan, so use a unique order
+key (doc_id here).
+
+Sequence packing sits on top: assign each document to training sequence
+``floor(tokens_before / seq_len)`` — the deterministic sharding of a packed
+pre-training corpus (docs may straddle a boundary; the assignment records
+where each doc STARTS, which is what a packing writer needs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def prefix_sum(ds, order_col: str, value_col: str, out_col: str = "cum_before"):
+    """Exclusive running sum of ``value_col`` in ``order_col`` order.
+
+    Returns the input rows (sorted) plus ``out_col`` = sum of all values of
+    strictly earlier rows. Two narrow passes; the only driver-side state is
+    one (min_key, sum) pair per block."""
+    import ray
+
+    # materialize the sorted blocks ONCE: both passes must see identical
+    # block boundaries (a re-executed sort may re-sample split points).
+    # Callers pass a narrow projection (order + value columns), so the
+    # pinned blocks are small relative to the corpus.
+    sorted_ds = ds.sort(order_col).materialize()
+
+    # pass 1: per-block summaries — tiny, bounded by block count
+    def _summary(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"min_key": [], "total": []})
+        return pd.DataFrame(
+            {"min_key": [df[order_col].iloc[0]], "total": [df[value_col].sum()]}
+        )
+
+    summaries = sorted_ds.map_batches(
+        _summary, batch_size=None, batch_format="pandas"
+    ).to_pandas()
+    summaries = summaries.sort_values("min_key").reset_index(drop=True)
+    offsets = summaries["total"].cumsum().shift(fill_value=0)
+    # broadcast {block min_key -> exclusive offset} (one entry per block)
+    off_by_min = dict(zip(summaries["min_key"], offsets))
+    off_ref = ray.put(off_by_min)
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(**{out_col: pd.Series(dtype="int64")})
+        table = ray.get(off_ref)
+        base = table[df[order_col].iloc[0]]
+        cum = df[value_col].cumsum().shift(fill_value=0) + base
+        return df.assign(**{out_col: cum})
+
+    return sorted_ds.map_batches(_scan, batch_size=None, batch_format="pandas")
+
+
+def pack_sequences(ds, order_col: str, tokens_col: str, seq_len: int):
+    """Deterministic sequence packing: each doc gets ``seq_id`` =
+    floor(tokens_before / seq_len) and ``seq_offset`` = tokens_before mod
+    seq_len (its start position inside the sequence)."""
+    scanned = prefix_sum(ds, order_col, tokens_col, out_col="tokens_before")
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        tb = df["tokens_before"].to_numpy()
+        df = df.copy()
+        df["tokens_before"] = tb.astype(np.int64)
+        df["seq_id"] = (tb // seq_len).astype(np.int64)
+        df["seq_offset"] = (tb % seq_len).astype(np.int64)
+        return df
+
+    return scanned.map_batches(_assign, batch_format="pandas")

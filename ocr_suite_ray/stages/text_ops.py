@@ -224,3 +224,36 @@ def repetition_stats(ds, id_col: str, text_col: str):
         return out
 
     return ds.map_batches(_rep, batch_format="pandas")
+
+
+def token_frequencies(ds, text_col: str, top_k: int = 100):
+    """Corpus-wide token frequency table, top-k by count (vocabulary
+    building — the first step of tokenizer training). Combine-before-
+    shuffle: each block collapses to its own (token, n) partials (a block
+    contributes at most its distinct-token count), the global groupby sums
+    partials, and the final sort+limit runs over the vocabulary-sized
+    aggregate, never the corpus. Deterministic tie-break: (n desc, token
+    asc)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch[text_col]:
+            c.update(t.split(" "))
+        return pd.DataFrame({"tok": list(c.keys()), "n": list(c.values())}).astype(
+            {"n": "int64"}
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pandas")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _order(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["n", "tok"], ascending=[False, True])
+
+    # the aggregate is vocabulary-sized (small vs corpus); one final sort
+    return agg.map_batches(_order, batch_format="pandas").limit(top_k)

@@ -1,0 +1,46 @@
+"""Distributed prefix scan vs a sequential oracle, at several partitionings."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_suite_ray.stages.scan import pack_sequences, prefix_sum
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 13])
+def test_prefix_sum_matches_sequential(ray_session, nparts):
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "doc_id": rng.permutation(2000),
+            "n": rng.randint(1, 500, size=2000).astype("int64"),
+        }
+    )
+    got = (
+        prefix_sum(rd.from_pandas(df).repartition(nparts), "doc_id", "n")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values("doc_id").reset_index(drop=True)
+    want["cum_before"] = want["n"].cumsum().shift(fill_value=0)
+    assert list(got["cum_before"].astype("int64")) == list(want["cum_before"])
+
+
+def test_pack_sequences_boundaries(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": range(100), "n_tokens": [100] * 100})
+    out = (
+        pack_sequences(rd.from_pandas(df).repartition(7), "doc_id", "n_tokens", 256)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc k starts at 100k: seq = 100k // 256
+    assert list(out["seq_id"]) == [100 * k // 256 for k in range(100)]
+    assert list(out["seq_offset"]) == [100 * k % 256 for k in range(100)]
