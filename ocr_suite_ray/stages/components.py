@@ -27,7 +27,15 @@ def connected_components(pairs_ds, max_rounds: int = 16) -> pd.DataFrame:
 
     Label propagation over the (small) node set: labels live in a pandas map
     re-broadcast per round; edges stream through map_batches emitting label
-    updates, merged vectorized. Deterministic: min-reduce only."""
+    updates, merged vectorized. Deterministic: min-reduce only.
+
+    Scale contract (explicit): the NODE set is the near-dup candidate set —
+    dup-rate bound, orders of magnitude smaller than the corpus — and must
+    fit one worker's heap (~10^8 ids). The EDGE set streams and never
+    materializes. Beyond that node budget the named fallback is
+    hash-partitioned label propagation (labels as a Dataset, per-round
+    keyed join + min-aggregate instead of a broadcast map) — same
+    fixpoint, one extra shuffle per round."""
     import ray
 
     edges = pairs_ds.select_columns(["id_a", "id_b"])

@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 
 
-_BJOIN_CACHE: dict = {}
+from ocr_suite_ray.stages._bcast import cached_get
 
 
 def broadcast_join(
@@ -45,12 +45,7 @@ def broadcast_join(
     ref = ray.put(small_df)
 
     def _join(batch: pd.DataFrame) -> pd.DataFrame:
-        small = _BJOIN_CACHE.get(ref)
-        if small is None:
-            _BJOIN_CACHE.clear()
-            small = ray.get(ref)
-            _BJOIN_CACHE[ref] = small
-        return batch.merge(small, on=on, how=how)
+        return batch.merge(cached_get(ref), on=on, how=how)
 
     kw = {"batch_format": "pandas"}
     if concurrency is not None:
@@ -81,12 +76,7 @@ def broadcast_join_agg(
     ref = ray.put(small_df)
 
     def _join_agg(batch: pd.DataFrame) -> pd.DataFrame:
-        small = _BJOIN_CACHE.get(ref)
-        if small is None:
-            _BJOIN_CACHE.clear()
-            small = ray.get(ref)
-            _BJOIN_CACHE[ref] = small
-        m = batch.merge(small, on=on, how="inner")
+        m = batch.merge(cached_get(ref), on=on, how="inner")
         specs = {name: (src, "sum") for name, src in sum_cols.items()}
         if count_col:
             any_col = next(iter(sum_cols.values()))

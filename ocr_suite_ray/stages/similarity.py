@@ -48,26 +48,25 @@ def knn_brute(ds, query_df: pd.DataFrame, k: int = 10, id_col: str = "vec_id",
     ref = ray.put((qm, qids))
     mult = 10 ** scale
 
-    class _Score:
-        def __init__(self) -> None:
-            self._qm, self._qids = ray.get(ref)  # once per actor
+    from ocr_suite_ray.stages._bcast import cached_get
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _norm(_mat(batch[vec_col]))
-            scores = m @ self._qm.T  # (rows, q)
-            rows = []
-            ids = batch[id_col].to_numpy()
-            for qi, qid in enumerate(self._qids):
-                s = scores[:, qi]
-                top = np.argsort(-s, kind="stable")[:k]  # local top-k combiner
-                for t in top:
-                    rows.append((int(qid), int(ids[t]),
-                                 int(np.floor(s[t] * mult + 0.5))))
-            return pd.DataFrame(
-                rows, columns=["query_id", id_col, f"score_e{scale}"]
-            ).astype("int64")
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        qm_l, qids_l = cached_get(ref)  # once per worker process
+        m = _norm(_mat(batch[vec_col]))
+        scores = m @ qm_l.T  # (rows, q)
+        rows = []
+        ids = batch[id_col].to_numpy()
+        for qi, qid in enumerate(qids_l):
+            s = scores[:, qi]
+            top = np.argsort(-s, kind="stable")[:k]  # local top-k combiner
+            for t in top:
+                rows.append((int(qid), int(ids[t]),
+                             int(np.floor(s[t] * mult + 0.5))))
+        return pd.DataFrame(
+            rows, columns=["query_id", id_col, f"score_e{scale}"]
+        ).astype("int64")
 
-    local = ds.map_batches(_Score, batch_format="pandas", concurrency=(1, 8))
+    local = ds.map_batches(_score, batch_format="pandas")
     return topk_per_group(
         local, ["query_id"], f"score_e{scale}", k,
         descending=True, tiebreak_col=id_col,
@@ -78,33 +77,37 @@ def embedding_near_dup(ds, all_df: pd.DataFrame, threshold_e4: int = 4000,
                        id_col: str = "vec_id", vec_col: str = "embedding"):
     """Pairs (a < b) with cosine*1e4 >= threshold_e4. ``all_df`` (the full
     id+embedding table) is broadcast once; each batch compares its rows
-    against it. O(n^2) scores but streamed batch-by-batch."""
+    against it. O(n^2) scores but streamed batch-by-batch.
+
+    This is the EXACT variant: broadcast memory is O(corpus vectors), so it
+    holds up to ~10^7-10^8 vectors per worker heap. Scale fallback (named
+    per contract): ``lsh_bucket_pairs`` — hyperplane-signature buckets, one
+    shuffle, memory O(bucket)."""
     import ray
 
     am = _norm(_mat(all_df[vec_col]))
     aids = all_df[id_col].to_numpy()
     ref = ray.put((am, aids))
 
-    class _Pairs:
-        def __init__(self) -> None:
-            self._am, self._aids = ray.get(ref)
+    from ocr_suite_ray.stages._bcast import cached_get
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _norm(_mat(batch[vec_col]))
-            ids = batch[id_col].to_numpy()
-            scores = m @ self._am.T
-            e4 = np.floor(scores * 10000 + 0.5).astype(np.int64)
-            bi, aj = np.nonzero(e4 >= threshold_e4)
-            rows = []
-            for x, y in zip(bi, aj):
-                a, b = int(ids[x]), int(self._aids[y])
-                if a < b:  # canonical orientation; also drops self-pairs
-                    rows.append((a, b, int(e4[x, y])))
-            return pd.DataFrame(
-                rows, columns=["id_a", "id_b", "cosine_e4"]
-            ).astype("int64")
+    def _pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        am_l, aids_l = cached_get(ref)
+        m = _norm(_mat(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        scores = m @ am_l.T
+        e4 = np.floor(scores * 10000 + 0.5).astype(np.int64)
+        bi, aj = np.nonzero(e4 >= threshold_e4)
+        rows = []
+        for x, y in zip(bi, aj):
+            a, b = int(ids[x]), int(aids_l[y])
+            if a < b:  # canonical orientation; also drops self-pairs
+                rows.append((a, b, int(e4[x, y])))
+        return pd.DataFrame(
+            rows, columns=["id_a", "id_b", "cosine_e4"]
+        ).astype("int64")
 
-    return ds.map_batches(_Pairs, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(_pairs, batch_format="pandas")
 
 
 def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
@@ -155,35 +158,34 @@ def ivf_knn(ds, query_df: pd.DataFrame, k: int = 10, n_lists: int = 16,
     ref = ray.put((cent, qm, qids, probes))
     mult = 10 ** scale
 
-    class _Search:
-        def __init__(self) -> None:
-            self._cent, self._qm, self._qids, self._probes = ray.get(ref)
+    from ocr_suite_ray.stages._bcast import cached_get
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _norm(_mat(batch[vec_col]))
-            ids = batch[id_col].to_numpy()
-            assign = (m @ self._cent.T).argmax(1)
-            rows = []
-            for l in np.unique(assign):
-                qis = self._probes.get(int(l))
-                if not qis:
-                    continue
-                sel = assign == l
-                sub, sub_ids = m[sel], ids[sel]
-                scores = sub @ self._qm[qis].T  # (rows_in_list, probing queries)
-                for j, qi in enumerate(qis):
-                    s = scores[:, j]
-                    top = np.argsort(-s, kind="stable")[:k]
-                    for t in top:
-                        rows.append(
-                            (int(self._qids[qi]), int(sub_ids[t]),
-                             int(np.floor(s[t] * mult + 0.5)))
-                        )
-            return pd.DataFrame(
-                rows, columns=["query_id", id_col, f"score_e{scale}"]
-            ).astype("int64")
+    def _search(batch: pd.DataFrame) -> pd.DataFrame:
+        cent_l, qm_l, qids_l, probes_l = cached_get(ref)
+        m = _norm(_mat(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        assign = (m @ cent_l.T).argmax(1)
+        rows = []
+        for l in np.unique(assign):
+            qis = probes_l.get(int(l))
+            if not qis:
+                continue
+            sel = assign == l
+            sub, sub_ids = m[sel], ids[sel]
+            scores = sub @ qm_l[qis].T  # (rows_in_list, probing queries)
+            for j, qi in enumerate(qis):
+                s = scores[:, j]
+                top = np.argsort(-s, kind="stable")[:k]
+                for t in top:
+                    rows.append(
+                        (int(qids_l[qi]), int(sub_ids[t]),
+                         int(np.floor(s[t] * mult + 0.5)))
+                    )
+        return pd.DataFrame(
+            rows, columns=["query_id", id_col, f"score_e{scale}"]
+        ).astype("int64")
 
-    local = ds.map_batches(_Search, batch_format="pandas", concurrency=(1, 8))
+    local = ds.map_batches(_search, batch_format="pandas")
     return topk_per_group(
         local, ["query_id"], f"score_e{scale}", k,
         descending=True, tiebreak_col=id_col,
