@@ -161,11 +161,12 @@ def _input_dup_membership(
     if os.path.exists(meta_path) and os.path.exists(table_path):
         with open(meta_path) as fh:
             data = json.load(fh)
-        if data.get("inputs_fp") == inputs_fp:
+        if data.get("inputs_fp") == inputs_fp and set(
+            data.get("file_fps", {})
+        ) == set(files):
             dup_ref = load_dup_table_ref(table_path)
-            return [membership_ref(dup_ref, max_exact=cfg.bloom_threshold)], data[
-                "dupset_fp"
-            ]
+            box = [membership_ref(dup_ref, max_exact=cfg.bloom_threshold)]
+            return box, data["dupset_fp"], data["file_fps"]
     if cfg.key_exchange == "narrow":
         # per-row-group remote read tasks: skips the Dataset ramp (~1-2 s)
         from ocr_suite_ray.state.dupset import dup_key_table_ref_from_files
@@ -175,12 +176,20 @@ def _input_dup_membership(
         ds = rd.read_parquet(files, columns=["url"])
         dup_ref = dup_key_table_ref(ds, key_exchange=cfg.key_exchange)
     n_dups, dupset_fp = dup_meta(dup_ref, persist_path=table_path)
+    box = [membership_ref(dup_ref, max_exact=cfg.bloom_threshold)]
+    file_fps = _per_file_dup_fps(files, box)
     with open(meta_path + ".tmp", "w") as fh:
         json.dump(
-            {"inputs_fp": inputs_fp, "dupset_fp": dupset_fp, "n_dups": n_dups}, fh
+            {
+                "inputs_fp": inputs_fp,
+                "dupset_fp": dupset_fp,
+                "n_dups": n_dups,
+                "file_fps": file_fps,
+            },
+            fh,
         )
     os.replace(meta_path + ".tmp", meta_path)
-    return [membership_ref(dup_ref, max_exact=cfg.bloom_threshold)], dupset_fp
+    return box, dupset_fp, file_fps
 
 
 def _per_file_dup_fps(files: list[str], member_box: list) -> dict:
@@ -363,9 +372,8 @@ def _run_extract_phase_locked(
     from ocr_suite_ray.version import extract_code_fingerprint
 
     t_dup0 = time.monotonic()
-    member_box, dupset_fp = _input_dup_membership(files, out_dir, cfg)
+    member_box, _global_fp, file_fps = _input_dup_membership(files, out_dir, cfg)
     code_fp = extract_code_fingerprint()
-    file_fps = _per_file_dup_fps(files, member_box)
     # per-partition salt: this file's dup-decision fingerprint + code
     # version — input growth elsewhere leaves this partition's salt (and
     # its done record) intact unless its own flags changed

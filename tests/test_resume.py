@@ -173,11 +173,10 @@ def test_killed_wave_resumes_at_unit_granularity(ray_session, small_corpus, tmp_
     # simulate a killed wave: process only the FIRST unit by hand, leaving
     # its sink files + completion marker in _wave_tmp
     files = list_pages_files(pages_dir)
-    member_box, _dupset_fp = _input_dup_membership(files, out, cfg)
-    from ocr_suite_ray.pipelines.extract import _per_file_dup_fps
+    member_box, _dupset_fp, file_fps = _input_dup_membership(files, out, cfg)
 
     code_fp = extract_code_fingerprint()
-    salts = {p: f"{fp}-{code_fp}" for p, fp in _per_file_dup_fps(files, member_box).items()}
+    salts = {p: f"{fp}-{code_fp}" for p, fp in file_fps.items()}
     wave = list(enumerate(files))[: cfg.wave_size]
     specs = _wave_specs(wave, salt=salts)
     tmp_dir = os.path.join(out, "_wave_tmp")
