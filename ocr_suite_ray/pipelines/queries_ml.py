@@ -510,6 +510,41 @@ FROM c
 """
 
 
+def q_media_probe(sf_dir: str):
+    """Multimodal metadata pass over a deterministic synthetic media table
+    (PNG/GIF/BMP/WAV headers + garbage rows — the sf dirs carry no media):
+    REAL container-header parsing (stages/multimodal.py), then the typed
+    metadata projection. Rows-only (binary inputs have no SQL view)."""
+    import struct
+
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.multimodal import attach_media_meta, probe_media
+
+    rows = []
+    for i in range(200):
+        k = i % 5
+        if k == 0:
+            v = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+                 + struct.pack(">II", 16 + i, 9 + i) + bytes([8, 2, 0, 0, 0]))
+        elif k == 1:
+            v = b"GIF89a" + struct.pack("<HH", 32 + i, 20 + i) + b"\x00\x00\x00"
+        elif k == 2:
+            v = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 64 + i, 48 + i)
+                 + b"\x01\x00" + struct.pack("<H", 24) + b"\x00" * 8)
+        elif k == 3:
+            v = (b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+                 + struct.pack("<IHHIIHH", 16, 2, 8000 + i, 32000, 4, 16, 0))
+        else:
+            v = b"garbage-" + str(i).encode()
+        rows.append({"media_id": i, "payload": v})
+    ds = rd.from_items(rows).map_batches(
+        attach_media_meta, batch_format="pyarrow"
+    )
+    out = probe_media(ds)
+    return out.drop_columns(["payload"])
+
+
 ML_QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality, SQL_QUALITY),
@@ -532,4 +567,5 @@ ML_QUERIES = {
     "repetition_ratio": (q_repetition, SQL_REPETITION),
     "vocab_top": (q_vocab_top, SQL_VOCAB_TOP),
     "seq_packing": (q_seq_packing, SQL_SEQ_PACKING),
+    "media_probe": (q_media_probe, None),
 }
