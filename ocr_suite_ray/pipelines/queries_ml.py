@@ -545,6 +545,61 @@ def q_media_probe(sf_dir: str):
     return out.drop_columns(["payload"])
 
 
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization over deterministically-derived dirty urls (the
+    sf tables carry no url column; BOTH sides build the same strings from
+    doc_id, then normalize): fragment strip, utm_* param removal,
+    scheme/host lowercasing — all RE2 kernels, byte-exact vs DuckDB."""
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc_mod
+
+    from ocr_suite_ray.stages.text_ops import normalize_urls
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _mk(t: pa_mod.Table) -> pa_mod.Table:
+        sid = pc_mod.cast(pc_mod.cast(t["doc_id"], pa_mod.int64()), pa_mod.string())
+        host_n = pc_mod.cast(
+            pc_mod.mod_checked(t["doc_id"], 7) if hasattr(pc_mod, "mod_checked")
+            else pc_mod.bit_wise_and(t["doc_id"], 7), pa_mod.string()
+        )
+        url = pc_mod.binary_join_element_wise(
+            "HTTPS://Site", host_n, ".Example.COM/Path/", sid,
+            "?utm_source=feed&id=", sid, "&utm_campaign=x#frag", "",
+        )
+        return pa_mod.table({"doc_id": t["doc_id"], "url": url})
+
+    return normalize_urls(ds.map_batches(_mk, batch_format="pyarrow"), "url")
+
+
+SQL_URL_NORMALIZE = """
+WITH d AS (
+  SELECT doc_id,
+         'HTTPS://Site' || CAST(doc_id & 7 AS VARCHAR) || '.Example.COM/Path/'
+         || CAST(doc_id AS VARCHAR) || '?utm_source=feed&id='
+         || CAST(doc_id AS VARCHAR) || '&utm_campaign=x#frag' AS url
+  FROM documents
+), s AS (
+  SELECT doc_id, url,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(url, '#.*$', ''),
+               'utm_[A-Za-z0-9_]*=[^&]*&', '', 'g'),
+             '[?&]utm_[A-Za-z0-9_]*=[^&]*$', ''),
+           '\\?$', '') AS u
+  FROM d
+)
+SELECT doc_id, url,
+       CASE WHEN regexp_matches(u, '^([A-Za-z][A-Za-z0-9+.-]*://)([^/?#]*)(.*)$')
+            THEN lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://)([^/?#]*)(.*)$', 1))
+                 || lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://)([^/?#]*)(.*)$', 2))
+                 || regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*://)([^/?#]*)(.*)$', 3)
+            ELSE u END AS url_norm
+FROM s
+"""
+
+
 ML_QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality, SQL_QUALITY),
@@ -568,4 +623,5 @@ ML_QUERIES = {
     "vocab_top": (q_vocab_top, SQL_VOCAB_TOP),
     "seq_packing": (q_seq_packing, SQL_SEQ_PACKING),
     "media_probe": (q_media_probe, None),
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
 }

@@ -257,3 +257,40 @@ def token_frequencies(ds, text_col: str, top_k: int = 100):
 
     # the aggregate is vocabulary-sized (small vs corpus); one final sort
     return agg.map_batches(_order, batch_format="pandas").limit(top_k)
+
+
+# URL canonicalization: the crawl-side key hygiene pass (dup detection is
+# only as good as its url key). RE2-only constructs, so the DuckDB oracle
+# is byte-exact. Order matters and is part of the contract:
+#   1. drop the fragment;
+#   2. drop utm_* tracking params (delimiter-preserving two-step);
+#   3. lowercase scheme://host (path/query stay case-sensitive).
+_URL_SPLIT = r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*://)(?P<host>[^/?#]*)(?P<rest>.*)$"
+
+
+def normalize_urls(ds, url_col: str, out_col: str | None = None):
+    """Vectorized URL canonicalization (see module comment for the rule
+    order). Unparseable values (no scheme://host) pass through with only
+    fragment/param stripping applied."""
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc
+
+    out_col = out_col or f"{url_col}_norm"
+
+    def _norm(t: pa_mod.Table) -> pa_mod.Table:
+        u = t[url_col]
+        u = pc.replace_substring_regex(u, r"#.*$", "")
+        u = pc.replace_substring_regex(u, r"utm_[A-Za-z0-9_]*=[^&]*&", "")
+        u = pc.replace_substring_regex(u, r"[?&]utm_[A-Za-z0-9_]*=[^&]*$", "")
+        u = pc.replace_substring_regex(u, r"\?$", "")
+        m = pc.extract_regex(u, _URL_SPLIT)  # struct<1,2,3> or null
+        ok = pc.is_valid(m)
+        lowered = pc.binary_join_element_wise(
+            pc.utf8_lower(pc.struct_field(m, "scheme")),
+            pc.utf8_lower(pc.struct_field(m, "host")),
+            pc.struct_field(m, "rest"),
+            "",
+        )
+        return t.append_column(out_col, pc.if_else(ok, lowered, u))
+
+    return ds.map_batches(_norm, batch_format="pyarrow")

@@ -250,3 +250,22 @@ def test_simhash_batch_matches_scalar():
     got = simhash64_batch(texts)
     want = [simhash64(t) for t in texts]
     assert [int(x) for x in got] == want
+
+
+def test_normalize_urls_rules(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import normalize_urls
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/Page?a=1#frag", "https://www.example.com/Page?a=1"),
+        ("http://x.io/p?utm_source=a&b=2&utm_campaign=c", "http://x.io/p?b=2"),
+        ("http://x.io/p?utm_source=a", "http://x.io/p"),
+        ("relative/path?utm_x=1", "relative/path"),
+        ("FTP://Host/File.TXT", "ftp://host/File.TXT"),
+        ("plain text no url", "plain text no url"),
+    ]
+    rows = [{"i": i, "url": u} for i, (u, _) in enumerate(cases)]
+    out = {r["i"]: r["url_norm"] for r in normalize_urls(rd.from_items(rows), "url").take_all()}
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (i, out[i], want)
