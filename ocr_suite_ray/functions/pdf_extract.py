@@ -1,21 +1,25 @@
-"""Deterministic text extraction for the synthetic minimal-PDF payloads.
+"""Deterministic text extraction for Tj-operator PDF content streams.
 
 The PDF path is the engine's "slow lane" — the analogue of the reference's
 VisionKit provider, a second recognizer for a different payload class routed
 to its own pool (``src/recognition/provider/vision_kit.cpp:71-87``,
 ``README.md:80-81``). A real deployment would hold a warm pdfium instance
 per actor; pdfium is not available in this container, so this module
-implements a layout parser for the *synthetic* uncompressed PDF subset the
-corpus generator emits (``sources/synthetic.py:_page_pdf``): object streams
-with ``BT .. (text) Tj .. ET`` operators. Anything outside that subset —
-compressed streams, xref-driven layout — raises ``NotImplementedError``
-(clearly-marked stub per the build brief); structurally broken PDFs raise
-``ValueError`` and become deterministic ``error:`` rows upstream.
+implements a layout parser for object streams with ``BT .. (text) Tj .. ET``
+operators (the synthetic subset of ``sources/synthetic.py:_page_pdf``, PLUS
+the real-world stream encodings stdlib can decode: ``/FlateDecode`` (zlib —
+the filter virtually every real PDF uses) and ``/ASCIIHexDecode``, applied
+in filter-array order). Filters stdlib cannot decode (DCTDecode, LZW,
+crypt) raise ``NotImplementedError`` (the remaining clearly-marked stub);
+structurally broken PDFs raise ``ValueError`` and become deterministic
+``error:`` rows upstream.
 """
 
 from __future__ import annotations
 
+import binascii
 import re
+import zlib
 
 from ocr_suite_ray.functions.textnorm import collapse_ws
 from ocr_suite_ray.schemas import KIND_PDF_BLOCK
@@ -25,6 +29,36 @@ PDF_MAGIC = b"%PDF-"
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 # A PDF literal string with escapes, followed by the Tj (show text) operator.
 _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+# filter name list from the stream's dict: /Filter /Flate… or /Filter [ … ]
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+
+def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes:
+    """Apply the stream dict's filter chain with stdlib decoders."""
+    m = _FILTER_RE.search(dict_bytes)
+    if not m:
+        return body
+    for name in _NAME_RE.findall(m.group(1)):
+        if name == b"FlateDecode":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error as exc:
+                raise ValueError(f"bad FlateDecode stream: {exc}") from exc
+        elif name == b"ASCIIHexDecode":
+            hexpart = body.split(b">", 1)[0]
+            hexpart = re.sub(rb"\s+", b"", hexpart)
+            if len(hexpart) % 2:
+                hexpart += b"0"  # PDF spec: odd length implies trailing 0
+            try:
+                body = binascii.unhexlify(hexpart)
+            except binascii.Error as exc:
+                raise ValueError(f"bad ASCIIHexDecode stream: {exc}") from exc
+        else:
+            raise NotImplementedError(
+                f"PDF filter {name.decode()} needs pdfium (stubbed)"
+            )
+    return body
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
     b"(": b"(", b")": b")", b"\\": b"\\",
@@ -55,8 +89,6 @@ def extract_pdf(payload: bytes) -> dict:
     """
     if not payload.startswith(PDF_MAGIC):
         raise ValueError("not a PDF payload")
-    if b"/Filter" in payload:
-        raise NotImplementedError("compressed PDF streams need pdfium (stubbed)")
     if b"stream" in payload and b"endstream" not in payload:
         raise ValueError("unterminated PDF stream")
 
@@ -65,7 +97,11 @@ def extract_pdf(payload: bytes) -> dict:
     pos = 0
     dropped = 0
     for m in _STREAM_RE.finditer(payload):
-        body = m.group(1)
+        # the stream's dict is the bytes between the previous object start
+        # (or previous endstream) and this 'stream' keyword
+        dict_start = payload.rfind(b"<<", 0, m.start())
+        dict_bytes = payload[dict_start : m.start()] if dict_start >= 0 else b""
+        body = _decode_stream(dict_bytes, m.group(1))
         texts = [_unescape(lit) for lit in _TJ_RE.findall(body)]
         block = collapse_ws(" ".join(t.decode("latin-1") for t in texts))
         if not block:

@@ -91,8 +91,11 @@ def test_poison_pills_yield_deterministic_error_rows():
     assert out["text"] == ""
     assert extract_payload(b"") == extract_payload(None)
     assert extract_payload(b"").get("status") == "error:EmptyPayload"
-    compressed = b"%PDF-1.4\n1 0 obj\n<</Filter /FlateDecode>>\nstream\nx\nendstream"
-    assert extract_payload(compressed)["status"] == "error:NotImplementedError"
+    corrupt = b"%PDF-1.4\n1 0 obj\n<</Filter /FlateDecode>>\nstream\nx\nendstream"
+    assert extract_payload(corrupt)["status"] == "error:ValueError"
+    unsupported = (b"%PDF-1.4\n1 0 obj\n<</Filter /DCTDecode>>\nstream\n"
+                   b"\xff\xd8\nendstream")
+    assert extract_payload(unsupported)["status"] == "error:NotImplementedError"
 
 
 def test_extraction_is_pure():
@@ -138,3 +141,31 @@ def test_scanner_matches_html_parser_oracle():
     for h in t["html"].to_pylist():
         if h and not h.startswith(b"%PDF"):
             assert extract_html(h) == extract_html_oracle(h)
+
+
+def test_pdf_flate_and_hex_streams_decode():
+    """Real-world encodings stdlib covers: a FlateDecode (zlib) content
+    stream and an ASCIIHexDecode one extract the same text as their
+    uncompressed twin; filter arrays apply in order."""
+    import binascii
+    import zlib
+
+    content = b"BT /F1 12 Tf (hello compressed) Tj (world streams) Tj ET"
+
+    def pdf(dict_extra: bytes, body: bytes) -> bytes:
+        return (b"%PDF-1.4\n1 0 obj\n<<" + dict_extra + b">>\nstream\n"
+                + body + b"\nendstream\ntrailer")
+
+    plain = extract_payload(pdf(b"", content))
+    flate = extract_payload(pdf(b"/Filter /FlateDecode", zlib.compress(content)))
+    hexed = extract_payload(
+        pdf(b"/Filter /ASCIIHexDecode", binascii.hexlify(content) + b">")
+    )
+    chained = extract_payload(
+        pdf(b"/Filter [ /ASCIIHexDecode /FlateDecode ]",
+            binascii.hexlify(zlib.compress(content)) + b">")
+    )
+    assert plain["status"] == "ok"
+    assert plain["text"] == "hello compressed world streams"
+    for variant in (flate, hexed, chained):
+        assert variant == plain
