@@ -80,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
         help="stop after N polls (0 = run until interrupted)",
     )
 
+    pi = sub.add_parser("ingest", help="convert JSONL crawl dumps to the pages layout")
+    pi.add_argument("--src", required=True, help="directory of *.jsonl dumps")
+    pi.add_argument("--pages", required=True)
+
     pg = sub.add_parser("gen", help="generate a synthetic pages corpus")
     pg.add_argument("--pages", required=True)
     pg.add_argument("--n-pages", type=int, default=10_000)
@@ -121,7 +125,12 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     try:
-        if a.cmd == "gen":
+        if a.cmd == "ingest":
+            from ocr_suite_ray.sources.ingest import ingest_jsonl
+
+            written = ingest_jsonl(a.src, a.pages)
+            print(json.dumps({"files": len(written), "dir": a.pages}))
+        elif a.cmd == "gen":
             from ocr_suite_ray.sources.synthetic import generate_corpus
 
             files = generate_corpus(a.pages, a.n_pages, seed=a.seed, n_files=a.n_files)
