@@ -32,10 +32,10 @@ def connected_components(pairs_ds, max_rounds: int = 16) -> pd.DataFrame:
     Scale contract (explicit): the NODE set is the near-dup candidate set —
     dup-rate bound, orders of magnitude smaller than the corpus — and must
     fit one worker's heap (~10^8 ids). The EDGE set streams and never
-    materializes. Beyond that node budget the named fallback is
-    hash-partitioned label propagation (labels as a Dataset, per-round
-    keyed join + min-aggregate instead of a broadcast map) — same
-    fixpoint, one extra shuffle per round."""
+    materializes. Beyond that node budget use
+    :func:`connected_components_distributed` — labels as a Dataset with
+    per-round keyed aggregates, same fixpoint, implemented below and
+    verified equivalent."""
     import ray
 
     edges = pairs_ds.select_columns(["id_a", "id_b"])
@@ -106,3 +106,116 @@ def dedup_keep_cluster_min(ds, pairs_ds, id_col: str = "doc_id"):
         return t.filter(pc.invert(pc.is_in(t[id_col], value_set=drop)))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def connected_components_distributed(
+    pairs_ds, max_rounds: int = 16, num_partitions: int = 16
+):
+    """The 100-TB path for :func:`connected_components`: labels live as a
+    DATASET (never a driver map). Each round is label propagation expressed
+    with keyed aggregates only — no joins:
+
+        msgs  = (labels ∪ oriented edges) groupby(node).map_groups:
+                  emit (peer, my_label) per edge + (node, my_label)
+        labels' = msgs groupby(node).min(label)
+
+    — two hash shuffles per round, all worker-side; convergence = the
+    distinct-(node,label) count over old ∪ new equals the node count (a
+    keyed aggregate, not a driver diff). Same min-label fixpoint and
+    determinism as the broadcast version (verified equivalent in tests).
+    Use when the candidate node set exceeds one worker's heap; otherwise
+    the broadcast version converges with less per-round machinery."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Min
+
+    edges = pairs_ds.select_columns(["id_a", "id_b"])
+    oriented = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pc_concat(t["id_a"], t["id_b"]),
+                    "lab": pa.nulls(2 * t.num_rows, pa.int64()),
+                    "peer": pc_concat(t["id_b"], t["id_a"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    if oriented.count() == 0:
+        return rd.from_pandas(
+            pd.DataFrame({"node_id": [], "component_id": []}).astype("int64")
+        )
+
+    def _as_label_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "lab": t["lab"],
+                "peer": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t["node"], "lab": t["node"], "peer": t["peer"]}
+        )
+
+    labels = (
+        oriented.map_batches(_init, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("lab", alias_name="lab"))
+        .materialize()
+    )
+    n_nodes = labels.count()
+
+    def _propagate(g: pd.DataFrame) -> pa.Table:
+        lab = int(g["lab"].min())  # exactly the label rows carry non-null lab
+        peers = g["peer"].dropna().to_numpy()
+        nodes = np.concatenate([[int(g["node"].iloc[0])], peers]).astype("int64")
+        # arrow out: keeps every block in the round arrow-typed so unions
+        # with the (arrow) label blocks don't mix block types
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "lab": pa.array(np.full(len(nodes), lab, "int64"), pa.int64()),
+            }
+        )
+
+    for _ in range(max_rounds):
+        msgs = (
+            labels.map_batches(_as_label_rows, batch_format="pyarrow")
+            .union(oriented)
+            .groupby("node")
+            .map_groups(_propagate, batch_format="pandas")
+        )
+        new_labels = (
+            msgs.groupby("node").aggregate(Min("lab", alias_name="lab")).materialize()
+        )
+        # convergence: every (node, lab) pair identical on both sides <=>
+        # distinct pairs over old ∪ new == node count
+        distinct_pairs = (
+            labels.union(new_labels)
+            .groupby(["node", "lab"])
+            .aggregate(Count(alias_name="__n"))
+            .count()
+        )
+        labels = new_labels
+        if distinct_pairs == n_nodes:
+            return labels.map_batches(
+                lambda t: t.rename_columns(["node_id", "component_id"]),
+                batch_format="pyarrow",
+            )
+    raise RuntimeError(
+        f"connected_components_distributed did not converge in {max_rounds} "
+        "rounds (similarity-graph diameter exceeds max_rounds)"
+    )
+
+
+def pc_concat(a, b):
+    import pyarrow as pa
+
+    return pa.concat_arrays([a.combine_chunks(), b.combine_chunks()])

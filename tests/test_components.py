@@ -71,3 +71,34 @@ def test_connected_components_raises_on_non_convergence(ray_session):
     # and with enough rounds the same graph resolves to one component
     out = connected_components(rd.from_pandas(chain), max_rounds=16)
     assert set(out["component_id"]) == {1}
+
+
+def test_distributed_cc_matches_broadcast(ray_session):
+    """The Dataset-label variant computes the same components as the
+    broadcast version on chains, random graphs, and singleton-free sets."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.components import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    # one case keeps suite wall-time sane: a chain (worst-case diameter for
+    # label propagation), a triangle, and random extra edges in one graph
+    rng = np.random.RandomState(7)
+    pairs = (
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+        + [(int(a), int(b)) for a, b in rng.randint(20, 36, size=(10, 2)) if a != b]
+    )
+    ds = rd.from_items([{"id_a": a, "id_b": b} for a, b in pairs])
+    want = connected_components(ds).sort_values("node_id").reset_index(drop=True)
+    got = (
+        connected_components_distributed(ds, num_partitions=2)
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    assert list(got["node_id"]) == list(want["node_id"])
+    assert list(got["component_id"]) == list(want["component_id"])
