@@ -435,6 +435,22 @@ def _run_extract_phase_locked(
                     else:
                         keep.append(k)
                 specs = specs.take(pa.array(keep, pa.int64()))
+                # prune stale partition dirs the reused markers do NOT
+                # account for: when the input list shifts (a new file sorts
+                # before existing ones), the killed run's partition_id=<old>
+                # dirs hold a DIFFERENT file's rows under a pid this wave
+                # will commit — promoting them would duplicate urls in
+                # final/. Re-run units rewrite their content-named files
+                # deterministically, so deleting any unreused pid dir only
+                # costs redundant work, never correctness. (pid→file is
+                # injective per run, so a dir with a reused marker cannot
+                # also hold another file's stale rows.)
+                reused_pids = {r["pid"] for r in reused}
+                for d in os.listdir(tmp_dir):
+                    if not d.startswith("partition_id="):
+                        continue
+                    if int(d.split("=", 1)[1]) not in reused_pids:
+                        shutil.rmtree(os.path.join(tmp_dir, d))
             if cfg.fused_compute == "tasks":
                 # task pool + per-worker warm cache: reuses the session's
                 # warm workers (no per-wave actor spawn/import ramp)

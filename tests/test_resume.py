@@ -203,6 +203,68 @@ def test_killed_wave_resumes_at_unit_granularity(ray_session, small_corpus, tmp_
     assert a.equals(b)
 
 
+def test_killed_wave_with_shifted_pids_drops_stale_dirs(
+    ray_session, tmp_path
+):
+    """Input list shifts between a killed run and its resume (a new file
+    sorts before existing ones): markers still fingerprint-validate but
+    their pids are stale, so the killed run's partition dirs hold a
+    DIFFERENT file's rows under each pid. Those dirs must be pruned, not
+    promoted — promoting them duplicates urls in final/."""
+    import pyarrow as pa
+
+    from ocr_suite_ray.pipelines.extract import (
+        FusedExtractWriter,
+        _input_dup_membership,
+        _load_unit_markers,
+        _wave_specs,
+        list_pages_files,
+    )
+    from ocr_suite_ray.sources.synthetic import generate_corpus
+    from ocr_suite_ray.version import extract_code_fingerprint
+
+    pages = str(tmp_path / "pages_shift")
+    generate_corpus(pages, 200, seed=7, n_files=4)
+    out = str(tmp_path / "out_shift")
+    cfg = ExtractConfig(wave_size=8, pool_size=2)
+
+    # killed run: extract ALL units of the first file (pid 0) by hand,
+    # leaving its sink files + markers in _wave_tmp
+    files = list_pages_files(pages)
+    member_box, _fp, file_fps = _input_dup_membership(files, out, cfg)
+    code_fp = extract_code_fingerprint()
+    salts = {p: f"{fp}-{code_fp}" for p, fp in file_fps.items()}
+    specs = _wave_specs(list(enumerate(files)), salt=salts)
+    first = specs.filter(pa.compute.equal(specs["partition_id"], 0))
+    tmp_dir = os.path.join(out, "_wave_tmp")
+    FusedExtractWriter(tmp_dir, member_box)(first)
+    assert os.path.isdir(os.path.join(tmp_dir, "partition_id=0"))
+
+    # shift: rename the LAST file so it sorts first — every pid moves by one
+    shifted = os.path.join(pages, "a_first.parquet")
+    os.rename(files[-1], shifted)
+
+    # precondition for the bug: the old markers still validate under the
+    # new salts (content unchanged), they just carry stale pids
+    files2 = list_pages_files(pages)
+    _box2, _fp2, file_fps2 = _input_dup_membership(files2, out, cfg)
+    salts2 = {p: f"{fp}-{code_fp}" for p, fp in file_fps2.items()}
+    assert _load_unit_markers(tmp_dir, salts2), "markers must still validate"
+
+    s = run_extract_phase(pages, out, cfg)
+    assert s["partitions_processed"] == len(files2)
+    run_finalize_phase(out, cfg)
+    final = pads.dataset(os.path.join(out, "final")).to_table()
+    urls = final["url"].to_pylist()
+    assert len(urls) == len(set(urls)), "stale wave dir promoted: dup urls"
+
+    # byte-identical to a clean run on the shifted input
+    out2 = str(tmp_path / "fresh_shift")
+    run_pipeline(pages, out2, cfg)
+    fresh = pads.dataset(os.path.join(out2, "final")).to_table().sort_by("url")
+    assert final.sort_by("url").equals(fresh)
+
+
 def _mtimes_under(root: str) -> dict:
     out = {}
     for dirpath, _dirs, names in os.walk(root):
