@@ -8,9 +8,11 @@ per actor; pdfium is not available in this container, so this module
 implements a layout parser for object streams with ``BT .. (text) Tj .. ET``
 operators (the synthetic subset of ``sources/synthetic.py:_page_pdf``, PLUS
 the real-world stream encodings stdlib can decode: ``/FlateDecode`` (zlib —
-the filter virtually every real PDF uses) and ``/ASCIIHexDecode``, applied
-in filter-array order). Filters stdlib cannot decode (DCTDecode, LZW,
-crypt) raise ``NotImplementedError`` (the remaining clearly-marked stub);
+the filter virtually every real PDF uses), ``/ASCIIHexDecode`` and
+``/LZWDecode`` (pure-Python, public ISO 32000-1 spec), applied in
+filter-array order). Filters that genuinely need codec libraries
+(DCTDecode, JPXDecode, crypt) raise ``NotImplementedError`` (the remaining
+clearly-marked stub);
 structurally broken PDFs raise ``ValueError`` and become deterministic
 ``error:`` rows upstream.
 """
@@ -32,6 +34,51 @@ _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
 # filter name list from the stream's dict: /Filter /Flate… or /Filter [ … ]
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_EARLY_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (ISO 32000-1 §7.4.4, public spec): variable 9→12-bit
+    codes, 256=clear-table, 257=EOD, with the TIFF ``EarlyChange`` code-width
+    bump (default 1: the width grows one code early). Pure stdlib."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bitbuf = 0
+    nbits = 0
+    width = 9
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("bad LZW stream: first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("bad LZW stream: code out of range")
+            out += entry
+            prev = entry
+            # the decoder's table lags the encoder's by one entry, so it
+            # bumps the code width one entry earlier (the EarlyChange rule)
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
 
 
 def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes:
@@ -54,6 +101,9 @@ def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes:
                 body = binascii.unhexlify(hexpart)
             except binascii.Error as exc:
                 raise ValueError(f"bad ASCIIHexDecode stream: {exc}") from exc
+        elif name == b"LZWDecode":
+            em = _EARLY_RE.search(dict_bytes)
+            body = _lzw_decode(body, int(em.group(1)) if em else 1)
         else:
             raise NotImplementedError(
                 f"PDF filter {name.decode()} needs pdfium (stubbed)"
@@ -80,6 +130,34 @@ def _unescape(lit: bytes) -> bytes:
     return bytes(out)
 
 
+def _stream_dict(payload: bytes, stream_kw_start: int) -> bytes:
+    """The stream object's FULL dict: the dict closes with ``>>`` just
+    before the ``stream`` keyword — walk backward balancing ``<<``/``>>``
+    pairs so a nested dict (e.g. ``/DecodeParms <<…>>``) cannot hide the
+    outer ``/Filter`` (a bare ``rfind(b"<<")`` finds only the innermost
+    opener and silently treats a filtered stream as raw)."""
+    end = payload.rfind(b">>", 0, stream_kw_start)
+    if end < 0:
+        return b""
+    depth = 0
+    i = end
+    while i >= 0:
+        two = payload[i : i + 2]
+        if two == b">>":
+            depth += 1
+            i -= 2
+        elif two == b"<<":
+            depth -= 1
+            if depth == 0:
+                return payload[i:stream_kw_start]
+            i -= 2
+        else:
+            i -= 1
+    # unbalanced (malformed producer): fall back to the innermost opener
+    start = payload.rfind(b"<<", 0, stream_kw_start)
+    return payload[start:stream_kw_start] if start >= 0 else b""
+
+
 def extract_pdf(payload: bytes) -> dict:
     """bytes → {text, spans, n_blocks_kept, n_blocks_dropped}.
 
@@ -97,10 +175,7 @@ def extract_pdf(payload: bytes) -> dict:
     pos = 0
     dropped = 0
     for m in _STREAM_RE.finditer(payload):
-        # the stream's dict is the bytes between the previous object start
-        # (or previous endstream) and this 'stream' keyword
-        dict_start = payload.rfind(b"<<", 0, m.start())
-        dict_bytes = payload[dict_start : m.start()] if dict_start >= 0 else b""
+        dict_bytes = _stream_dict(payload, m.start())
         body = _decode_stream(dict_bytes, m.group(1))
         texts = [_unescape(lit) for lit in _TJ_RE.findall(body)]
         block = collapse_ws(" ".join(t.decode("latin-1") for t in texts))

@@ -559,9 +559,10 @@ def q_url_normalize(sf_dir: str):
 
     def _mk(t: pa_mod.Table) -> pa_mod.Table:
         sid = pc_mod.cast(pc_mod.cast(t["doc_id"], pa_mod.int64()), pa_mod.string())
+        # bit_wise_and unconditionally: the SQL oracle computes `doc_id & 7`,
+        # and mod 7 != AND 7 — a mod fallback would silently diverge
         host_n = pc_mod.cast(
-            pc_mod.mod_checked(t["doc_id"], 7) if hasattr(pc_mod, "mod_checked")
-            else pc_mod.bit_wise_and(t["doc_id"], 7), pa_mod.string()
+            pc_mod.bit_wise_and(t["doc_id"], 7), pa_mod.string()
         )
         url = pc_mod.binary_join_element_wise(
             "HTTPS://Site", host_n, ".Example.COM/Path/", sid,
@@ -585,7 +586,7 @@ WITH d AS (
            regexp_replace(
              regexp_replace(
                regexp_replace(url, '#.*$', ''),
-               'utm_[A-Za-z0-9_]*=[^&]*&', '', 'g'),
+               '([?&])(utm_[A-Za-z0-9_]*=[^&]*&)+', '\\1', 'g'),
              '[?&]utm_[A-Za-z0-9_]*=[^&]*$', ''),
            '\\?$', '') AS u
   FROM d

@@ -172,15 +172,19 @@ def connected_components_distributed(
     )
     n_nodes = labels.count()
 
-    def _propagate(g: pd.DataFrame) -> pa.Table:
-        lab = int(g["lab"].min())  # exactly the label rows carry non-null lab
-        peers = g["peer"].dropna().to_numpy()
-        nodes = np.concatenate([[int(g["node"].iloc[0])], peers]).astype("int64")
-        # arrow out: keeps every block in the round arrow-typed so unions
-        # with the (arrow) label blocks don't mix block types
+    def _propagate(g: pa.Table) -> pa.Table:
+        # arrow in AND out: ids never pass through pandas, where nullable
+        # int64 columns decay to float64 and ids above 2^53 silently corrupt
+        import pyarrow.compute as pc
+
+        lab = pc.min(g["lab"]).as_py()  # exactly the label rows carry non-null lab
+        peers = g["peer"].drop_null()
+        nodes = pa.chunked_array(
+            [pa.array([g["node"][0].as_py()], pa.int64())] + list(peers.chunks)
+        )
         return pa.table(
             {
-                "node": pa.array(nodes, pa.int64()),
+                "node": nodes,
                 "lab": pa.array(np.full(len(nodes), lab, "int64"), pa.int64()),
             }
         )
@@ -190,7 +194,7 @@ def connected_components_distributed(
             labels.map_batches(_as_label_rows, batch_format="pyarrow")
             .union(oriented)
             .groupby("node")
-            .map_groups(_propagate, batch_format="pandas")
+            .map_groups(_propagate, batch_format="pyarrow")
         )
         new_labels = (
             msgs.groupby("node").aggregate(Min("lab", alias_name="lab")).materialize()

@@ -280,7 +280,13 @@ def normalize_urls(ds, url_col: str, out_col: str | None = None):
     def _norm(t: pa_mod.Table) -> pa_mod.Table:
         u = t[url_col]
         u = pc.replace_substring_regex(u, r"#.*$", "")
-        u = pc.replace_substring_regex(u, r"utm_[A-Za-z0-9_]*=[^&]*&", "")
+        # anchored to the ?/& delimiter (kept via backref) so a non-utm
+        # param whose name merely contains "utm_" (e.g. ?xutm_a=1) is
+        # never consumed; the (…&)+ repetition still clears consecutive
+        # utm params in one pass
+        u = pc.replace_substring_regex(
+            u, r"([?&])(utm_[A-Za-z0-9_]*=[^&]*&)+", r"\1"
+        )
         u = pc.replace_substring_regex(u, r"[?&]utm_[A-Za-z0-9_]*=[^&]*$", "")
         u = pc.replace_substring_regex(u, r"\?$", "")
         m = pc.extract_regex(u, _URL_SPLIT)  # struct<1,2,3> or null

@@ -264,6 +264,12 @@ def test_normalize_urls_rules(ray_session):
         ("relative/path?utm_x=1", "relative/path"),
         ("FTP://Host/File.TXT", "ftp://host/File.TXT"),
         ("plain text no url", "plain text no url"),
+        # a non-utm param whose NAME contains "utm_" must survive intact
+        ("http://x.io/p?xutm_a=1&b=2", "http://x.io/p?xutm_a=1&b=2"),
+        ("http://x.io/p?a=1&xutm_b=2&utm_c=3", "http://x.io/p?a=1&xutm_b=2"),
+        # consecutive utm params clear in one pass
+        ("http://x.io/p?utm_a=1&utm_b=2&c=3", "http://x.io/p?c=3"),
+        ("http://x.io/p?utm_a=1&utm_b=2", "http://x.io/p"),
     ]
     rows = [{"i": i, "url": u} for i, (u, _) in enumerate(cases)]
     out = {r["i"]: r["url_norm"] for r in normalize_urls(rd.from_items(rows), "url").take_all()}

@@ -169,3 +169,91 @@ def test_pdf_flate_and_hex_streams_decode():
     assert plain["text"] == "hello compressed world streams"
     for variant in (flate, hexed, chained):
         assert variant == plain
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Minimal PDF/TIFF LZW compressor (test-side oracle for the decoder):
+    emits clear-table, then codes, then EOD, growing the code width with the
+    same EarlyChange rule the decoder implements."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bits: list[tuple[int, int]] = [(256, 9)]  # start with clear-table
+    w = b""
+    for ch in (bytes([b]) for b in data):
+        if w + ch in table:
+            w += ch
+            continue
+        bits.append((table[w], width))
+        table[w + ch] = next_code
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:  # table full: clear (keeps the test honest)
+            bits.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = ch
+    if w:
+        bits.append((table[w], width))
+    bits.append((257, width))
+    out = bytearray()
+    buf = 0
+    nbits = 0
+    for code, wd in bits:
+        buf = (buf << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_pdf_lzw_stream_decodes():
+    """LZWDecode (stdlib-implemented, public ISO 32000-1 spec) roundtrips:
+    an LZW-compressed content stream extracts identically to its plain twin,
+    including width growth past 511/1023 codes and EarlyChange=0."""
+    from ocr_suite_ray.functions.pdf_extract import _lzw_decode
+
+    content = b"BT /F1 12 Tf (hello compressed) Tj (world streams) Tj ET"
+
+    def pdf(dict_extra: bytes, body: bytes) -> bytes:
+        return (b"%PDF-1.4\n1 0 obj\n<<" + dict_extra + b">>\nstream\n"
+                + body + b"\nendstream\ntrailer")
+
+    plain = extract_payload(pdf(b"", content))
+    lzw = extract_payload(pdf(b"/Filter /LZWDecode", _lzw_encode(content)))
+    assert lzw == plain
+    # known vector from the TIFF/PDF spec family: '45 45 45 ...' style runs
+    # stress the code==next_code (KwKwK) branch; big inputs stress 10/11/12
+    # bit widths and the table-full clear
+    import random
+
+    rng = random.Random(7)
+    big = bytes(rng.randrange(4) for _ in range(20000))
+    for payload in (b"AAAAAAAA", b"TOBEORNOTTOBEORTOBEORNOT", big):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+        assert _lzw_decode(_lzw_encode(payload, 0), 0) == payload
+
+
+def test_pdf_nested_decodeparms_dict_still_decodes():
+    """A nested dict between the outer ``<<`` and ``stream`` (e.g.
+    ``/DecodeParms <<…>>``) must not hide the outer ``/Filter``: the
+    stream-dict scan balances ``<<``/``>>`` instead of taking the innermost
+    opener (which silently treated FlateDecode bodies as raw → empty
+    text)."""
+    import zlib
+
+    content = b"BT /F1 12 Tf (nested dict) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<</Length 99 /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 1 /Columns 1 >> >>\nstream\n"
+        + zlib.compress(content)
+        + b"\nendstream\ntrailer"
+    )
+    out = extract_payload(pdf)
+    assert out["status"] == "ok"
+    assert out["text"] == "nested dict"
