@@ -22,10 +22,10 @@ def _read(sf_dir: str, table: str, columns=None):
 # ---------------------------------------------------------------------------
 
 def q_token_stats(sf_dir: str):
-    from ocr_suite_ray.stages.text_ops import TokenStats
+    from ocr_suite_ray.stages.text_ops import token_stats_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(TokenStats, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
 
 
 SQL_TOKEN_STATS = """
@@ -44,7 +44,7 @@ def q_quality(sf_dir: str):
     from ocr_suite_ray.stages.text_ops import quality_score
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(quality_score, batch_format="pandas")
+    return ds.map_batches(quality_score, batch_format="pyarrow")
 
 
 SQL_QUALITY = """
@@ -71,10 +71,10 @@ FROM f
 
 
 def q_lang_id(sf_dir: str):
-    from ocr_suite_ray.stages.text_ops import LangId
+    from ocr_suite_ray.stages.text_ops import lang_id_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
 
 
 SQL_LANG_ID = """
@@ -306,30 +306,32 @@ def q_curation(sf_dir: str):
     the chained shape of a real corpus-curation job."""
     import hashlib
 
-    import pandas as pd
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc_mod
 
     from ocr_suite_ray.stages.relational import topk_per_group
-    from ocr_suite_ray.stages.text_ops import LangId, quality_score
+    from ocr_suite_ray.stages.text_ops import lang_id_batch, quality_score
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    class _Enrich:
-        def __init__(self) -> None:
-            self._lang = LangId()
+    def _enrich(t: pa_mod.Table) -> pa_mod.Table:
+        # both kernels preserve input row order → positional align; the
+        # enrich + gate fuse into one task stage (warm per-worker state via
+        # the stage functions' module caches — no actor-pool spawn)
+        out = quality_score(t).append_column(
+            "lang_pred", lang_id_batch(t)["lang_pred"]
+        )
+        # per-row md5 is the declared price of DuckDB hash parity
+        out = out.append_column(
+            "text_hash",
+            pa_mod.array(
+                [hashlib.md5(x.encode()).hexdigest()
+                 for x in t["text"].to_pylist()]
+            ),
+        )
+        return out.filter(pc_mod.greater_equal(out["quality"], 70))
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            q = quality_score(df)
-            lang = self._lang(df)[["doc_id", "lang_pred"]]
-            out = q.merge(lang, on="doc_id")
-            out["text_hash"] = [
-                hashlib.md5(t.encode()).hexdigest() for t in df["text"]
-            ]
-            return out
-
-    enriched = ds.map_batches(_Enrich, batch_format="pandas", concurrency=(1, 4))
-    gated = enriched.map_batches(
-        lambda df: df[df["quality"] >= 70], batch_format="pandas"
-    )
+    gated = ds.map_batches(_enrich, batch_format="pyarrow")
     kept = topk_per_group(gated, ["text_hash"], "doc_id", 1, descending=False)
     return kept.select_columns(["doc_id", "n_tokens", "quality", "lang_pred"])
 

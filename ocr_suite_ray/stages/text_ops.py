@@ -33,86 +33,176 @@ STOPWORDS = frozenset({"the", "a", "and", "of", "to"})
 
 # BPE-ish subword split: runs of letters, runs of digits, single punct
 BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(texts) -> tuple:
+    """Whitespace-split tokens, Arrow-native: ``(n_tokens, flat, offsets)``
+    where ``flat`` is the flattened token array and ``offsets`` (int64,
+    zero-based) segments it per row. The flatten-plus-offsets shape is the
+    module's per-token workhorse: every per-token predicate becomes one
+    vectorized kernel over ``flat`` plus a cumsum segment reduction —
+    no per-row Python (cf. the same shape in dedup_text.simhash64_batch)."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = pc.split_pattern(texts, " ")
+    off = lst.offsets.to_numpy().astype(np.int64)
+    off = off - off[0]
+    n_tokens = (off[1:] - off[:-1]).astype(np.int64)
+    return n_tokens, pc.list_flatten(lst), off
+
+
+def _segment_sum(flat_vals: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flattened per-token array (empty-segment safe)."""
+    cs = np.zeros(len(flat_vals) + 1, dtype=np.int64)
+    np.cumsum(flat_vals, out=cs[1:])
+    return cs[off[1:]] - cs[off[:-1]]
+
+
+def _mask_counts(flat, off: np.ndarray, value_set) -> np.ndarray:
+    """Per-row count of tokens contained in ``value_set`` (one ``is_in``
+    C pass over the flat tokens + a segment sum)."""
+    import pyarrow.compute as pc
+
+    mask = pc.is_in(flat, value_set=value_set)
+    return _segment_sum(
+        mask.to_numpy(zero_copy_only=False).astype(np.int64), off
+    )
+
+
+def _round_ratio_e(num: np.ndarray, den: np.ndarray, scale: float) -> np.ndarray:
+    # floor(x+0.5) == round-half-away for non-negatives (DuckDB ROUND);
+    # np.round is half-to-even and would diverge at exact halves
+    return np.floor(num * scale / den + 0.5).astype(np.int64)
 
 
 class TokenStats:
-    """Per-doc token statistics. Actor-pool class: regex compiled once.
+    """Per-doc token statistics. Actor-pool class: the stopword value-set
+    array is built once per actor.
 
     Outputs: n_tokens (whitespace tokens), n_subwords (BPE-ish regex
     tokens), stop_ratio_e4 (fixed-point stopword share of whitespace
-    tokens)."""
+    tokens). Arrow kernels end-to-end (split_pattern / count_substring_regex
+    / is_in + cumsum segment sums)."""
 
     def __init__(self) -> None:
-        self._bpe = BPE_RE
-        self._stop = STOPWORDS
+        self._stop = pa.array(sorted(STOPWORDS))
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         texts = batch["text"]
-        toks = texts.str.split(" ")
-        n_tokens = toks.map(len).astype("int64")
-        n_sub = texts.map(lambda t: len(self._bpe.findall(t))).astype("int64")
-        n_stop = toks.map(lambda ws: sum(w in self._stop for w in ws)).astype("int64")
-        out = batch[["doc_id"]].copy()
-        out["n_tokens"] = n_tokens
-        out["n_subwords"] = n_sub
-        # floor(x+0.5) == round-half-away for non-negatives (DuckDB ROUND);
-        # np.round is half-to-even and would diverge at exact halves
-        out["stop_ratio_e4"] = (
-            np.floor(n_stop * 10000.0 / n_tokens.clip(lower=1) + 0.5).astype("int64")
+        n_tokens, flat, off = _tokens(texts)
+        n_stop = _mask_counts(flat, off, self._stop)
+        n_sub = pc.count_substring_regex(texts, BPE_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_subwords": pc.cast(n_sub, pa.int64()),
+                "stop_ratio_e4": pa.array(
+                    _round_ratio_e(n_stop, np.maximum(n_tokens, 1), 10000.0),
+                    pa.int64(),
+                ),
+            }
         )
-        return out
 
 
-def quality_score(batch: pd.DataFrame) -> pd.DataFrame:
+_WARM: dict = {}
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool form of :class:`TokenStats` with the warm state cached per
+    worker process (the ``_FUSED_CACHE`` pattern from pipelines/extract):
+    the state is a few tiny value-set arrays, so a task pool with a module
+    cache beats paying actor-pool spawn per query while keeping
+    build-once-per-worker semantics."""
+    fn = _WARM.get("token_stats")
+    if fn is None:
+        fn = _WARM["token_stats"] = TokenStats()
+    return fn(batch)
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool form of :class:`LangId` (see token_stats_batch)."""
+    fn = _WARM.get("lang_id")
+    if fn is None:
+        fn = _WARM["lang_id"] = LangId()
+    return fn(batch)
+
+
+_STOP_ARR = None
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
     """Deterministic integer quality score in [0, 100]:
     +40 if 50 <= n_tokens <= 1000, +30 if stop_ratio in [2%, 40%],
     +30 if mean whitespace-token length in [3, 12]. All integer compares on
-    fixed-point values — exactly reproducible in SQL."""
-    toks = batch["text"].str.split(" ")
-    n_tokens = toks.map(len).astype("int64").clip(lower=1)
-    n_stop = toks.map(lambda ws: sum(w in STOPWORDS for w in ws)).astype("int64")
-    stop_e4 = np.floor(n_stop * 10000.0 / n_tokens + 0.5).astype("int64")
-    # mean token length *100, integer: round(sum(len)*100 / n)
-    sum_len = toks.map(lambda ws: sum(len(w) for w in ws)).astype("int64")
-    mean_len_e2 = np.floor(sum_len * 100.0 / n_tokens + 0.5).astype("int64")
+    fixed-point values — exactly reproducible in SQL. Vectorized: the
+    token-length sum needs no flatten at all (sum(len(tok)) ==
+    utf8_length(text) - (n_tokens - 1) for a single-char separator)."""
+    import pyarrow.compute as pc
+
+    global _STOP_ARR
+    if _STOP_ARR is None:
+        _STOP_ARR = pa.array(sorted(STOPWORDS))
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    raw_n, flat, off = _tokens(texts)
+    n_tokens = np.maximum(raw_n, 1)
+    n_stop = _mask_counts(flat, off, _STOP_ARR)
+    stop_e4 = _round_ratio_e(n_stop, n_tokens, 10000.0)
+    n_chars = pc.utf8_length(texts).to_numpy().astype(np.int64)
+    sum_len = n_chars - (raw_n - 1)  # split(" ") ⇒ exactly n-1 separators
+    mean_len_e2 = _round_ratio_e(sum_len, n_tokens, 100.0)
     score = (
-        ((n_tokens >= 50) & (n_tokens <= 1000)).astype("int64") * 40
-        + ((stop_e4 >= 200) & (stop_e4 <= 4000)).astype("int64") * 30
-        + ((mean_len_e2 >= 300) & (mean_len_e2 <= 1200)).astype("int64") * 30
+        ((n_tokens >= 50) & (n_tokens <= 1000)).astype(np.int64) * 40
+        + ((stop_e4 >= 200) & (stop_e4 <= 4000)).astype(np.int64) * 30
+        + ((mean_len_e2 >= 300) & (mean_len_e2 <= 1200)).astype(np.int64) * 30
     )
-    out = batch[["doc_id"]].copy()
-    out["n_tokens"] = n_tokens
-    out["stop_ratio_e4"] = stop_e4
-    out["mean_token_len_e2"] = mean_len_e2
-    out["quality"] = score
-    return out
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "stop_ratio_e4": pa.array(stop_e4, pa.int64()),
+            "mean_token_len_e2": pa.array(mean_len_e2, pa.int64()),
+            "quality": pa.array(score, pa.int64()),
+        }
+    )
 
 
 class LangId:
     """Marker-profile language ID: argmax of per-profile marker-word counts,
     deterministic tie-break by profile order; 'und' when all counts zero.
     Reference analogue: the language-pack knob (``tesseract.cpp:41-44``)
-    turned into a data-derived classifier."""
+    turned into a data-derived classifier. One ``is_in`` pass per profile
+    over the flat tokens; argmax in numpy."""
 
     def __init__(self) -> None:
-        self._profiles = LANG_PROFILES
+        self._profiles = [
+            (name, pa.array(sorted(words))) for name, words in LANG_PROFILES
+        ]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.split(" ")
-        out = batch[["doc_id"]].copy()
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _n_tokens, flat, off = _tokens(batch["text"])
+        cols: dict = {"doc_id": batch["doc_id"]}
+        names = []
         counts = []
-        for name, words in self._profiles:
-            c = toks.map(lambda ws, w=words: sum(t in w for t in ws)).astype("int64")
-            out[f"c_{name}"] = c
-            counts.append((name, c))
-        best_name = pd.Series(["und"] * len(batch), index=batch.index)
-        best_count = pd.Series([0] * len(batch), index=batch.index, dtype="int64")
-        for name, c in counts:  # fixed order => deterministic argmax
-            take = c > best_count
-            best_name = best_name.mask(take, name)
-            best_count = best_count.mask(take, c)
-        out["lang_pred"] = best_name
-        return out
+        for name, value_set in self._profiles:
+            c = _mask_counts(flat, off, value_set)
+            cols[f"c_{name}"] = pa.array(c, pa.int64())
+            names.append(name)
+            counts.append(c)
+        stacked = np.stack(counts)  # (n_profiles, n_rows)
+        # fixed profile order => deterministic argmax (first max wins)
+        best = np.argmax(stacked, axis=0)
+        pred = np.asarray(names, dtype=object)[best]
+        pred[stacked.max(axis=0) == 0] = "und"
+        cols["lang_pred"] = pa.array(pred, pa.string())
+        return pa.table(cols)
 
 
 def fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
@@ -208,22 +298,46 @@ def repetition_stats(ds, id_col: str, text_col: str):
     """Gopher-style repetition features: distinct-token fraction and
     most-common-token share, fixed-point e4. High repetition (low distinct
     fraction / high top-token share) marks low-quality boilerplate docs —
-    a standard pre-training quality gate."""
+    a standard pre-training quality gate.
 
-    def _rep(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch[text_col].str.split(" ")
-        n = toks.map(len).astype("int64").clip(lower=1)
-        n_distinct = toks.map(lambda ws: len(set(ws))).astype("int64")
-        top = toks.map(
-            lambda ws: max(pd.Series(ws).value_counts().iloc[0], 1) if ws else 0
-        ).astype("int64")
-        out = batch[[id_col]].copy()
-        out["n_tokens"] = n
-        out["distinct_frac_e4"] = np.floor(n_distinct * 10000.0 / n + 0.5).astype("int64")
-        out["top_token_frac_e4"] = np.floor(top * 10000.0 / n + 0.5).astype("int64")
-        return out
+    Vectorized: dictionary-encode the flat tokens (one C hash pass per
+    batch), then per-row run-length statistics over the (row, code)-sorted
+    codes in numpy — no per-row sets or value_counts."""
 
-    return ds.map_batches(_rep, batch_format="pandas")
+    def _rep(batch: pa.Table) -> pa.Table:
+        nt, flat, _off = _tokens(batch[text_col])
+        codes = flat.dictionary_encode().indices.to_numpy().astype(np.int64)
+        row_ids = np.repeat(np.arange(len(nt), dtype=np.int64), nt)
+        order = np.lexsort((codes, row_ids))
+        r = row_ids[order]
+        c = codes[order]
+        new_run = np.ones(len(r), dtype=bool)
+        new_run[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_row = r[run_starts]
+        run_len = np.diff(np.append(run_starts, len(r)))
+        n_distinct = np.bincount(run_row, minlength=len(nt)).astype(np.int64)
+        # split(" ") yields ≥1 token per row, so every row has ≥1 run and
+        # reduceat sees no empty segments
+        row_first = np.flatnonzero(
+            np.concatenate([[True], run_row[1:] != run_row[:-1]])
+        )
+        top = np.maximum.reduceat(run_len, row_first).astype(np.int64)
+        n = np.maximum(nt, 1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n, pa.int64()),
+                "distinct_frac_e4": pa.array(
+                    _round_ratio_e(n_distinct, n, 10000.0), pa.int64()
+                ),
+                "top_token_frac_e4": pa.array(
+                    _round_ratio_e(top, n, 10000.0), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_rep, batch_format="pyarrow")
 
 
 def token_frequencies(ds, text_col: str, top_k: int = 100):
@@ -234,20 +348,22 @@ def token_frequencies(ds, text_col: str, top_k: int = 100):
     partials, and the final sort+limit runs over the vocabulary-sized
     aggregate, never the corpus. Deterministic tie-break: (n desc, token
     asc)."""
-    from collections import Counter
-
     from ray.data.aggregate import Sum
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        c: Counter = Counter()
-        for t in batch[text_col]:
-            c.update(t.split(" "))
-        return pd.DataFrame({"tok": list(c.keys()), "n": list(c.values())}).astype(
-            {"n": "int64"}
+    def _partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        _nt, flat, _off = _tokens(batch[text_col])
+        vc = pc.value_counts(flat)  # one C hash pass per block
+        return pa.table(
+            {
+                "tok": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
         )
 
     agg = (
-        ds.map_batches(_partial, batch_format="pandas")
+        ds.map_batches(_partial, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(Sum("n", alias_name="n"))
     )
