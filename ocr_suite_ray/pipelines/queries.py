@@ -337,7 +337,13 @@ def q_large_join(sf_dir: str):
 
     li = li.map_batches(_rev_partial, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = join_on(li, orders, on=("o_orderkey",), num_partitions=16)
+    # join partition count scales with the cluster, not a constant: each
+    # hash-join partition is an actor, and over-partitioning pays actor
+    # spawn + per-actor fixed cost for little data each. Measured at
+    # sf0.1/32cpus: 8 partitions 3.9s, 16 partitions 4.9s, 4 partitions
+    # 5.0s (3-run medians); cpus//4 lands on 8 here and keeps growing
+    # the exchange width on a real multi-node cluster.
+    joined = join_on(li, orders, on=("o_orderkey",), num_partitions=None)
     out = joined.groupby("o_orderpriority").aggregate(
         Sum("rev", alias_name="revenue"),
         Sum("n", alias_name="n_items"),

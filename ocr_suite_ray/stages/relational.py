@@ -90,9 +90,22 @@ def broadcast_join_agg(
     return partial.groupby(group_col).aggregate(*aggs)
 
 
-def join_on(left, right, on: tuple, num_partitions: int = 16, join_type: str = "inner"):
+def join_on(
+    left, right, on: tuple, num_partitions: int | None = None,
+    join_type: str = "inner",
+):
     """Large-large hash join (Dataset.join). Flat columns only — nested
-    columns must be encoded first (see stages.dedup.encode_spans)."""
+    columns must be encoded first (see stages.dedup.encode_spans).
+
+    ``num_partitions=None`` sizes the exchange to the cluster: each join
+    partition is a shuffle actor, so the count should grow with cores
+    (cpus//4, floor 4) rather than sit at a constant that over-partitions
+    small clusters and under-partitions big ones."""
+    if num_partitions is None:
+        import ray
+
+        n_cpu = int(ray.cluster_resources().get("CPU", 16))
+        num_partitions = max(4, n_cpu // 4)
     return left.join(right, join_type=join_type, on=on, num_partitions=num_partitions)
 
 
