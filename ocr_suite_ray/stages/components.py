@@ -89,12 +89,61 @@ def connected_components(pairs_ds, max_rounds: int = 16) -> pd.DataFrame:
     return pd.DataFrame({"node_id": labels.index.to_numpy(), "component_id": labels.to_numpy()})
 
 
-def dedup_keep_cluster_min(ds, pairs_ds, id_col: str = "doc_id"):
+def dedup_keep_cluster_min(
+    ds,
+    pairs_ds,
+    id_col: str = "doc_id",
+    max_broadcast_edges: int = 2_000_000,
+):
     """Cluster-based dedup: for every similarity cluster keep only the row
-    with the minimum id; rows not in any pair pass through. The broadcast
-    drop-set is dup-rate bound (same scale contract as stages.dedup
-    'partial'; Bloom filter at extreme scale)."""
+    with the minimum id; rows not in any pair pass through.
+
+    Auto-routed by candidate-set size (edge count ≤ 2·node count):
+
+    - ≤ ``max_broadcast_edges``: broadcast label propagation
+      (:func:`connected_components`) + an exact in-filter drop-set — the
+      dup-rate-bound fast path (one broadcast, zero extra shuffles).
+    - above: :func:`connected_components_distributed` keeps labels as a
+      Dataset and the drop happens via an exact hash-partitioned
+      ``left_anti`` join — no driver materialization anywhere. (A Bloom
+      drop-set is deliberately NOT used here: a false positive would drop
+      a unique document — unlike the url-dedup path where Bloom positives
+      merely route through an exact winners reduce.)
+
+    Both routes produce identical output (equivalence-tested at a forced
+    threshold of 0)."""
     import pyarrow.compute as pc
+
+    n_edges = pairs_ds.count()
+    if n_edges > max_broadcast_edges:
+        labels = connected_components_distributed(pairs_ds)
+        losers = labels.map_batches(
+            lambda t: pa.table(
+                {id_col: t.filter(
+                    pc.not_equal(t["node_id"], t["component_id"])
+                )["node_id"]}
+            ),
+            batch_format="pyarrow",
+        )
+        # Ray 2.49 workaround: the hash-join broadcasts input schemas to its
+        # aggregators with the FIRST block of each side, but an empty first
+        # block consumes the broadcast without carrying a schema
+        # (hash_shuffle._shuffle_block returns early on num_rows==0) — any
+        # join partition with no right-side rows then builds a zero-column
+        # table and pyarrow raises ArrowInvalid. Compact the loser side so
+        # no empty blocks exist (blocks ≤ rows ⇒ every block non-empty) and
+        # skip the join entirely when there are no losers. The count +
+        # repartition touch only the dup-rate-bound loser set, not the
+        # corpus.
+        n_losers = losers.count()
+        if n_losers == 0:
+            return ds
+        num_partitions = _cluster_partitions()
+        losers = losers.repartition(min(num_partitions, n_losers))
+        return ds.join(
+            losers, join_type="left_anti", on=(id_col,),
+            num_partitions=num_partitions,
+        )
 
     comp = connected_components(pairs_ds)
     losers = comp.loc[comp.node_id != comp.component_id, "node_id"].to_numpy()
@@ -106,6 +155,12 @@ def dedup_keep_cluster_min(ds, pairs_ds, id_col: str = "doc_id"):
         return t.filter(pc.invert(pc.is_in(t[id_col], value_set=drop)))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def _cluster_partitions() -> int:
+    import ray
+
+    return max(4, int(ray.cluster_resources().get("CPU", 16)) // 4)
 
 
 def connected_components_distributed(

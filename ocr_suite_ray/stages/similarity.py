@@ -73,17 +73,30 @@ def knn_brute(ds, query_df: pd.DataFrame, k: int = 10, id_col: str = "vec_id",
     )
 
 
+EMBED_BROADCAST_ROW_BUDGET = 2_000_000
+
+
 def embedding_near_dup(ds, all_df: pd.DataFrame, threshold_e4: int = 4000,
-                       id_col: str = "vec_id", vec_col: str = "embedding"):
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_broadcast_rows: int = EMBED_BROADCAST_ROW_BUDGET):
     """Pairs (a < b) with cosine*1e4 >= threshold_e4. ``all_df`` (the full
     id+embedding table) is broadcast once; each batch compares its rows
     against it. O(n^2) scores but streamed batch-by-batch.
 
     This is the EXACT variant: broadcast memory is O(corpus vectors), so it
-    holds up to ~10^7-10^8 vectors per worker heap. Scale fallback (named
-    per contract): ``lsh_bucket_pairs`` — hyperplane-signature buckets, one
-    shuffle, memory O(bucket)."""
+    holds up to ~10^7-10^8 vectors per worker heap. The guard enforces that
+    contract instead of trusting the caller: above ``max_broadcast_rows``
+    it raises with the scale fallback named (``lsh_bucket_pairs`` —
+    hyperplane-signature buckets, one shuffle, memory O(bucket))."""
     import ray
+
+    if len(all_df) > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_near_dup is the exact broadcast tier: {len(all_df)} "
+            f"vectors exceed the {max_broadcast_rows}-row broadcast budget "
+            "(O(corpus) per worker heap). Use lsh_bucket_pairs for the "
+            "bucketed scale path, or raise max_broadcast_rows explicitly."
+        )
 
     am = _norm(_mat(all_df[vec_col]))
     aids = all_df[id_col].to_numpy()

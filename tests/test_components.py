@@ -37,6 +37,27 @@ def test_dedup_keep_cluster_min(ray_session):
     assert kept == [0, 1, 4, 5, 7]
 
 
+def test_dedup_keep_cluster_min_distributed_route_equivalent(ray_session):
+    """Forcing the distributed route (threshold 0) produces exactly the
+    broadcast route's output: same kept ids, same schema — the left_anti
+    join path is a drop-in for the in-filter drop-set."""
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.components import dedup_keep_cluster_min
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": list(range(8)), "text": [f"t{i}" for i in range(8)]})
+    )
+    pairs = pd.DataFrame({"id_a": [1, 2, 5], "id_b": [2, 3, 6]})
+    broadcast = dedup_keep_cluster_min(docs, rd.from_pandas(pairs)).take_all()
+    routed = dedup_keep_cluster_min(
+        docs, rd.from_pandas(pairs), max_broadcast_edges=0
+    ).take_all()
+    key = lambda r: r["doc_id"]
+    assert sorted(routed, key=key) == sorted(broadcast, key=key)
+    assert sorted(r["doc_id"] for r in routed) == [0, 1, 4, 5, 7]
+
+
 def test_minhash_to_clusters_end_to_end(ray_session):
     """Full near-dedup chain: minhash pairs -> components -> keep-one."""
     import ray.data as rd

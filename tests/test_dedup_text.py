@@ -144,6 +144,25 @@ def test_lsh_ann_recall_vs_exact(ray_session):
     assert recall >= 0.8  # 8 planes, cosine 0.995 -> near-certain same bucket
 
 
+def test_embedding_near_dup_broadcast_guard(ray_session):
+    """The exact tier refuses a broadcast side above its row budget and
+    names the bucketed scale path in the error."""
+    import pytest
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.similarity import embedding_near_dup
+
+    df = pd.DataFrame(
+        {"vec_id": range(4), "embedding": [[1.0, 0.0]] * 4}
+    )
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="lsh_bucket_pairs"):
+        embedding_near_dup(ds, df, max_broadcast_rows=3)
+    # at the budget it still runs
+    got = embedding_near_dup(ds, df, max_broadcast_rows=4).take_all()
+    assert len(got) == 6  # all 4 identical vectors pair up
+
+
 def test_rows_only_queries_run(ray_session):
     """Every rows-only queries() entry executes and returns plausible rows."""
     from ocr_suite_ray.pipelines.queries import ALL_QUERIES
