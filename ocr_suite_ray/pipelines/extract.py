@@ -853,6 +853,31 @@ def _run_finalize_phase_locked(out_dir: str, cfg: ExtractConfig | None = None) -
     return {"skipped": False, "done_fingerprint": fp}
 
 
+def _link_partition_task(pfull: str, pid: str, tmp_final: str) -> list[str]:
+    """Per-partition finalize unit (runs as a remote task): hardlink this
+    partition's unique-url files into the final store and return its dup
+    file paths. Pure filesystem metadata work — safe to retry (os.link EEXIST
+    after a retry falls into the copy branch which overwrites in place)."""
+    uniq_dir = os.path.join(pfull, "is_dup=0")
+    if os.path.isdir(uniq_dir):
+        for k, f in enumerate(sorted(os.listdir(uniq_dir))):
+            if f.endswith(".parquet"):
+                src = os.path.join(uniq_dir, f)
+                dst = os.path.join(tmp_final, f"uniq-{pid}-{k:04d}.parquet")
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+    ddir = os.path.join(pfull, "is_dup=1")
+    if not os.path.isdir(ddir):
+        return []
+    return [
+        os.path.join(ddir, f)
+        for f in sorted(os.listdir(ddir))
+        if f.endswith(".parquet")
+    ]
+
+
 def _finalize_linked(extracted_dir: str, tmp_final: str) -> None:
     """Finalize for the is_dup-partitioned layout: unique-url files are
     HARDLINKED into the final store (zero data movement — the extract phase
@@ -860,8 +885,14 @@ def _finalize_linked(extracted_dir: str, tmp_final: str) -> None:
     read, exactly-reduced (block combiner + one coalesce task) and written.
     On a distributed filesystem the links become either copies or manifest
     references; the point stands: finalize cost scales with the dup rate,
-    not the corpus."""
-    import ray.data as rd
+    not the corpus.
+
+    The link walk is SHARDED: the driver does exactly one listdir (one entry
+    per partition) and fans out a remote task per partition that lists and
+    links that partition's files — at 10^6+ output files the per-file
+    metadata ops run across the pool instead of serializing on the driver.
+    The driver only ever holds partition names and dup file paths."""
+    import ray
 
     from ocr_suite_ray.stages.dedup import (
         _local_best,
@@ -870,35 +901,19 @@ def _finalize_linked(extracted_dir: str, tmp_final: str) -> None:
     )
 
     os.makedirs(tmp_final, exist_ok=True)
-    dup_files: list[str] = []
+    link_task = ray.remote(num_cpus=0.25)(_link_partition_task)
+    link_refs = []
     for pdir in sorted(os.listdir(extracted_dir)):
         pfull = os.path.join(extracted_dir, pdir)
         if not (os.path.isdir(pfull) and pdir.startswith("partition_id=")):
             continue
         pid = pdir.split("=", 1)[1]
-        uniq_dir = os.path.join(pfull, "is_dup=0")
-        if os.path.isdir(uniq_dir):
-            for k, f in enumerate(sorted(os.listdir(uniq_dir))):
-                if f.endswith(".parquet"):
-                    src = os.path.join(uniq_dir, f)
-                    dst = os.path.join(tmp_final, f"uniq-{pid}-{k:04d}.parquet")
-                    try:
-                        os.link(src, dst)
-                    except OSError:
-                        shutil.copy2(src, dst)
-        ddir = os.path.join(pfull, "is_dup=1")
-        if os.path.isdir(ddir):
-            dup_files.extend(
-                os.path.join(ddir, f)
-                for f in sorted(os.listdir(ddir))
-                if f.endswith(".parquet")
-            )
+        link_refs.append(link_task.remote(pfull, pid, tmp_final))
+    dup_files = [f for part in ray.get(link_refs) for f in part]
     if not dup_files:
         return
     # dup subset is tiny (dup-rate bound): per-file remote read+combine tasks
     # feed the tree directly — no Dataset execution ramp
-    import ray
-
     from ocr_suite_ray.state.dupset import tree_reduce_refs
 
     @ray.remote

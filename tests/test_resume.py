@@ -314,3 +314,58 @@ def _read_pages(path: str):
     import pyarrow.parquet as pq
 
     return pq.read_table(path)
+
+
+def test_finalize_linked_sharded_many_partitions(ray_session, tmp_path):
+    """The finalize link walk is sharded into per-partition remote tasks:
+    a synthetic 48-partition layout (3 files each) finalizes to exactly the
+    union of unique files plus one winners file, with newest-capture-wins
+    over the dup subset — the driver never lists individual parquet files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_suite_ray.pipelines.extract import _finalize_linked
+
+    extracted = tmp_path / "extracted"
+    n_parts, files_per_part = 48, 2
+    expect_uniq_urls = []
+    for p in range(n_parts):
+        udir = extracted / f"partition_id={p}" / "is_dup=0"
+        udir.mkdir(parents=True)
+        for k in range(files_per_part):
+            urls = [f"https://u{p}-{k}-{i}.example" for i in range(5)]
+            expect_uniq_urls.extend(urls)
+            pq.write_table(
+                pa.table(
+                    {
+                        "url": urls,
+                        "warc_ts": pa.array([1000 + i for i in range(5)], pa.int64()),
+                        "text": [f"uniq {p} {k} {i}" for i in range(5)],
+                    }
+                ),
+                udir / f"part-{k}.parquet",
+            )
+        # every third partition also carries dup captures of a shared url
+        if p % 3 == 0:
+            ddir = extracted / f"partition_id={p}" / "is_dup=1"
+            ddir.mkdir(parents=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "url": ["https://dup.example"] * 2,
+                        "warc_ts": pa.array([p, p + 1], pa.int64()),
+                        "text": [f"cap {p}", f"cap {p + 1}"],
+                    }
+                ),
+                ddir / "dups.parquet",
+            )
+    final = tmp_path / "final"
+    _finalize_linked(str(extracted), str(final))
+    t = pads.dataset(str(final)).to_table()
+    got = dict(zip(t["url"].to_pylist(), t["text"].to_pylist()))
+    assert len(got) == n_parts * files_per_part * 5 + 1
+    assert set(got) == set(expect_uniq_urls) | {"https://dup.example"}
+    # newest capture wins: max warc_ts among dup partitions 0,3,...,45 -> 46
+    assert got["https://dup.example"] == "cap 46"
+    n_files = len([f for f in os.listdir(final) if f.endswith(".parquet")])
+    assert n_files == n_parts * files_per_part + 1  # links + winners.parquet
