@@ -761,10 +761,12 @@ FROM documents
 
 
 def q_streaming_state(sf_dir: str):
-    """Incremental keyed-state actors over the ts-ordered event stream
-    (count/sum/max/EMA per user). EMA is arrival-order-dependent — the
-    shared-mutable-state case actors exist for; verified against a
-    sequential oracle in tests/test_streaming.py (rows-only here)."""
+    """Incremental keyed-state fold over the ts-ordered event stream
+    (count/sum/max/EMA per user). The order-dependent recurrence has a SQL
+    twin after all: a recursive CTE replays the exact per-key fold in event
+    order (same IEEE-double op order ⇒ bit-identical sum/ema), so this is
+    fully oracle-checked; tests/test_streaming.py keeps the sequential
+    Python oracle as well."""
     import pyarrow as pa_mod
 
     from ocr_suite_ray.stages.streaming import streaming_keyed_aggregate
@@ -777,6 +779,28 @@ def q_streaming_state(sf_dir: str):
     for c, scale in (("sum", 100), ("max", 100), ("ema", 10000)):
         df[c] = np.floor(df[c] * scale + 0.5).astype("int64")
     return pa_mod.Table.from_pandas(df, preserve_index=False)
+
+
+SQL_STREAMING_STATE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_total
+  FROM events
+), e AS (
+  SELECT user_id, rn, n_total, CAST(1 AS BIGINT) AS n, v AS s, v AS m, v AS ema
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.n_total, e.n + 1, e.s + o.v, GREATEST(e.m, o.v),
+         CAST(0.2 AS DOUBLE) * o.v + CAST(0.8 AS DOUBLE) * e.ema
+  FROM e JOIN ordered o ON o.user_id = e.user_id AND o.rn = e.rn + 1
+)
+SELECT user_id AS key, n,
+       CAST(FLOOR(s * 100 + 0.5) AS BIGINT) AS sum,
+       CAST(FLOOR(m * 100 + 0.5) AS BIGINT) AS max,
+       CAST(FLOOR(ema * 10000 + 0.5) AS BIGINT) AS ema
+FROM e WHERE rn = n_total
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -811,7 +835,7 @@ RELATIONAL_QUERIES = {
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
-    "streaming_keyed_state": (q_streaming_state, None),
+    "streaming_keyed_state": (q_streaming_state, SQL_STREAMING_STATE),
 }
 
 ALL_QUERIES.update(RELATIONAL_QUERIES)

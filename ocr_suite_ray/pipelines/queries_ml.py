@@ -116,14 +116,34 @@ SELECT doc_id, md5(text) AS md5 FROM documents
 
 
 def q_fingerprint_rolling(sf_dir: str):
-    """Rolling 64-bit polynomial fingerprint (streaming analogue) — no SQL
-    twin; rows-only check."""
+    """Rolling 64-bit FNV-1a/polynomial fingerprint (streaming analogue).
+    SQL twin: the byte-level fold is replayed in DuckDB with a single
+    list_reduce over char codes (ASCII corpus ⇒ code == byte), spaces as
+    fold-boundary sentinels, HUGEINT arithmetic mod 2^64."""
     from ocr_suite_ray.stages.text_ops import fingerprint
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(fingerprint, batch_format="pandas").select_columns(
         ["doc_id", "rolling_hash"]
     )
+
+
+SQL_FINGERPRINT_ROLLING = """
+SELECT doc_id,
+  CAST(
+    list_reduce(
+      list_prepend(CAST(1469598103934665603 AS HUGEINT),
+        CASE WHEN text = '' THEN [CAST(-1 AS HUGEINT)]
+             ELSE list_append(
+               list_transform(string_split(text, ''),
+                 ch -> CAST(CASE WHEN ch = ' ' THEN -1 ELSE unicode(ch) END AS HUGEINT)),
+               CAST(-1 AS HUGEINT))
+        END),
+      (a, c) -> CASE WHEN c < 0 THEN (a * 31 + 7) % 18446744073709551616
+                     ELSE (xor(a, c) * 1099511628211) % 18446744073709551616 END
+    ) // 2 AS BIGINT) AS rolling_hash
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -189,10 +209,31 @@ def q_minhash_lsh(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
+    """(doc_id, simhash) per document. Fully oracle-checked: the token hash
+    is md5_number_lower-compatible, so DuckDB recomputes the identical
+    signature (unnest tokens × bit positions, majority vote per bit)."""
     from ocr_suite_ray.stages.dedup_text import simhash_table
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_table(ds)
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, md5_number_lower(t.w) AS h
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+), bits AS (
+  SELECT doc_id, j.j AS j,
+         SUM(CASE WHEN (h >> CAST(j.j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM toks CROSS JOIN generate_series(0, 62) j(j)
+  GROUP BY doc_id, j.j
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0
+       THEN CAST(CAST(1 AS UBIGINT) << CAST(j AS INTEGER) AS HUGEINT)
+       ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -516,7 +557,11 @@ def q_media_probe(sf_dir: str):
     """Multimodal metadata pass over a deterministic synthetic media table
     (PNG/GIF/BMP/WAV headers + garbage rows — the sf dirs carry no media):
     REAL container-header parsing (stages/multimodal.py), then the typed
-    metadata projection. Rows-only (binary inputs have no SQL view)."""
+    metadata projection flattened to SQL dtypes. The DuckDB oracle
+    CONSTRUCTS the same expected table from the payload recipe (every field
+    is a deterministic function of media_id) — the binary parse is checked
+    value-for-value without SQL ever touching bytes. content_hash (blake2b,
+    no SQL twin) stays covered by the multimodal unit tests."""
     import struct
 
     import ray.data as rd
@@ -535,8 +580,10 @@ def q_media_probe(sf_dir: str):
             v = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 64 + i, 48 + i)
                  + b"\x01\x00" + struct.pack("<H", 24) + b"\x00" * 8)
         elif k == 3:
+            # canonical fmt chunk: size, audio_format, channels, sample_rate,
+            # byte_rate, block_align, bits_per_sample
             v = (b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
-                 + struct.pack("<IHHIIHH", 16, 2, 8000 + i, 32000, 4, 16, 0))
+                 + struct.pack("<IHHIIHH", 16, 1, 2, 8000 + i, 32000, 4, 16))
         else:
             v = b"garbage-" + str(i).encode()
         rows.append({"media_id": i, "payload": v})
@@ -544,7 +591,48 @@ def q_media_probe(sf_dir: str):
         attach_media_meta, batch_format="pyarrow"
     )
     out = probe_media(ds)
-    return out.drop_columns(["payload"])
+
+    def _flatten(t):
+        import pyarrow as pa_mod
+        import pyarrow.compute as pc_mod
+
+        meta = t["media_meta"].combine_chunks()
+        cols = {
+            "media_id": t["media_id"],
+            "media_kind": meta.field("media_kind"),
+            "n_bytes": meta.field("n_bytes"),
+            "format": t["format"],
+        }
+        for c in ("width", "height", "bit_depth", "channels", "sample_rate"):
+            cols[c] = pc_mod.cast(t[c], pa_mod.int64())
+        return pa_mod.table(cols)
+
+    return out.drop_columns(["payload"]).map_batches(
+        _flatten, batch_format="pyarrow"
+    )
+
+
+SQL_MEDIA_PROBE = """
+WITH m AS (
+  SELECT CAST(t.i AS BIGINT) AS media_id, t.i % 5 AS k
+  FROM generate_series(0, 199) t(i)
+)
+SELECT media_id,
+  CASE WHEN k = 0 THEN 'image' ELSE 'binary' END AS media_kind,
+  CAST(CASE k WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 38 WHEN 3 THEN 36
+       ELSE 8 + length(CAST(media_id AS VARCHAR)) END AS BIGINT) AS n_bytes,
+  CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+         WHEN 3 THEN 'wav' ELSE 'unknown' END AS format,
+  CAST(CASE k WHEN 0 THEN 16 + media_id WHEN 1 THEN 32 + media_id
+       WHEN 2 THEN 64 + media_id ELSE 0 END AS BIGINT) AS width,
+  CAST(CASE k WHEN 0 THEN 9 + media_id WHEN 1 THEN 20 + media_id
+       WHEN 2 THEN 48 + media_id ELSE 0 END AS BIGINT) AS height,
+  CAST(CASE k WHEN 0 THEN 8 WHEN 1 THEN 8 WHEN 2 THEN 24 WHEN 3 THEN 16
+       ELSE 0 END AS BIGINT) AS bit_depth,
+  CAST(CASE k WHEN 3 THEN 2 ELSE 0 END AS BIGINT) AS channels,
+  CAST(CASE k WHEN 3 THEN 8000 + media_id ELSE 0 END AS BIGINT) AS sample_rate
+FROM m
+"""
 
 
 def q_url_normalize(sf_dir: str):
@@ -608,11 +696,11 @@ ML_QUERIES = {
     "quality_score": (q_quality, SQL_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint_md5": (q_fingerprint, SQL_FINGERPRINT),
-    "fingerprint_rolling": (q_fingerprint_rolling, None),
+    "fingerprint_rolling": (q_fingerprint_rolling, SQL_FINGERPRINT_ROLLING),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh_pairs": (q_minhash_lsh, None),
-    "simhash_table": (q_simhash, None),
+    "simhash_table": (q_simhash, SQL_SIMHASH),
     "simhash_pairs": (q_simhash_pairs, None),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
@@ -625,6 +713,6 @@ ML_QUERIES = {
     "repetition_ratio": (q_repetition, SQL_REPETITION),
     "vocab_top": (q_vocab_top, SQL_VOCAB_TOP),
     "seq_packing": (q_seq_packing, SQL_SEQ_PACKING),
-    "media_probe": (q_media_probe, None),
+    "media_probe": (q_media_probe, SQL_MEDIA_PROBE),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
 }

@@ -379,10 +379,14 @@ def minhash_lsh_pairs(
 
 def simhash64(text: str) -> int:
     """Classic 64-bit SimHash over whitespace tokens (weight 1 each).
-    Scalar reference — the differential oracle for ``simhash64_batch``."""
+    Scalar reference — the differential oracle for ``simhash64_batch``.
+
+    Token hash: low 8 digest bytes of md5, little-endian — exactly DuckDB's
+    ``md5_number_lower``, which makes the whole simhash SQL-expressible (the
+    ``simhash_table`` query carries a full value-hash DuckDB oracle)."""
     acc = np.zeros(64, dtype=np.int64)
     for w in text.split(" "):
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), 1, -1)
     out = 0
@@ -393,7 +397,7 @@ def simhash64(text: str) -> int:
 
 
 # per-worker token-hash memo: web-corpus tokens are Zipfian, so the cache
-# absorbs almost every blake2b call after warmup; bounded to keep worker
+# absorbs almost every md5 call after warmup; bounded to keep worker
 # heaps flat (clear-on-full is simpler and nearly as good as LRU here)
 _TOKEN_HASH_CACHE: dict = {}
 _TOKEN_HASH_CACHE_MAX = 1_000_000
@@ -401,7 +405,8 @@ _TOKEN_HASH_CACHE_MAX = 1_000_000
 
 def simhash64_batch(texts) -> np.ndarray:
     """Vectorized SimHash for a whole batch: one token-hash lookup loop
-    (memoized blake2b), then ONE numpy bit-matrix reduction per batch
+    (memoized md5_number_lower-compatible md5), then ONE numpy bit-matrix
+    reduction per batch
     instead of per-token Python/numpy work — byte-identical to
     ``simhash64`` (unit-tested). Returns uint64[len(texts)]."""
     tok_lists = [t.split(" ") for t in texts]
@@ -415,9 +420,7 @@ def simhash64_batch(texts) -> np.ndarray:
             if h is None:
                 if len(cache) >= _TOKEN_HASH_CACHE_MAX:
                     cache.clear()
-                h = int.from_bytes(
-                    hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"
-                )
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
                 cache[w] = h
             flat[i] = h
             i += 1

@@ -174,8 +174,6 @@ def test_rows_only_queries_run(ray_session):
         res = fn(sf)
         rows = res.take_all() if hasattr(res, "take_all") else res.to_pylist()
         assert isinstance(rows, list), name
-        if name in ("fingerprint_rolling", "simhash_table"):
-            assert len(rows) == 500, name
 
 
 def test_ivf_knn_recall_vs_brute(ray_session):
