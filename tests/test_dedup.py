@@ -108,3 +108,27 @@ def test_partial_with_bloom_membership_matches_exact(ray_session):
     ).take_all()
     key = lambda r: r["url"]
     assert sorted(exact, key=key) == sorted(bloom, key=key)
+
+
+def test_sharded_dup_key_merge_matches_single(ray_session, tmp_path):
+    """The hash-sharded parallel merge in dup_key_table_ref_from_files must
+    return byte-identical dup-key tables to the single-root merge (k=1)."""
+    import ray
+    import pyarrow.parquet as pq
+
+    from ocr_suite_ray.state.dupset import dup_key_table_ref_from_files
+
+    urls = [f"https://ex.com/{i % 37}" for i in range(500)] + [
+        f"https://uniq.com/{i}" for i in range(200)
+    ]
+    files = []
+    for part in range(4):
+        t = pa.table({"url": urls[part::4]})
+        p = str(tmp_path / f"pages_{part}.parquet")
+        pq.write_table(t, p, row_group_size=50)
+        files.append(p)
+
+    single = ray.get(dup_key_table_ref_from_files(files, num_shards=1))
+    sharded = ray.get(dup_key_table_ref_from_files(files, num_shards=16))
+    assert single.equals(sharded)
+    assert single.num_rows == 37  # every i%37 url appears >1 times
