@@ -199,13 +199,81 @@ WHERE CAST(ROUND(
 
 
 def q_minhash_lsh(sf_dir: str):
-    """Approximate near-dup via MinHash+LSH (verified with exact Jaccard
-    inside buckets). Approximate candidate generation -> rows-only check;
-    exactness is covered by unit tests on constructed corpora."""
+    """Near-dup via MinHash+LSH (verified with exact Jaccard on candidates).
+    Fully oracle-checked: the shingle hash is md5_number_lower-compatible and
+    the 128 universal-hash permutation constants are embedded in the SQL, so
+    DuckDB recomputes the identical signatures, bands docs by the exact
+    4-minima tuple (equivalent to the engine's collision-free band hash),
+    and verifies candidates with the same exact-Jaccard filter."""
     from ocr_suite_ray.stages.dedup_text import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def _minhash_perm_rows() -> str:
+    """The engine's 128 (a, b) universal-hash constants as SQL VALUES rows."""
+    from ocr_suite_ray.stages.dedup_text import _PERM_A, _PERM_B
+
+    return ",".join(
+        f"({i},{int(a)}::HUGEINT,{int(b)}::HUGEINT)"
+        for i, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+
+
+# Replays the engine's MinHash chain exactly: md5_number_lower gram hashes,
+# (a*h + b) in uint64 wrap arithmetic (% 2^64) then mod the Mersenne prime
+# 2^61-1, min per permutation, 32 bands x 4 rows grouped by the minima tuple
+# (equality of the tuple == equality of the engine's collision-free band
+# hash), candidate pairs = same (band, tuple), exact-Jaccard >= 0.5 verify
+# with the same floor(jac*1e4 + 0.5) fixed-point as the engine. Shared CTE
+# chain so the cluster-dedup oracle reuses the identical pair source.
+_MINHASH_PAIR_CTES = f"""grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(string_split(text,' ')) < 3
+                THEN [text]
+                ELSE list_transform(
+                       generate_series(1, len(string_split(text,' ')) - 2),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1] || ' ' ||
+                            string_split(text,' ')[i+2])
+           END) AS g
+  FROM documents
+), hs AS (
+  SELECT DISTINCT doc_id, CAST(md5_number_lower(g) AS HUGEINT) AS h FROM grams
+), perms(i, a, b) AS (
+  VALUES {_minhash_perm_rows()}
+), sig AS (
+  SELECT doc_id, p.i AS i,
+         MIN(((p.a * hs.h) % 18446744073709551616 + p.b)
+             % 18446744073709551616 % 2305843009213693951) AS m
+  FROM hs, perms p
+  GROUP BY doc_id, p.i
+), bands AS (
+  SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS bkey
+  FROM sig GROUP BY doc_id, i // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, list(h) AS hset, count(*) AS n FROM hs GROUP BY doc_id
+), pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(FLOOR(CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+              / (sa.n + sb.n - len(list_intersect(sa.hset, sb.hset)))
+              * 10000 + 0.5) AS BIGINT) AS jaccard_e4
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE CAST(len(list_intersect(sa.hset, sb.hset)) AS DOUBLE)
+        / (sa.n + sb.n - len(list_intersect(sa.hset, sb.hset))) >= 0.5
+)"""
+
+SQL_MINHASH_LSH = f"""
+WITH {_MINHASH_PAIR_CTES}
+SELECT id_a, id_b, jaccard_e4 FROM pairs
+"""
 
 
 def q_simhash(sf_dir: str):
@@ -237,10 +305,38 @@ FROM bits GROUP BY doc_id
 
 
 def q_simhash_pairs(sf_dir: str):
+    """All pairs within SimHash Hamming distance 3. The pigeonhole banding
+    (4 x 16-bit chunks) is EXACT for radius 3, so the output equals the full
+    quadratic Hamming join — which is what the DuckDB oracle computes over
+    the identically-reconstructed 64-bit signatures (md5_number_lower token
+    hash, majority vote per bit, bit_count(xor) join)."""
     from ocr_suite_ray.stages.dedup_text import simhash_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_pairs(ds, max_hamming=3)
+
+
+SQL_SIMHASH_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, md5_number_lower(t.w) AS h
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+), bits AS (
+  SELECT doc_id, j.j AS j,
+         SUM(CASE WHEN (h >> CAST(j.j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM toks CROSS JOIN generate_series(0, 63) j(j)
+  GROUP BY doc_id, j.j
+), sh AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0
+         THEN CAST(CAST(1 AS UBIGINT) << CAST(j AS INTEGER) AS HUGEINT)
+         ELSE 0 END) AS UBIGINT) AS h64
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h64, b.h64)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h64, b.h64)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -320,15 +416,34 @@ def q_ann_ivf(sf_dir: str):
 
 def q_cluster_dedup(sf_dir: str):
     """Near-dup cluster dedup: MinHash-LSH pairs → connected components →
-    keep min-id per cluster; isolates pass through. Approximate candidate
-    generation → rows-only; the chain is unit-tested on constructed
-    corpora (tests/test_components.py)."""
+    keep min-id per cluster; isolates pass through. Fully oracle-checked:
+    the DuckDB oracle replays the SQL-exact MinHash pair chain (see
+    SQL_MINHASH_LSH) and resolves components with a recursive CTE
+    (transitive closure over symmetric edges, min reachable id per node)."""
     from ocr_suite_ray.stages.components import dedup_keep_cluster_min
     from ocr_suite_ray.stages.dedup_text import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = minhash_lsh_pairs(ds, threshold=0.5)
     return dedup_keep_cluster_min(ds, pairs).select_columns(["doc_id"])
+
+
+# A doc survives iff it is the minimum id reachable in its similarity
+# component (isolates reach only themselves); the recursive CTE is a
+# transitive closure over the symmetric edge set from the SQL-exact
+# MinHash pair chain.
+SQL_CLUSTER_DEDUP = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id FROM reach GROUP BY node HAVING MIN(lab) = node
+"""
 
 
 def q_ann_lsh(sf_dir: str):
@@ -699,14 +814,14 @@ ML_QUERIES = {
     "fingerprint_rolling": (q_fingerprint_rolling, SQL_FINGERPRINT_ROLLING),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
-    "minhash_lsh_pairs": (q_minhash_lsh, None),
+    "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "simhash_table": (q_simhash, SQL_SIMHASH),
-    "simhash_pairs": (q_simhash_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ann_lsh_pairs": (q_ann_lsh, None),
     "ann_ivf_knn": (q_ann_ivf, None),
-    "cluster_dedup": (q_cluster_dedup, None),
+    "cluster_dedup": (q_cluster_dedup, SQL_CLUSTER_DEDUP),
     "curation_pipeline": (q_curation, SQL_CURATION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),

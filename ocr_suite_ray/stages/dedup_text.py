@@ -38,14 +38,20 @@ _PERM_B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64).astype(np.ui
 
 
 def _shingles(text: str, k: int = 3) -> set:
-    """Word k-gram shingle hashes (64-bit)."""
+    """Word k-gram shingle hashes (64-bit).
+
+    Gram hash: low 8 digest bytes of md5, little-endian — exactly DuckDB's
+    ``md5_number_lower``, so the whole MinHash chain (shingle hash → universal
+    (a*h+b) mod 2^61-1 minima in uint64 wrap arithmetic → band grouping →
+    exact-Jaccard verify) is SQL-replicable and ``minhash_lsh_pairs`` carries
+    a full value-hash DuckDB oracle."""
     words = text.split(" ")
     if len(words) < k:
         grams = [" ".join(words)]
     else:
         grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
     return {
-        int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "little")
+        int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little")
         for g in grams
     }
 
