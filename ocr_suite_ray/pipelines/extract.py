@@ -20,7 +20,7 @@ completion markers, `_load_unit_markers`); `pending_partitions` prunes
 everything already committed — the watermark+seek resume of the reference
 (``src/common/database.cpp:110-150``, ``src/ffmpeg/decoder.cpp:178-211``)
 at row-group granularity. Partitions are salted with the fingerprint of
-their OWN dup-membership decisions (`_per_file_dup_fps`), so growing the
+their OWN dup-membership decisions (`_per_file_dup_fp_refs`), so growing the
 input re-extracts only partitions whose flags actually changed.
 
 The fused wave exists because Ray cannot fuse a task-based ReadParquet into
@@ -62,6 +62,7 @@ from ocr_suite_ray.state.dupset import (
     coalesce_reduce,
     dup_key_table_ref,
     dup_meta,
+    dup_meta_ref,
     load_dup_table_ref,
     membership_ref,
 )
@@ -175,9 +176,18 @@ def _input_dup_membership(
     else:
         ds = rd.read_parquet(files, columns=["url"])
         dup_ref = dup_key_table_ref(ds, key_exchange=cfg.key_exchange)
-    n_dups, dupset_fp = dup_meta(dup_ref, persist_path=table_path)
+    # launch the meta persist, the membership build, and the per-file fp
+    # tasks as ONE concurrent graph — serializing their ray.gets costs
+    # 3 worker round-trips on the pre-wave critical path (a constant that,
+    # like any driver-adjacent serial stage, taxes the 32-cpu leg ~3x
+    # harder than the 8-cpu leg)
+    import ray as _ray
+
+    meta_ref = dup_meta_ref(dup_ref, persist_path=table_path)
     box = [membership_ref(dup_ref, max_exact=cfg.bloom_threshold)]
-    file_fps = _per_file_dup_fps(files, box)
+    fp_refs = _per_file_dup_fp_refs(files, box)
+    (n_dups, dupset_fp), *fp_pairs = _ray.get([meta_ref] + fp_refs)
+    file_fps = dict(fp_pairs)
     with open(meta_path + ".tmp", "w") as fh:
         json.dump(
             {
@@ -192,16 +202,17 @@ def _input_dup_membership(
     return box, dupset_fp, file_fps
 
 
-def _per_file_dup_fps(files: list[str], member_box: list) -> dict:
-    """{path: fingerprint of THIS file's dup-membership decisions} — the
-    per-partition share of the global dup state. A partition's extract
+def _per_file_dup_fp_refs(files: list[str], member_box: list) -> list:
+    """Refs to (path, fingerprint of THIS file's dup-membership decisions) —
+    the per-partition share of the global dup state. A partition's extract
     output depends on the dup set only through the is_dup flags of ITS OWN
     urls, so salting each partition with the fingerprint of its flagged-url
     set (computed with the SAME membership payload the tag step uses —
     Bloom false positives included, they change the output layout too) makes
     input growth invalidate exactly the partitions whose flags changed,
     instead of the whole store. Narrow: one url-column read per file, all
-    remote, driver sees only hashes."""
+    remote, driver sees only hashes. Returned unresolved so the caller can
+    overlap them with sibling tasks in one ray.get."""
     import ray
 
     @ray.remote
@@ -214,7 +225,7 @@ def _per_file_dup_fps(files: list[str], member_box: list) -> dict:
         h = hashlib.sha256("\n".join(sorted(set(flagged))).encode())
         return path, h.hexdigest()[:16]
 
-    return dict(ray.get([_fp.remote(p, member_box[0]) for p in files]))
+    return [_fp.remote(p, member_box[0]) for p in files]
 
 
 def _tag_dup(ds, member_box: list):

@@ -81,13 +81,19 @@ def coalesce_reduce(ds, combine_fn, final_fn=None, materialize: bool = True):
 
 
 def dup_key_table_ref_from_files(
-    files: list, key_col: str = "url", row_group_parallel: bool = True,
-    num_shards: int = 16,
+    files: list, key_col: str = "url", num_shards: int = 16,
 ):
     """Like ``dup_key_table_ref`` (narrow path) but reads the key column with
-    plain remote tasks — one per row group — skipping a Dataset execution's
+    plain remote tasks — one per FILE — skipping a Dataset execution's
     ~1-2 s fixed ramp. Used by the flagship's url-only duplicate scan, where
     that ramp was a measurable share of the wall at bench scale.
+
+    Each leaf iterates its file's row groups INSIDE the task (key-column
+    reads, so worker memory stays bounded by one row group's keys, not the
+    file) — on a real cluster the file count dwarfs the core count, and
+    per-row-group task fan-out only multiplied scheduler/object overhead
+    8x while the driver serially read parquet footers to enumerate the
+    groups (~0.5 s for 16 files, on the pre-wave critical path).
 
     The merge is HASH-SHARDED: each leaf returns ``num_shards`` per-shard
     count tables (``num_returns``), each shard merges independently in
@@ -101,30 +107,30 @@ def dup_key_table_ref_from_files(
     k = max(1, num_shards)
 
     @ray.remote(num_returns=k)
-    def _file_counts(path: str, row_group: int):
+    def _file_counts(path: str):
         import pandas as pd
 
         f = pq.ParquetFile(path)
-        t = (
-            f.read_row_group(row_group, columns=[key_col])
-            if row_group >= 0
-            else f.read(columns=[key_col])
+        parts = [
+            f.read_row_group(rg, columns=[key_col])
+            .group_by(key_col)
+            .aggregate([(key_col, "count")])
+            .rename_columns([key_col, "n"])
+            for rg in range(f.metadata.num_row_groups)
+        ]
+        g = (
+            pa.concat_tables(parts)
+            .group_by(key_col)
+            .aggregate([("n", "sum")])
+            .rename_columns([key_col, "n"])
         )
-        g = t.group_by(key_col).aggregate([(key_col, "count")])
-        g = g.rename_columns([key_col, "n"])
         if k == 1:
             return g
         shard = pd.util.hash_array(g[key_col].to_numpy(zero_copy_only=False)) % k
         shard = pa.array(shard, pa.int64())
         return tuple(g.filter(pc.equal(shard, s)) for s in range(k))
 
-    leaf_refs = []
-    for path in files:
-        if row_group_parallel:
-            n_rg = pq.read_metadata(path).num_row_groups
-            leaf_refs.extend(_file_counts.remote(path, rg) for rg in range(n_rg))
-        else:
-            leaf_refs.append(_file_counts.remote(path, -1))
+    leaf_refs = [_file_counts.remote(path) for path in files]
 
     def _combine(t: pa.Table) -> pa.Table:
         g = t.group_by(key_col).aggregate([("n", "sum")])
@@ -204,12 +210,13 @@ def dup_key_table_ref(ds, key_col: str = "url", key_exchange: str = "narrow"):
     return coalesce_reduce(partials, _combine, _final, materialize=False)
 
 
-def dup_meta(dup_ref, key_col: str = "url", persist_path: str | None = None):
-    """(n_dups, fingerprint) of the dup-key table, computed worker-side; the
-    driver receives two scalars. Optionally persists the table as a parquet
-    artifact (atomic write) so a resumed run can reload it without
-    re-scanning the input. The fingerprint is sha256 over the sorted keys —
-    stable across partitioning and replay."""
+def dup_meta_ref(dup_ref, key_col: str = "url", persist_path: str | None = None):
+    """Ref to (n_dups, fingerprint) of the dup-key table, computed
+    worker-side; the driver receives two scalars on resolve. Optionally
+    persists the table as a parquet artifact (atomic write) so a resumed run
+    can reload it without re-scanning the input. The fingerprint is sha256
+    over the sorted keys — stable across partitioning and replay. Returned
+    unresolved so callers can overlap it with sibling tasks."""
     import ray
 
     @ray.remote
@@ -223,7 +230,14 @@ def dup_meta(dup_ref, key_col: str = "url", persist_path: str | None = None):
             os.replace(path + ".tmp", path)
         return t.num_rows, fp
 
-    return ray.get(_meta.remote(persist_path, dup_ref))
+    return _meta.remote(persist_path, dup_ref)
+
+
+def dup_meta(dup_ref, key_col: str = "url", persist_path: str | None = None):
+    """Blocking form of :func:`dup_meta_ref`."""
+    import ray
+
+    return ray.get(dup_meta_ref(dup_ref, key_col=key_col, persist_path=persist_path))
 
 
 def load_dup_table_ref(path: str):
