@@ -806,6 +806,57 @@ FROM s
 """
 
 
+def q_substring_dup(sf_dir: str):
+    """Pairs of docs sharing exact 40-char substrings (winnowed anchors).
+
+    Streaming analogue of suffix-array substring dedup (Lee et al. 2022);
+    anchors are windows whose rolling hash ≡ 0 (mod 16), so both sides
+    select the identical content-defined gram set.
+    """
+    from ocr_suite_ray.stages.dedup_text import substring_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return substring_dup_pairs(ds)
+
+
+def _substr_sql() -> str:
+    """Inline the rolling-hash power table so DuckDB replicates the same
+    mod-2^64 polynomial the numpy kernel computes (HUGEINT % 2^64)."""
+    from ocr_suite_ray.stages.dedup_text import SUBSTR_K, SUBSTR_MOD, _substr_pows
+
+    pows = _substr_pows(SUBSTR_K)
+    pow_values = ", ".join(
+        f"({j}, {int(pows[j])}::HUGEINT)" for j in range(SUBSTR_K)
+    )
+    return f"""
+WITH pows(j, p) AS (VALUES {pow_values}),
+docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= {SUBSTR_K}),
+wins AS (
+  SELECT doc_id, i, substring(text, i + 1, {SUBSTR_K}) AS gram
+  FROM (SELECT doc_id, text,
+               unnest(range(0, length(text) - {SUBSTR_K - 1})) AS i
+        FROM docs)
+),
+hashed AS (
+  SELECT w.doc_id, w.gram,
+         SUM((unicode(substring(w.gram, p.j + 1, 1))::HUGEINT * p.p)
+             % 18446744073709551616::HUGEINT)
+         % 18446744073709551616::HUGEINT AS h
+  FROM wins w CROSS JOIN pows p
+  GROUP BY w.doc_id, w.i, w.gram
+),
+anchors AS (SELECT DISTINCT doc_id, gram FROM hashed WHERE h % {SUBSTR_MOD} = 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM anchors a JOIN anchors b ON a.gram = b.gram AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, COUNT(*) AS n_shared FROM pairs GROUP BY 1, 2
+"""
+
+
+SQL_SUBSTRING_DUP = _substr_sql()
+
+
 ML_QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality, SQL_QUALITY),
@@ -814,6 +865,7 @@ ML_QUERIES = {
     "fingerprint_rolling": (q_fingerprint_rolling, SQL_FINGERPRINT_ROLLING),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "substring_dup_pairs": (q_substring_dup, SQL_SUBSTRING_DUP),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "simhash_table": (q_simhash, SQL_SIMHASH),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),

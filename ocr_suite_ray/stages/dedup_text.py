@@ -540,3 +540,174 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
     from ocr_suite_ray.stages.relational import distinct
 
     return distinct(pairs, ["id_a", "id_b", "hamming"])
+
+
+# ---------------------------------------------------------------------------
+# exact shared-substring detection (suffix-array-dedup style)
+# ---------------------------------------------------------------------------
+
+# polynomial base for the anchor-selection rolling hash (odd 64-bit constant;
+# arithmetic wraps mod 2^64 like the numpy uint64 kernel, so the hash is
+# SQL-replicable with HUGEINT % 2^64)
+_SUBSTR_P = 1099511628211
+SUBSTR_K = 40
+SUBSTR_MOD = 16
+
+
+def _substr_pows(k: int = SUBSTR_K) -> "np.ndarray":
+    """p^(k-1-j) mod 2^64 for j in 0..k-1 (uint64 wrap)."""
+    pows = np.empty(k, dtype=np.uint64)
+    acc = np.uint64(1)
+    p = np.uint64(_SUBSTR_P)
+    with np.errstate(over="ignore"):
+        for j in range(k - 1, -1, -1):
+            pows[j] = acc
+            acc = acc * p  # wraps mod 2^64
+    return pows
+
+
+def substring_dup_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SUBSTR_K,
+    modulus: int = SUBSTR_MOD,
+):
+    """Pairs of documents sharing at least one exact ``k``-character
+    substring, with the count of distinct shared anchor grams — the
+    streaming analogue of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"; public
+    method).
+
+    Scale shape: computing all O(len) windows per doc stays local and
+    vectorized (one codepoint array + one sliding-window matmul per doc);
+    only WINNOWED ANCHORS leave the node — windows whose 64-bit rolling
+    hash ≡ 0 (mod ``modulus``), i.e. ~len/modulus grams of ``k`` chars, a
+    content-defined selection that is stable under edits elsewhere in the
+    document (unlike positional sampling). The exchange key is the gram
+    string itself so bucket equality is exact (no hash-collision false
+    pairs); at 100 TB swap the key to (hash, md5) with an exact verify to
+    shrink the exchange a further ~5x. One groupby shuffle on a coarse
+    shard of the gram space, pairs emitted per bucket, then a keyed count
+    — the minhash_lsh_pairs topology with grams in place of band hashes.
+
+    Reference analogue: ocr-suite's frame-level duplicate skip
+    (src/ocr/service.cpp is_frame_processed) generalized to intra-corpus
+    span duplication. Output: (id_a, id_b, n_shared), id_a < id_b.
+    """
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    pows = _substr_pows(k)
+    n_shards = 64
+
+    def _anchors(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        grams: list = []
+        mod = np.uint64(modulus)
+        for i, t in zip(df[id_col], df[text_col]):
+            if len(t) < k:
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.uint64
+            )
+            win = np.lib.stride_tricks.sliding_window_view(codes, k)
+            h = (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
+            sel = np.nonzero(h % mod == np.uint64(0))[0]
+            if not len(sel):
+                continue
+            seen = set()
+            for s in sel.tolist():
+                g = t[s : s + k]
+                if g not in seen:
+                    seen.add(g)
+                    ids.append(i)
+                    grams.append(g)
+        # coarse co-location key (one map_groups call per shard, not per
+        # gram bucket); md5-based — equal grams must land in the same shard
+        # across workers, so the salted builtin hash() cannot be used
+        shard = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "little")
+                % n_shards
+                for g in grams
+            ),
+            dtype=np.int64,
+            count=len(grams),
+        )
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "gram": grams,
+                "shard": pd.Series(shard.astype(np.int32)),
+            }
+        )
+
+    exploded = ds.map_batches(_anchors, batch_format="pandas")
+
+    _empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "gram": pd.Series(dtype="object"),
+        }
+    )
+
+    def _shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("gram")[id_col].transform("size")
+        multi = g[sizes.to_numpy() > 1]
+        if multi.empty:
+            return _empty
+        ra, rb, rg = [], [], []
+        for gram, grp in multi.groupby("gram", sort=False):
+            ids = sorted(grp[id_col])
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ra.append(ids[i])
+                    rb.append(ids[j])
+                    rg.append(gram)
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(ra, dtype="int64"),
+                "id_b": pd.Series(rb, dtype="int64"),
+                "gram": rg,
+            }
+        )
+
+    pair_grams = exploded.groupby("shard").map_groups(
+        _shard_pairs, batch_format="pandas"
+    )
+
+    # keyed count of distinct shared grams per pair (grams are already
+    # distinct per (pair, gram): per-doc distinct anchors + per-bucket
+    # pairing emit each (pair, gram) exactly once)
+    def _count(t: pa.Table) -> pa.Table:
+        g = t.group_by(["id_a", "id_b"]).aggregate([("gram", "count")])
+        g = g.rename_columns(["id_a", "id_b", "n_shared"])
+        return g.take(
+            pc.sort_indices(
+                g, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]
+            )
+        )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        # partial: keep (id_a, id_b, gram) distinct rows; they are already
+        # unique, so the tree just concatenates — the final count happens
+        # once at the root over the pair-bound (not corpus-bound) table
+        return t
+
+    ref = coalesce_reduce(pair_grams, _partial, _count, materialize=False)
+    if ref is None:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "n_shared": pd.Series(dtype="int64"),
+                }
+            )
+        )
+    return rd.from_arrow_refs([ref])

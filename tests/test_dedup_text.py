@@ -292,3 +292,83 @@ def test_normalize_urls_rules(ray_session):
     out = {r["i"]: r["url_norm"] for r in normalize_urls(rd.from_items(rows), "url").take_all()}
     for i, (_, want) in enumerate(cases):
         assert out[i] == want, (i, out[i], want)
+
+
+# ---------------------------------------------------------------------------
+# substring_dup_pairs (exact shared-substring anchors)
+# ---------------------------------------------------------------------------
+
+def _substr_corpus():
+    """Three docs share an exact 120-char block; others are unrelated; one
+    doc is shorter than k and must be ignored."""
+    r = random.Random(11)
+    shared = "".join(r.choice("abcdefgh ") for _ in range(120))
+    rows = []
+    for did in range(3):
+        pre = "".join(r.choice("stuvwxyz ") for _ in range(40 * (did + 1)))
+        post = "".join(r.choice("ijklmnop ") for _ in range(60))
+        rows.append({"doc_id": did, "text": pre + shared + post})
+    for did in range(3, 8):
+        rows.append(
+            {"doc_id": did, "text": "".join(r.choice("qrs tuv") for _ in range(300))}
+        )
+    rows.append({"doc_id": 8, "text": "too short"})
+    return pd.DataFrame(rows)
+
+
+def _substr_oracle(df, k=40, modulus=16):
+    """Exact per-doc winnowed anchor sets -> pair counts, pure Python."""
+    from ocr_suite_ray.stages.dedup_text import _substr_pows
+
+    pows = _substr_pows(k)
+    anchors = {}
+    for r in df.itertuples():
+        t = r.text
+        if len(t) < k:
+            continue
+        sel = set()
+        for s in range(len(t) - k + 1):
+            h = 0
+            for j in range(k):
+                h = (h + ord(t[s + j]) * int(pows[j])) % (1 << 64)
+            if h % modulus == 0:
+                sel.add(t[s : s + k])
+        anchors[r.doc_id] = sel
+    want = {}
+    ids = sorted(anchors)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            n = len(anchors[ids[i]] & anchors[ids[j]])
+            if n:
+                want[(ids[i], ids[j])] = n
+    return want
+
+
+def test_substring_dup_pairs_matches_exact_oracle(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import substring_dup_pairs
+
+    df = _substr_corpus()
+    want = _substr_oracle(df)
+    # the shared 120-char block must contribute anchors for all 3 pairs
+    assert all((a, b) in want for a in range(3) for b in range(a + 1, 3))
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in substring_dup_pairs(rd.from_pandas(df)).take_all()
+    }
+    assert got == want
+
+
+def test_substring_dup_pairs_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import substring_dup_pairs
+
+    df = _substr_corpus()
+    key = lambda r: (r["id_a"], r["id_b"], r["n_shared"])
+    a = sorted(substring_dup_pairs(rd.from_pandas(df)).take_all(), key=key)
+    b = sorted(
+        substring_dup_pairs(rd.from_pandas(df).repartition(5)).take_all(), key=key
+    )
+    assert a == b and len(a) >= 3
