@@ -857,6 +857,101 @@ SELECT id_a, id_b, COUNT(*) AS n_shared FROM pairs GROUP BY 1, 2
 SQL_SUBSTRING_DUP = _substr_sql()
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 app. C method): flag corpus docs
+    sharing word 5-grams with the eval slice (doc_id % 50 == 0). The eval
+    gram set is tree-reduced worker-side and broadcast once; the corpus
+    pass is one streaming ``is_in`` kernel — no shuffle."""
+    import pyarrow as pa_mod
+
+    from ocr_suite_ray.stages.contamination import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _is_eval(t: pa_mod.Table) -> pa_mod.Table:
+        return t.filter(pa_mod.array(t["doc_id"].to_numpy() % 50 == 0))
+
+    def _is_corpus(t: pa_mod.Table) -> pa_mod.Table:
+        return t.filter(pa_mod.array(t["doc_id"].to_numpy() % 50 != 0))
+
+    ev = ds.map_batches(_is_eval, batch_format="pyarrow")
+    corpus = ds.map_batches(_is_corpus, batch_format="pyarrow")
+    return decontaminate(corpus, ev, n=5, min_hits=1)
+
+
+SQL_DECONTAMINATE = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+ev AS (
+  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] AS gram
+  FROM (SELECT w, unnest(range(1, len(w) - 3)) AS i
+        FROM docs WHERE doc_id % 50 = 0 AND len(w) >= 5)
+),
+corpus AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4] AS gram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        FROM docs WHERE doc_id % 50 <> 0 AND len(w) >= 5)
+),
+hits AS (
+  SELECT c.doc_id, COUNT(DISTINCT c.gram) AS n_contam
+  FROM corpus c JOIN ev USING (gram) GROUP BY c.doc_id
+)
+SELECT d.doc_id, COALESCE(h.n_contam, 0) AS n_contam,
+       CAST(COALESCE(h.n_contam, 0) >= 1 AS BIGINT) AS flagged
+FROM docs d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 50 <> 0
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic subsample (md5-mod thresholds per
+    stratum) — the corpus-mixing primitive for rebalancing a training
+    set's language distribution."""
+    from ocr_suite_ray.stages.contamination import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return stratified_sample(
+        ds,
+        "lang",
+        "doc_id",
+        {"en": 5000, "de": 2000, "fr": 1000},
+        default_e4=500,
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10000 <
+      CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000 WHEN 'fr' THEN 1000
+           ELSE 500 END
+"""
+
+
+def q_group_quota(sf_dir: str):
+    """Per-language running-character budget cap (keep docs in doc_id
+    order while the language's cumulative n_chars stays <= 20000) — the
+    per-domain contribution cap of curation recipes."""
+    from ocr_suite_ray.stages.contamination import group_quota
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return group_quota(ds, "lang", "doc_id", "n_chars", 20000)
+
+
+SQL_GROUP_QUOTA = """
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, running FROM w WHERE running <= 20000
+"""
+
+
 ML_QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality, SQL_QUALITY),
@@ -866,6 +961,9 @@ ML_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "substring_dup_pairs": (q_substring_dup, SQL_SUBSTRING_DUP),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "group_quota": (q_group_quota, SQL_GROUP_QUOTA),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "simhash_table": (q_simhash, SQL_SIMHASH),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),

@@ -1,0 +1,207 @@
+"""Benchmark decontamination, stratified sampling, and per-group token
+budgets — the corpus-hygiene trio between dedup and training.
+
+Decontamination is the GPT-3/PaLM n-gram method (Brown et al. 2020 app. C,
+public): a document is contaminated when it shares word n-grams with a
+held-out benchmark/eval set. Scale shape: the eval side is SMALL by
+definition (benchmarks are thousands of rows, never corpus-scale), so its
+distinct gram set is built worker-side with a remote tree reduce and
+broadcast ONCE (``ray.put`` ref + per-worker ``cached_get``); the corpus
+side is one streaming ``map_batches`` pass — one vectorized ``is_in`` C
+kernel per batch, no shuffle at all. At 100 TB the only exchange is the
+eval gram table (KBs–MBs) travelling to each worker once.
+
+Reference analogue: the already-processed skip filter
+(``src/ocr/service.cpp`` ``is_frame_processed``) generalized from
+"seen by this pipeline" to "seen by the eval benchmark".
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _word_ngrams(texts, n: int):
+    """All word ``n``-grams (space-joined) of every row, vectorized.
+
+    Returns ``(row_idx, grams)``: int64 row index per gram and a
+    ``pa.StringArray`` of the grams. Rows with fewer than ``n`` words
+    contribute nothing. The kernel is the flatten-plus-offsets shape of
+    ``text_ops._tokens``: one ``split_pattern``, ``n`` shifted zero-copy
+    slices of the flat token array, one ``binary_join_element_wise`` — no
+    per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(lst)
+    off = lst.offsets.to_numpy().astype(np.int64)
+    off = off - off[0]
+    n_tokens = off[1:] - off[:-1]
+    total = int(off[-1]) if len(off) else 0
+    n_windows = total - n + 1
+    if n_windows <= 0:
+        return np.empty(0, dtype=np.int64), pa.array([], pa.string())
+    parts = [flat.slice(j, n_windows) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    # window starting at flat position i belongs to row r iff it ends
+    # inside r: i + n <= row_end[r]
+    row_of = np.repeat(np.arange(len(n_tokens), dtype=np.int64), n_tokens)
+    ends = np.repeat(off[1:], n_tokens)
+    pos = np.arange(n_windows, dtype=np.int64)
+    valid = pos + n <= ends[:n_windows]
+    idx = np.nonzero(valid)[0]
+    return row_of[idx], grams.take(pa.array(idx, pa.int64()))
+
+
+def eval_gram_ref(eval_ds, text_col: str = "text", n: int = 5):
+    """Distinct word-``n``-gram table of the eval set as an ObjectRef
+    (never touches the driver). ``None`` when the eval set is empty."""
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    def _grams(t: pa.Table) -> pa.Table:
+        _rows, grams = _word_ngrams(t[text_col], n)
+        return pa.table({"gram": pc.unique(grams)})
+
+    gram_ds = eval_ds.map_batches(_grams, batch_format="pyarrow")
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        return pa.table({"gram": pc.unique(t["gram"].combine_chunks())})
+
+    return coalesce_reduce(gram_ds, _dedup, None, materialize=False)
+
+
+def decontaminate(
+    ds,
+    eval_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_hits: int = 1,
+):
+    """Per-corpus-doc contamination report vs ``eval_ds``:
+    ``(id_col, n_contam, flagged)`` where ``n_contam`` counts DISTINCT
+    shared ``n``-grams and ``flagged`` is 1 iff ``n_contam >= min_hits``.
+
+    Filter usage: ``decontaminate(...)`` then drop ``flagged == 1`` (kept
+    as a report so the flagged set is auditable — the standard practice is
+    to log removals, not silently drop).
+    """
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages._bcast import cached_get
+
+    ref = eval_gram_ref(eval_ds, text_col, n)
+
+    def _contam(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        n_rows = len(ids)
+        n_contam = np.zeros(n_rows, dtype=np.int64)
+        # one deserialize per worker (cached_get), one is_in C pass per
+        # batch against the cached gram set; the ref (or its payload) is
+        # None when the eval set is empty — nothing can be contaminated
+        gram_table = cached_get(ref) if ref is not None else None
+        if gram_table is not None and len(gram_table):
+            value_set = gram_table["gram"].combine_chunks()
+            rows, grams = _word_ngrams(t[text_col], n)
+            if len(rows):
+                hit = pc.is_in(grams, value_set=value_set).to_numpy(
+                    zero_copy_only=False
+                )
+                hit_idx = np.nonzero(hit)[0]
+                if len(hit_idx):
+                    # distinct (row, gram) among HITS only — the hit set is
+                    # contamination-bound, tiny vs the batch
+                    hdf = pd.DataFrame(
+                        {
+                            "row": rows[hit_idx],
+                            "gram": grams.take(
+                                pa.array(hit_idx, pa.int64())
+                            ).to_pylist(),
+                        }
+                    ).drop_duplicates()
+                    vc = hdf.groupby("row").size()
+                    n_contam[vc.index.to_numpy()] = vc.to_numpy()
+        return pa.table(
+            {
+                id_col: ids,
+                "n_contam": pa.array(n_contam, pa.int64()),
+                "flagged": pa.array(
+                    (n_contam >= min_hits).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_contam, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds,
+    stratum_col: str,
+    id_col: str,
+    fractions_e4: dict,
+    default_e4: int = 0,
+    mod: int = 10000,
+):
+    """Deterministic per-stratum subsample: keep a row iff
+    ``md5(id) % mod < fractions_e4[stratum]`` (``default_e4`` for unlisted
+    strata). Reproducible at any parallelism and across re-runs (unlike
+    ``random_sample``), disjoint from nothing — it is a pure filter, no
+    shuffle. The md5 is the only per-row Python (DuckDB hash parity, cf.
+    ``q_hash_sample``); the stratum threshold lookup is a vectorized
+    dictionary-encode + take.
+    """
+
+    def _sample(t: pa.Table) -> pa.Table:
+        h = np.array(
+            [
+                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % mod
+                for d in t[id_col].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        strata = t[stratum_col].combine_chunks().dictionary_encode()
+        uniq = strata.dictionary.to_pylist()
+        thresholds = np.array(
+            [int(fractions_e4.get(s, default_e4)) for s in uniq], dtype=np.int64
+        )
+        codes = strata.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(h < thresholds[codes]))
+
+    return ds.map_batches(_sample, batch_format="pyarrow")
+
+
+def group_quota(
+    ds,
+    group_col: str,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+):
+    """Per-group running-weight cap: within each ``group_col`` group, order
+    by ``order_col`` and keep rows while the running sum of ``weight_col``
+    stays ``<= budget`` — the per-domain token-budget cap of curation
+    recipes (cap any one domain's contribution to the training mix).
+
+    One groupby shuffle on ``group_col``; the fold inside each group is a
+    vectorized argsort + cumsum (no per-row Python). Emits the kept rows
+    plus ``running`` (the inclusive running weight) for auditability.
+    Equivalent SQL: ``SUM(w) OVER (PARTITION BY g ORDER BY o) <= budget``.
+    """
+
+    def _cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort")
+        running = g[weight_col].to_numpy().cumsum()
+        out = g[running <= budget].copy()
+        out["running"] = running[running <= budget]
+        return out
+
+    return ds.groupby(group_col).map_groups(_cap, batch_format="pandas")

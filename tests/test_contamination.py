@@ -1,0 +1,149 @@
+"""Decontamination / stratified sampling / group quota: exact semantics vs
+pure-Python oracles on constructed corpora, plus partition invariance."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from ocr_suite_ray.stages.contamination import (
+    _word_ngrams,
+    decontaminate,
+    group_quota,
+    stratified_sample,
+)
+
+
+def _py_ngrams(text: str, n: int) -> set:
+    w = text.split(" ")
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def test_word_ngrams_matches_python():
+    import pyarrow as pa
+
+    texts = [
+        "a b c d e f",
+        "one two",          # shorter than n -> nothing
+        "",                 # empty -> nothing
+        "x x x x x",        # repeats allowed (distinctness is caller's job)
+    ]
+    rows, grams = _word_ngrams(pa.array(texts), 3)
+    got: dict = {}
+    for r, g in zip(rows.tolist(), grams.to_pylist()):
+        got.setdefault(r, []).append(g)
+    assert set(got.get(0, [])) == _py_ngrams(texts[0], 3)
+    assert 1 not in got and 2 not in got
+    assert got[3] == ["x x x"] * 3  # every window, in order
+
+
+def test_decontaminate_flags_planted_overlap(ray_session):
+    import ray.data as rd
+
+    ev = pd.DataFrame(
+        {"doc_id": [1000, 1001], "text": ["the secret eval answer is tau", "benchmark row two here now yes"]}
+    )
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "prefix words the secret eval answer is tau suffix",  # contaminated
+                "completely unrelated text with no overlap at all",
+                "benchmark row two here now yes",  # exact eval doc
+            ],
+        }
+    )
+    out = (
+        decontaminate(rd.from_pandas(corpus), rd.from_pandas(ev), n=5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # doc 0 shares the 5-gram windows of the planted sentence (2 distinct
+    # eval 5-grams from "the secret eval answer is" / "secret eval answer is tau")
+    assert out.loc[0, "flagged"] == 1 and out.loc[0, "n_contam"] == 2
+    assert out.loc[1, "flagged"] == 0 and out.loc[1, "n_contam"] == 0
+    assert out.loc[2, "flagged"] == 1 and out.loc[2, "n_contam"] == 2
+
+
+def test_decontaminate_empty_eval_flags_nothing(ray_session):
+    import ray.data as rd
+
+    corpus = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d e f", "g h i j k l"]})
+    ev = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "text": pd.Series(dtype="object")})
+    out = decontaminate(rd.from_pandas(corpus), rd.from_pandas(ev), n=5).to_pandas()
+    assert (out.flagged == 0).all() and (out.n_contam == 0).all()
+
+
+def test_decontaminate_partition_invariant(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                f"shared phrase block alpha beta gamma {i % 4} tail word {i}"
+                for i in range(40)
+            ],
+        }
+    )
+    ev = docs.iloc[:4][["doc_id", "text"]]
+    a = (
+        decontaminate(rd.from_pandas(docs), rd.from_pandas(ev), n=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        decontaminate(rd.from_pandas(docs).repartition(7), rd.from_pandas(ev).repartition(3), n=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert a.flagged.sum() > 0  # the shared phrase actually collides
+
+
+def test_stratified_sample_matches_md5_oracle(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {"doc_id": range(400), "lang": [["en", "de", "fr", "zh"][i % 4] for i in range(400)]}
+    )
+    fr = {"en": 8000, "de": 3000, "fr": 0}
+    got = (
+        stratified_sample(rd.from_pandas(df), "lang", "doc_id", fr, default_e4=1000)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    keep = []
+    for r in df.itertuples():
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 10000
+        if h < fr.get(r.lang, 1000):
+            keep.append(r.doc_id)
+    assert got.doc_id.tolist() == keep
+    assert (got.lang != "fr").all()  # zero-fraction stratum fully dropped
+
+
+def test_group_quota_matches_window_oracle(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(60),
+            "lang": [["en", "de"][i % 2] for i in range(60)],
+            "n_chars": [100 * (1 + i % 7) for i in range(60)],
+        }
+    )
+    got = (
+        group_quota(rd.from_pandas(df).repartition(5), "lang", "doc_id", "n_chars", 1500)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want_rows = []
+    for lang, g in df.groupby("lang"):
+        run = 0
+        for r in g.sort_values("doc_id").itertuples():
+            run += r.n_chars
+            if run > 1500:
+                break
+            want_rows.append((r.doc_id, lang, r.n_chars, run))
+    want = pd.DataFrame(want_rows, columns=["doc_id", "lang", "n_chars", "running"]).sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert got[["doc_id", "lang", "n_chars", "running"]].equals(want)
