@@ -857,6 +857,19 @@ SELECT id_a, id_b, COUNT(*) AS n_shared FROM pairs GROUP BY 1, 2
 SQL_SUBSTRING_DUP = _substr_sql()
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup: k-means clusters over the embeddings table, within-cluster
+    cosine >= 0.40 components collapsed to their min-id representative
+    (0.40 matches ``embedding_near_dup``'s threshold — the sf embeddings
+    are near-uniform, max pairwise cosine ~0.51). Approximate (k-means is
+    not SQL-expressible) — rows-only driver check; the exact-semantics
+    differential oracle lives in tests/test_dedup_text.py."""
+    from ocr_suite_ray.stages.similarity import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(ds, threshold_e4=4000, n_clusters=8)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination (GPT-3 app. C method): flag corpus docs
     sharing word 5-grams with the eval slice (doc_id % 50 == 0). The eval
@@ -962,6 +975,7 @@ ML_QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "substring_dup_pairs": (q_substring_dup, SQL_SUBSTRING_DUP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "semantic_dedup": (q_semantic_dedup, None),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "group_quota": (q_group_quota, SQL_GROUP_QUOTA),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),

@@ -241,3 +241,90 @@ def lsh_bucket_pairs(ds, n_planes: int = 12, threshold_e4: int = 4000,
     from ocr_suite_ray.stages.relational import distinct
 
     return distinct(pairs, ["id_a", "id_b", "cosine_e4"])
+
+
+def semantic_dedup(
+    ds,
+    threshold_e4: int = 9500,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 512,
+    seed: int = 42,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): k-means-cluster the embeddings, then within each cluster link
+    pairs with cosine >= threshold and keep ONE representative (min id) per
+    linked component.
+
+    Ray shape: the coarse quantizer is trained on a deterministic
+    driver-side sample and the centroid matrix broadcast once (``ray.put``
+    + per-worker cache); ONE map_batches pass assigns every row to its
+    cluster (a single matmul — the vectors never shuffle more than once);
+    ONE groupby shuffle on the cluster key; the within-cluster dedup is a
+    vectorized pairwise matmul + a pair-count-bound union-find. Cross-
+    cluster duplicates are missed by construction — that is the documented
+    SemDeDup approximation (recall rises with fewer clusters; cost falls
+    with more). Partitioning assumption: cluster population ~ corpus/k
+    must fit one worker; scale k with the corpus (the paper uses
+    k ~ sqrt(N)), or pre-shard hot clusters.
+
+    Output: ``(id_col, cluster, rep_id, is_dup)`` — one row per input row;
+    ``is_dup=1`` iff the row is dropped by dedup (``rep_id`` kept).
+    Reference analogue: the newest-capture-wins duplicate skip
+    (``src/ocr/service.cpp`` ``is_frame_processed``) lifted from exact key
+    equality to embedding-space equivalence classes.
+    """
+    import ray
+
+    from ocr_suite_ray.stages._bcast import cached_get
+
+    sample_rows = ds.limit(train_sample).to_pandas()
+    cent = _kmeans(_norm(_mat(sample_rows[vec_col])), n_clusters, seed=seed)
+    ref = ray.put(cent)
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        cent_l = cached_get(ref)
+        m = _norm(_mat(df[vec_col]))
+        out = df[[id_col]].copy()
+        out["cluster"] = (m @ cent_l.T).argmax(1).astype(np.int64)
+        out["vec"] = [v.tolist() for v in m]
+        return out
+
+    assigned = ds.map_batches(_assign, batch_format="pandas")
+
+    def _dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = np.stack([np.asarray(v) for v in g["vec"]])
+        e4 = np.floor((m @ m.T) * 10000 + 0.5).astype(np.int64)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = e4[iu, ju] >= threshold_e4
+        # union-find over the (pair-count-bound) hit edges; ids sorted, so
+        # path roots are the component minima
+        parent = np.arange(len(ids))
+
+        def _find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(iu[hit], ju[hit]):
+            ra, rb = _find(int(a)), _find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([_find(int(i)) for i in range(len(ids))])
+        rep = ids[roots]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": g["cluster"].to_numpy(),
+                "rep_id": rep,
+                "is_dup": (rep != ids).astype(np.int64),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        _dedup_cluster, batch_format="pandas"
+    )

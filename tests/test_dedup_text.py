@@ -372,3 +372,83 @@ def test_substring_dup_pairs_partition_invariant(ray_session):
         substring_dup_pairs(rd.from_pandas(df).repartition(5)).take_all(), key=key
     )
     assert a == b and len(a) >= 3
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup: cluster -> within-cluster cosine components)
+# ---------------------------------------------------------------------------
+
+def _semdedup_corpus(n_groups=6, dup_per_group=3, dim=16, seed=3):
+    """Well-separated base directions, each with near-identical copies
+    (tiny noise) — every group must collapse to its min id."""
+    rng = np.random.RandomState(seed)
+    base = rng.normal(size=(n_groups, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for g in range(n_groups):
+        for _ in range(dup_per_group):
+            v = base[g] + rng.normal(scale=0.005, size=dim)
+            rows.append({"vec_id": vid, "embedding": v.astype(float).tolist()})
+            vid += 1
+    return pd.DataFrame(rows)
+
+
+def test_semantic_dedup_collapses_planted_groups(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.similarity import semantic_dedup
+
+    df = _semdedup_corpus()
+    out = (
+        semantic_dedup(rd.from_pandas(df), threshold_e4=9900, n_clusters=6,
+                       train_sample=len(df))
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert len(out) == len(df)  # one row per input, none lost
+    # no cross-group merge, ever: inter-group cosine is far below the
+    # threshold regardless of how k-means carved the space
+    assert (out.rep_id // 3 == out.vec_id // 3).all()
+    # differential oracle: GIVEN the produced cluster assignment, the rep
+    # must equal union-find over within-cluster >= tau pairs (this is the
+    # exact semantics; group recall depends on clustering, which is the
+    # documented SemDeDup approximation)
+    vecs = np.stack([np.asarray(v) for v in df.embedding])
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    for _c, g in out.groupby("cluster"):
+        ids = g.vec_id.to_numpy()
+        m = vecs[ids]
+        e4 = np.floor((m @ m.T) * 10000 + 0.5).astype(np.int64)
+        parent = {int(i): int(i) for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if e4[i, j] >= 9900:
+                    ra, rb = find(int(ids[i])), find(int(ids[j]))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        for r in g.itertuples():
+            assert find(int(r.vec_id)) == r.rep_id
+    # the planted copies are tight enough that most collapse even under
+    # imperfect clustering
+    assert int(out.is_dup.sum()) >= 8
+
+
+def test_semantic_dedup_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.similarity import semantic_dedup
+
+    df = _semdedup_corpus()
+    kw = dict(threshold_e4=9900, n_clusters=6, train_sample=len(df))
+    a = (semantic_dedup(rd.from_pandas(df), **kw)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    b = (semantic_dedup(rd.from_pandas(df).repartition(5), **kw)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert a.equals(b)
