@@ -803,6 +803,44 @@ FROM e WHERE rn = n_total
 """
 
 
+def q_range_join(sf_dir: str):
+    """Interval join: for each error event, every event (any type) within
+    the following 60 s — the alert-correlation shape. Time-binned: one
+    groupby shuffle on the bin key, searchsorted verify inside bins."""
+    from ocr_suite_ray.stages.relational import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def _left(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_mod
+
+        t = t.filter(pc_mod.equal(t["event_type"], "error"))
+        return t.select(["event_id", "ts"]).rename_columns(["id_l", "ts"])
+
+    def _right(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "ts"]).rename_columns(["id_r", "ts"])
+
+    left = ev.map_batches(_left, batch_format="pyarrow")
+    right = ev.map_batches(_right, batch_format="pyarrow")
+    joined = range_join(left, right, "ts", 0, 60_000_000, ["id_l"], ["id_r"])
+
+    def _no_self(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_mod
+
+        return t.filter(pc_mod.not_equal(t["id_l"], t["id_r"]))
+
+    return joined.map_batches(_no_self, batch_format="pyarrow")
+
+
+SQL_RANGE_JOIN = """
+SELECT l.event_id AS id_l, r.event_id AS id_r,
+       epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
+FROM events l JOIN events r
+  ON r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 60 SECOND
+WHERE l.event_type = 'error' AND l.event_id <> r.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -825,6 +863,7 @@ RELATIONAL_QUERIES = {
     "window_hourly": (q_window_hourly, SQL_WINDOW_HOURLY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
     "rolling_mean": (q_rolling_mean, SQL_ROLLING_MEAN),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),

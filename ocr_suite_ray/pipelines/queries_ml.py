@@ -956,9 +956,9 @@ def q_group_quota(sf_dir: str):
 SQL_GROUP_QUOTA = """
 WITH w AS (
   SELECT doc_id, lang, n_chars,
-         SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS running
+         CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS running
   FROM documents
 )
 SELECT doc_id, lang, n_chars, running FROM w WHERE running <= 20000

@@ -196,3 +196,148 @@ def distinct(ds, cols: list):
     reduced = ds.map_batches(_local, batch_format="pandas")
     agg = reduced.groupby(cols).aggregate(Count(alias_name="__n"))
     return agg.drop_columns(["__n"])
+
+
+def range_join(
+    left,
+    right,
+    ts: str,
+    lower_us: int,
+    upper_us: int,
+    left_cols: list,
+    right_cols: list,
+):
+    """Event-time range join: every (left, right) pair with
+    ``right.ts - left.ts`` in ``[lower_us, upper_us]`` (inclusive,
+    microseconds). Ray Data has no native interval join; the distributed
+    pattern is time-binning: with bin width W = upper - lower, each RIGHT
+    row lands in exactly ONE bin (``floor(ts/W)``) and each LEFT row is
+    replicated to the two consecutive bins its match-interval
+    ``[ts+lower, ts+upper]`` overlaps — so one groupby(bin) shuffle
+    co-locates every possible pair exactly once (no global dedup needed:
+    a pair meets only in the right row's bin). Inside a bin the verify is
+    sort + ``np.searchsorted`` slab emission — no per-pair Python. The
+    union and group blocks stay Arrow end-to-end: the absent side's
+    columns are TYPED nulls, so int64 ids never round-trip through
+    float64 (cf. the components id-corruption fix).
+
+    Partitioning assumption: rows per time bin must fit a worker; pick
+    the window so W x event-rate is bounded, or pre-split hot bins by a
+    salt on the right side.
+
+    ``left_cols`` / ``right_cols`` must be disjoint name sets; output is
+    ``left_cols + right_cols + [delta_us]``.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    w = max(int(upper_us) - int(lower_us), 1)
+
+    def _arrow_types(ds, cols: list) -> dict:
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return {c: base.field(c).type for c in cols}
+        # PandasBlockSchema (pandas-born datasets): numpy dtypes; object
+        # columns are strings in this engine's tables
+        by_name = dict(zip(base.names, base.types))
+        return {
+            c: (pa.string() if by_name[c] == object else pa.from_numpy_dtype(by_name[c]))
+            for c in cols
+        }
+
+    ltypes = _arrow_types(left, left_cols)
+    rtypes = _arrow_types(right, right_cols)
+    out_fields = (
+        [(c, ltypes[c]) for c in left_cols]
+        + [(c, rtypes[c]) for c in right_cols]
+        + [("delta_us", pa.int64())]
+    )
+    empty = pa.table(
+        {c: pa.array([], type=t) for c, t in out_fields}
+    )
+
+    def _ts_us(col) -> "np.ndarray":
+        return (
+            pc.cast(col.combine_chunks(), pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+
+    def _filler(n: int, t):
+        # typed ZERO filler for the absent side's columns (never read):
+        # null-free so no intermediate pandas/polars conversion inside the
+        # groupby sort can upcast int64 to float64 (the 2^53 id hazard)
+        if pa.types.is_integer(t):
+            return pa.array(np.zeros(n, dtype=np.int64)).cast(t)
+        if pa.types.is_floating(t):
+            return pa.array(np.zeros(n, dtype=np.float64)).cast(t)
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.array([""] * n, type=t)
+        return pa.nulls(n, t)
+
+    def _cols(t: pa.Table, side: int, bins: np.ndarray, ts_us: np.ndarray, idx=None):
+        n = len(bins)
+        data = {
+            "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            "__bin": pa.array(bins, pa.int64()),
+            "__ts_us": pa.array(ts_us, pa.int64()),
+        }
+        for c in left_cols:
+            if side == 0:
+                col = t[c].combine_chunks()
+                data[c] = col.take(pa.array(idx, pa.int64())) if idx is not None else col
+            else:
+                data[c] = _filler(n, ltypes[c])
+        for c in right_cols:
+            if side == 1:
+                data[c] = t[c].combine_chunks()
+            else:
+                data[c] = _filler(n, rtypes[c])
+        return pa.table(data)
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        tus = _ts_us(t[ts])
+        b0 = (tus + lower_us) // w
+        b1 = b0 + 1  # interval length == W always spills into the next bin
+        idx = np.concatenate([np.arange(len(tus))] * 2)
+        return _cols(
+            t, 0, np.concatenate([b0, b1]), np.concatenate([tus, tus]), idx=idx
+        )
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        tus = _ts_us(t[ts])
+        return _cols(t, 1, tus // w, tus)
+
+    lt = left.map_batches(_tag_left, batch_format="pyarrow")
+    rt = right.map_batches(_tag_right, batch_format="pyarrow")
+
+    def _verify(g: pa.Table) -> pa.Table:
+        side = g["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts_all = g["__ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        rmask = ~lmask
+        if not lmask.any() or not rmask.any():
+            return empty
+        lt_us = ts_all[lmask]
+        rt_sorted_pos = np.nonzero(rmask)[0][np.argsort(ts_all[rmask], kind="stable")]
+        rt_us = ts_all[rt_sorted_pos]
+        lo = np.searchsorted(rt_us, lt_us + lower_us, side="left")
+        hi = np.searchsorted(rt_us, lt_us + upper_us, side="right")
+        counts = hi - lo
+        keep = counts > 0
+        if not keep.any():
+            return empty
+        lpos = np.nonzero(lmask)[0]
+        li = np.repeat(lpos[keep], counts[keep])
+        ri = rt_sorted_pos[
+            np.concatenate([np.arange(a, b) for a, b in zip(lo[keep], hi[keep])])
+        ]
+        li_a = pa.array(li, pa.int64())
+        ri_a = pa.array(ri, pa.int64())
+        data = {c: g[c].combine_chunks().take(li_a) for c in left_cols}
+        data.update({c: g[c].combine_chunks().take(ri_a) for c in right_cols})
+        data["delta_us"] = pa.array(ts_all[ri] - ts_all[li], pa.int64())
+        return pa.table(data)
+
+    return lt.union(rt).groupby("__bin").map_groups(_verify, batch_format="pyarrow")
