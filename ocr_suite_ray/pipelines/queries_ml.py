@@ -857,6 +857,31 @@ SELECT id_a, id_b, COUNT(*) AS n_shared FROM pairs GROUP BY 1, 2
 SQL_SUBSTRING_DUP = _substr_sql()
 
 
+def q_lm_score(sf_dir: str):
+    """Unigram-LM negative mean log-likelihood per doc (CCNet perplexity
+    filter primitive), add-one smoothed over the corpus's own unigram
+    table. Fixed-point e4; float64 ln/mean on both sides."""
+    from ocr_suite_ray.stages.text_ops import lm_unigram_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lm_unigram_score(ds)
+
+
+SQL_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn, CAST(COUNT(*) AS DOUBLE) AS vv
+        FROM counts)
+SELECT t.doc_id,
+       CAST(FLOOR(-AVG(ln((c.n + 1.0) / (tot.nn + tot.vv))) * 10000 + 0.5)
+            AS BIGINT) AS lm_score_e4
+FROM toks t JOIN counts c USING (tok), tot
+GROUP BY t.doc_id
+"""
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup: k-means clusters over the embeddings table, within-cluster
     cosine >= 0.40 components collapsed to their min-id representative
@@ -976,6 +1001,7 @@ ML_QUERIES = {
     "substring_dup_pairs": (q_substring_dup, SQL_SUBSTRING_DUP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "semantic_dedup": (q_semantic_dedup, None),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "group_quota": (q_group_quota, SQL_GROUP_QUOTA),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),

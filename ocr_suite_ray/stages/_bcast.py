@@ -26,3 +26,19 @@ def cached_get(ref):
         v = ray.get(ref)
         _CACHE[ref] = v
     return v
+
+
+_DERIVED: dict = {}
+
+
+def cached_build(ref, builder):
+    """Like ``cached_get`` but caches ``builder(payload)`` — for stages that
+    derive a worker-local structure (a lookup Series, a normalized matrix)
+    from the broadcast payload. One entry, keyed by ref (builder closures
+    are recreated per task, so the ref is the stable identity)."""
+    v = _DERIVED.get(ref)
+    if v is None:
+        _DERIVED.clear()
+        v = builder(cached_get(ref))
+        _DERIVED[ref] = v
+    return v

@@ -416,3 +416,61 @@ def normalize_urls(ds, url_col: str, out_col: str | None = None):
         return t.append_column(out_col, pc.if_else(ok, lowered, u))
 
     return ds.map_batches(_norm, batch_format="pyarrow")
+
+
+def lm_unigram_score(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc unigram-LM negative mean log-likelihood (fixed-point e4) —
+    the perplexity-filter primitive of CCNet-style curation (Wenzek et al.
+    2020, public method), with add-one smoothing over the corpus's own
+    unigram table.
+
+    Two passes, both streaming: (1) the global unigram table — per-block
+    ``value_counts`` partials, ONE vocabulary-keyed groupby, tree-reduced
+    to a single ObjectRef (vocab-sized, never on the driver); (2) a
+    broadcast-score pass — each worker builds the token→logp Series once
+    (``cached_build``), each batch is one hash-join ``reindex`` plus a
+    segment mean. The corpus never shuffles; only the vocab table moves.
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_suite_ray.stages._bcast import cached_build
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _nt, flat, _off = _tokens(batch[text_col])
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "tok": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    ref = coalesce_reduce(counts, lambda t: t, None, materialize=False)
+
+    def _build(tbl):
+        n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        total, vocab = n.sum(), float(len(n))
+        logp = np.log((n + 1.0) / (total + vocab))
+        return pd.Series(logp, index=tbl["tok"].to_pandas())
+
+    def _score(batch: pa.Table) -> pa.Table:
+        series = cached_build(ref, _build)
+        n_tokens, flat, off = _tokens(batch[text_col])
+        vals = series.reindex(flat.to_pandas()).to_numpy()
+        cs = np.concatenate([[0.0], np.cumsum(vals)])
+        sums = cs[off[1:]] - cs[off[:-1]]
+        mean = sums / np.maximum(n_tokens, 1)
+        score = np.floor(-mean * 10000 + 0.5).astype(np.int64)
+        return pa.table(
+            {id_col: batch[id_col], "lm_score_e4": pa.array(score, pa.int64())}
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")

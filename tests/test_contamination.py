@@ -147,3 +147,35 @@ def test_group_quota_matches_window_oracle(ray_session):
         "doc_id"
     ).reset_index(drop=True)
     assert got[["doc_id", "lang", "n_chars", "running"]].equals(want)
+
+
+def test_lm_unigram_score_matches_python_oracle(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import lm_unigram_score
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a a b", "b c", "a rare tokens here"],
+        }
+    )
+    # corpus counts: a:3 b:2 c:1 rare:1 tokens:1 here:1 -> N=9, V=6
+    counts = {}
+    for t in df.text:
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    N, V = sum(counts.values()), len(counts)
+    want = {}
+    for r in df.itertuples():
+        lps = [math.log((counts[w] + 1.0) / (N + V)) for w in r.text.split(" ")]
+        want[r.doc_id] = math.floor(-(sum(lps) / len(lps)) * 10000 + 0.5)
+    got_a = lm_unigram_score(rd.from_pandas(df)).to_pandas()
+    got_b = lm_unigram_score(rd.from_pandas(df).repartition(3)).to_pandas()
+    for g in (got_a, got_b):
+        assert {r.doc_id: r.lm_score_e4 for r in g.itertuples()} == want
+    # common-token docs score lower (less surprising) than rare-token docs
+    m = {r.doc_id: r.lm_score_e4 for r in got_a.itertuples()}
+    assert m[0] < m[2]
