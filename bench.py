@@ -47,6 +47,12 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "knn_cosine",
     "simhash_pairs",
+    "substring_dup_pairs",
+    "decontaminate",
+    "lm_score",
+    "tfidf_top",
+    "range_join",
+    "semantic_dedup",
 ]
 
 

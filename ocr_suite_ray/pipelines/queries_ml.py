@@ -882,6 +882,37 @@ GROUP BY t.doc_id
 """
 
 
+def q_tfidf_top(sf_dir: str):
+    """Top-3 TF-IDF keywords per document (keyword extraction), fixed-point
+    e4, deterministic tie-break (score desc, term asc)."""
+    from ocr_suite_ray.stages.text_ops import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(ds, k=3)
+
+
+SQL_TFIDF_TOP = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok AS term,
+         CAST(FLOOR(t.tf * ln((nd.n + 1) / (d.df + 1)) * 10000 + 0.5)
+              AS BIGINT) AS score_e4
+  FROM tf t JOIN df d USING (tok), nd
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_e4 DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, score_e4 FROM ranked WHERE rn <= 3
+"""
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup: k-means clusters over the embeddings table, within-cluster
     cosine >= 0.40 components collapsed to their min-id representative
@@ -1002,6 +1033,7 @@ ML_QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "semantic_dedup": (q_semantic_dedup, None),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "group_quota": (q_group_quota, SQL_GROUP_QUOTA),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),

@@ -474,3 +474,100 @@ def lm_unigram_score(ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def tfidf_top_terms(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+):
+    """Top-``k`` TF-IDF terms per document (keyword extraction):
+    ``score = tf * ln((N_docs + 1) / (df + 1))``, fixed-point e4,
+    deterministic tie-break (score desc, token asc).
+
+    Same two-pass shape as :func:`lm_unigram_score`: (1) document
+    frequencies — per-block DISTINCT (doc, token) partials collapsed to
+    per-token doc counts, one vocab-keyed groupby, tree-reduced with the
+    doc total to one broadcast ref; (2) a streaming scoring pass — per
+    batch, one pandas (row, token) size groupby (C hash agg), one
+    ``reindex`` hash-join against the cached df Series, a vectorized score
+    + per-doc head(k). The corpus never shuffles.
+    """
+    from ray.data.aggregate import Sum
+
+    from ocr_suite_ray.stages._bcast import cached_build
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    import pyarrow.compute as pc
+
+    SENTINEL = "\x00__n_docs__"  # NUL prefix: no split(" ") token contains NUL
+
+    def _df_partial(batch: pa.Table) -> pa.Table:
+        """(tok, df) partials for this block plus ONE sentinel row carrying
+        the block's doc count — the total-N aggregate rides the same keyed
+        sum instead of a second pass."""
+        n_tokens, flat, off = _tokens(batch[text_col])
+        row_of = np.repeat(np.arange(len(n_tokens)), n_tokens)
+        pairs = pd.DataFrame(
+            {"row": row_of, "tok": flat.to_pandas()}
+        ).drop_duplicates()
+        vc = pairs.groupby("tok", sort=False).size()
+        return pa.table(
+            {
+                "tok": pa.array(
+                    list(vc.index) + [SENTINEL], pa.string()
+                ),
+                "df": pa.array(
+                    np.append(vc.to_numpy(), len(n_tokens)), pa.int64()
+                ),
+            }
+        )
+
+    dfreq = (
+        ds.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    ref = coalesce_reduce(dfreq, lambda t: t, None, materialize=False)
+
+    def _build(tbl):
+        toks = tbl["tok"].to_pandas()
+        dfv = tbl["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = (toks == SENTINEL).to_numpy()
+        n_docs = float(dfv[mask][0]) if mask.any() else 0.0
+        idf = np.log((n_docs + 1.0) / (dfv + 1.0))
+        return pd.Series(idf, index=toks)[~mask]
+
+    def _score(batch: pa.Table) -> pa.Table:
+        idf = cached_build(ref, _build)
+        ids = batch[id_col].combine_chunks()
+        n_tokens, flat, off = _tokens(batch[text_col])
+        row_of = np.repeat(np.arange(len(n_tokens)), n_tokens)
+        tf = (
+            pd.DataFrame({"row": row_of, "tok": flat.to_pandas()})
+            .groupby(["row", "tok"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        scores = tf["tf"].to_numpy() * idf.reindex(tf["tok"]).to_numpy()
+        tf["score_e4"] = np.floor(scores * 10000 + 0.5).astype(np.int64)
+        top = (
+            tf.sort_values(
+                ["row", "score_e4", "tok"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("row", sort=False)
+            .head(k)
+        )
+        id_np = ids.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(id_np[top["row"].to_numpy()]),
+                "term": pa.array(top["tok"].to_numpy(), pa.string()),
+                "score_e4": pa.array(top["score_e4"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")

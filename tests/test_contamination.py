@@ -179,3 +179,47 @@ def test_lm_unigram_score_matches_python_oracle(ray_session):
     # common-token docs score lower (less surprising) than rare-token docs
     m = {r.doc_id: r.lm_score_e4 for r in got_a.itertuples()}
     assert m[0] < m[2]
+
+
+def test_tfidf_top_terms_matches_python_oracle(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import tfidf_top_terms
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "apple apple banana common",
+                "banana cherry common common",
+                "cherry date common",
+                "apple date date common",
+            ],
+        }
+    )
+    # python oracle
+    n_docs = len(df)
+    docs = {r.doc_id: r.text.split(" ") for r in df.itertuples()}
+    dfreq: dict = {}
+    for ws in docs.values():
+        for w in set(ws):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    want = {}
+    for did, ws in docs.items():
+        tf: dict = {}
+        for w in ws:
+            tf[w] = tf.get(w, 0) + 1
+        scored = [
+            (w, math.floor(c * math.log((n_docs + 1) / (dfreq[w] + 1)) * 10000 + 0.5))
+            for w, c in tf.items()
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        want[did] = scored[:2]
+    got = tfidf_top_terms(rd.from_pandas(df).repartition(3), k=2).to_pandas()
+    for did, g in got.groupby("doc_id"):
+        pairs = list(zip(g.term, g.score_e4))
+        assert pairs == want[did], (did, pairs, want[did])
+    # "common" appears everywhere -> idf ln(5/5)=0 -> never a top term
+    assert "common" not in set(got.term)
