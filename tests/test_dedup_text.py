@@ -452,3 +452,42 @@ def test_semantic_dedup_partition_invariant(ray_session):
     b = (semantic_dedup(rd.from_pandas(df).repartition(5), **kw)
          .to_pandas().sort_values("vec_id").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_substring_dup_pairs_unicode_parity(ray_session):
+    """Non-ASCII text: the numpy utf-32 codepoint kernel, the pure-python
+    ord() oracle, and the DuckDB unicode() oracle must agree."""
+    import duckdb
+    import ray.data as rd
+
+    from ocr_suite_ray.pipelines.queries_ml import SQL_SUBSTRING_DUP
+    from ocr_suite_ray.stages.dedup_text import substring_dup_pairs
+
+    # non-periodic multibyte block (a repeated short phrase has only
+    # period-many distinct windows, which can all miss the mod-16 anchor)
+    r = random.Random(2)
+    alphabet = "héllowörld中文データ処理абвгд αβγδε "
+    shared = "".join(r.choice(alphabet) for _ in range(160))
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "prefix àçcénts " + shared + " suffix",
+                shared + " épilogue différent",
+                "no overlap here at âll — これは別の文書です " * 3,
+            ],
+        }
+    )
+    want = _substr_oracle(df)
+    assert (0, 1) in want  # the shared block actually anchors
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in substring_dup_pairs(rd.from_pandas(df)).take_all()
+    }
+    assert got == want
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql_rows = {
+        (a, b): n for a, b, n in con.execute(SQL_SUBSTRING_DUP).fetchall()
+    }
+    assert sql_rows == want
