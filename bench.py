@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "lm_score",
     "tfidf_top",
+    "curation_v2",
     "range_join",
     "semantic_dedup",
 ]

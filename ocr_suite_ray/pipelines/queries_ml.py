@@ -882,6 +882,165 @@ GROUP BY t.doc_id
 """
 
 
+def q_curation_v2(sf_dir: str):
+    """Full-stack curation composite: quality gate (>= 70) → benchmark
+    decontamination (drop docs sharing a word-5-gram with the eval slice
+    doc_id % 50 == 0, eval slice itself excluded) → exact dedup (keep min
+    doc_id per distinct text) → unigram-LM score annotation (LM trained on
+    the FULL raw corpus).
+
+    Scale shape: the eval gram table and the unigram count table are each
+    built once (tree-reduced, vocab/benchmark-sized) and broadcast; the
+    corpus then makes ONE enrichment pass computing quality + lang +
+    contamination + LM score per batch (no joins — both lookups are
+    worker-cached broadcasts), one vectorized gate, one keyed top-1
+    reduce for the dedup. The multi-ref per-batch resolution is why
+    ``_bcast`` caches several entries."""
+    import hashlib as _hl
+
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc_mod
+
+    from ocr_suite_ray.stages.contamination import eval_gram_ref, ngram_hit_counts
+    from ocr_suite_ray.stages.relational import topk_per_group
+    from ocr_suite_ray.stages.text_ops import (
+        lang_id_batch,
+        lm_scores,
+        quality_score,
+        unigram_count_ref,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _is_eval(t: pa_mod.Table) -> pa_mod.Table:
+        return t.filter(pa_mod.array(t["doc_id"].to_numpy() % 50 == 0))
+
+    gram_ref = eval_gram_ref(ds.map_batches(_is_eval, batch_format="pyarrow"), "text", 5)
+    counts_ref = unigram_count_ref(ds, "text")
+
+    def _enrich(t: pa_mod.Table) -> pa_mod.Table:
+        t = t.filter(pa_mod.array(t["doc_id"].to_numpy() % 50 != 0))
+        if not len(t):
+            return pa_mod.table(
+                {
+                    "doc_id": pa_mod.array([], pa_mod.int64()),
+                    "n_tokens": pa_mod.array([], pa_mod.int64()),
+                    "quality": pa_mod.array([], pa_mod.int64()),
+                    "lang_pred": pa_mod.array([], pa_mod.string()),
+                    "lm_score_e4": pa_mod.array([], pa_mod.int64()),
+                    "text_hash": pa_mod.array([], pa_mod.string()),
+                }
+            )
+        out = quality_score(t).append_column(
+            "lang_pred", lang_id_batch(t)["lang_pred"]
+        )
+        out = out.append_column(
+            "lm_score_e4",
+            pa_mod.array(lm_scores(t["text"], counts_ref), pa_mod.int64()),
+        )
+        out = out.append_column(
+            "n_contam",
+            pa_mod.array(ngram_hit_counts(t["text"], gram_ref, 5), pa_mod.int64()),
+        )
+        out = out.append_column(
+            "text_hash",
+            pa_mod.array(
+                [_hl.md5(x.encode()).hexdigest() for x in t["text"].to_pylist()]
+            ),
+        )
+        out = out.filter(
+            pc_mod.and_(
+                pc_mod.greater_equal(out["quality"], 70),
+                pc_mod.equal(out["n_contam"], 0),
+            )
+        )
+        return out.select(
+            ["doc_id", "n_tokens", "quality", "lang_pred", "lm_score_e4", "text_hash"]
+        )
+
+    gated = ds.map_batches(_enrich, batch_format="pyarrow")
+    kept = topk_per_group(gated, ["text_hash"], "doc_id", 1, descending=False)
+    return kept.select_columns(
+        ["doc_id", "n_tokens", "quality", "lang_pred", "lm_score_e4"]
+    )
+
+
+SQL_CURATION_V2 = """
+WITH ev AS (
+  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                  || ' ' || w[i+4] AS gram
+  FROM (SELECT w, unnest(range(1, len(w) - 3)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE doc_id % 50 = 0 AND len(w) >= 5)
+),
+corpgrams AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                 || ' ' || w[i+4] AS gram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE doc_id % 50 <> 0 AND len(w) >= 5)
+),
+contam AS (SELECT DISTINCT c.doc_id FROM corpgrams c JOIN ev USING (gram)),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn, CAST(COUNT(*) AS DOUBLE) AS vv
+        FROM counts),
+lm AS (
+  SELECT t.doc_id,
+         CAST(FLOOR(-AVG(ln((c.n + 1.0) / (tot.nn + tot.vv))) * 10000 + 0.5)
+              AS BIGINT) AS lm_score_e4
+  FROM toks t JOIN counts c USING (tok), tot
+  GROUP BY t.doc_id
+),
+t AS (
+  SELECT doc_id, text,
+         GREATEST(len(string_split(text, ' ')), 1) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','and','of','to'))) AS n_stop,
+         len(text) - (len(string_split(text, ' ')) - 1) AS sum_len,
+         len(list_filter(string_split(text,' '),
+             x -> x IN ('the','a','fast','slow','small','big'))) AS c_en,
+         len(list_filter(string_split(text,' '),
+             x -> x IN ('query','table','join','scan','filter','agg'))) AS c_query,
+         len(list_filter(string_split(text,' '),
+             x -> x IN ('stream','window','batch','spark','vector'))) AS c_stream
+  FROM documents
+  WHERE doc_id % 50 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+f AS (
+  SELECT doc_id, text, n_tokens, c_en, c_query, c_stream,
+         CAST(ROUND(n_stop * 10000.0 / n_tokens, 0) AS BIGINT) AS stop_ratio_e4,
+         CAST(ROUND(sum_len * 100.0 / n_tokens, 0) AS BIGINT) AS mean_token_len_e2
+  FROM t
+),
+q AS (
+  SELECT doc_id, text, n_tokens, c_en, c_query, c_stream,
+         CAST(CASE WHEN n_tokens BETWEEN 50 AND 1000 THEN 40 ELSE 0 END
+          + CASE WHEN stop_ratio_e4 BETWEEN 200 AND 4000 THEN 30 ELSE 0 END
+          + CASE WHEN mean_token_len_e2 BETWEEN 300 AND 1200 THEN 30 ELSE 0 END
+          AS BIGINT) AS quality
+  FROM f
+),
+g AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM q WHERE quality >= 70
+)
+SELECT g.doc_id, g.n_tokens, g.quality,
+       CASE
+         WHEN c_en = 0 AND c_query = 0 AND c_stream = 0 THEN 'und'
+         WHEN c_en >= c_query AND c_en >= c_stream THEN 'en'
+         WHEN c_query >= c_stream THEN 'query'
+         ELSE 'stream'
+       END AS lang_pred,
+       lm.lm_score_e4
+FROM g JOIN lm ON g.doc_id = lm.doc_id
+WHERE rn = 1
+"""
+
+
 def q_tfidf_top(sf_dir: str):
     """Top-3 TF-IDF keywords per document (keyword extraction), fixed-point
     e4, deterministic tie-break (score desc, term asc)."""
@@ -1034,6 +1193,7 @@ ML_QUERIES = {
     "semantic_dedup": (q_semantic_dedup, None),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
+    "curation_v2": (q_curation_v2, SQL_CURATION_V2),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "group_quota": (q_group_quota, SQL_GROUP_QUOTA),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),

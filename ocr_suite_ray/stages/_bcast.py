@@ -8,13 +8,24 @@ semantics of an actor pool WITHOUT the actor pool: actor spawn costs ~2-3 s
 of ramp per query at high concurrency (measured, BASELINE.md round 2),
 while tasks reuse the session's warm workers.
 
-The cache holds ONE entry (queries run sequentially per worker; a new ref
-evicts the old), so worker heaps stay flat.
+The caches hold a FEW entries (FIFO-bounded): composite stages resolve
+more than one broadcast ref per batch (e.g. the curation pass reads the
+eval-gram table AND the unigram-count table), and a one-entry cache would
+ping-pong — re-deserializing each payload every batch. Payloads here are
+small by contract (gram tables, vocab tables, centroid matrices), so a
+handful of entries keeps worker heaps flat.
 """
 
 from __future__ import annotations
 
+_MAX_ENTRIES = 8
+
 _CACHE: dict = {}
+
+
+def _evict(cache: dict) -> None:
+    while len(cache) >= _MAX_ENTRIES:
+        cache.pop(next(iter(cache)))  # FIFO: dicts preserve insertion order
 
 
 def cached_get(ref):
@@ -22,7 +33,7 @@ def cached_get(ref):
     if v is None:
         import ray
 
-        _CACHE.clear()
+        _evict(_CACHE)
         v = ray.get(ref)
         _CACHE[ref] = v
     return v
@@ -34,11 +45,11 @@ _DERIVED: dict = {}
 def cached_build(ref, builder):
     """Like ``cached_get`` but caches ``builder(payload)`` — for stages that
     derive a worker-local structure (a lookup Series, a normalized matrix)
-    from the broadcast payload. One entry, keyed by ref (builder closures
-    are recreated per task, so the ref is the stable identity)."""
+    from the broadcast payload. Keyed by ref (builder closures are
+    recreated per task, so the ref is the stable identity)."""
     v = _DERIVED.get(ref)
     if v is None:
-        _DERIVED.clear()
+        _evict(_DERIVED)
         v = builder(cached_get(ref))
         _DERIVED[ref] = v
     return v

@@ -79,6 +79,42 @@ def eval_gram_ref(eval_ds, text_col: str = "text", n: int = 5):
     return coalesce_reduce(gram_ds, _dedup, None, materialize=False)
 
 
+def ngram_hit_counts(texts, gram_ref, n: int = 5) -> "np.ndarray":
+    """Per-row count of DISTINCT word ``n``-grams present in the broadcast
+    eval gram table (``gram_ref`` from :func:`eval_gram_ref`). The reusable
+    per-batch kernel: one ``is_in`` C pass + a hit-bound distinct. Rows
+    with no hits (or an empty/None ref) count 0 — nothing is contaminated
+    by an empty benchmark."""
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages._bcast import cached_get
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_contam = np.zeros(len(texts), dtype=np.int64)
+    gram_table = cached_get(gram_ref) if gram_ref is not None else None
+    if gram_table is None or not len(gram_table):
+        return n_contam
+    value_set = gram_table["gram"].combine_chunks()
+    rows, grams = _word_ngrams(texts, n)
+    if not len(rows):
+        return n_contam
+    hit = pc.is_in(grams, value_set=value_set).to_numpy(zero_copy_only=False)
+    hit_idx = np.nonzero(hit)[0]
+    if len(hit_idx):
+        # distinct (row, gram) among HITS only — the hit set is
+        # contamination-bound, tiny vs the batch
+        hdf = pd.DataFrame(
+            {
+                "row": rows[hit_idx],
+                "gram": grams.take(pa.array(hit_idx, pa.int64())).to_pylist(),
+            }
+        ).drop_duplicates()
+        vc = hdf.groupby("row").size()
+        n_contam[vc.index.to_numpy()] = vc.to_numpy()
+    return n_contam
+
+
 def decontaminate(
     ds,
     eval_ds,
@@ -95,41 +131,11 @@ def decontaminate(
     as a report so the flagged set is auditable — the standard practice is
     to log removals, not silently drop).
     """
-    import pyarrow.compute as pc
-
-    from ocr_suite_ray.stages._bcast import cached_get
-
     ref = eval_gram_ref(eval_ds, text_col, n)
 
     def _contam(t: pa.Table) -> pa.Table:
         ids = t[id_col].combine_chunks()
-        n_rows = len(ids)
-        n_contam = np.zeros(n_rows, dtype=np.int64)
-        # one deserialize per worker (cached_get), one is_in C pass per
-        # batch against the cached gram set; the ref (or its payload) is
-        # None when the eval set is empty — nothing can be contaminated
-        gram_table = cached_get(ref) if ref is not None else None
-        if gram_table is not None and len(gram_table):
-            value_set = gram_table["gram"].combine_chunks()
-            rows, grams = _word_ngrams(t[text_col], n)
-            if len(rows):
-                hit = pc.is_in(grams, value_set=value_set).to_numpy(
-                    zero_copy_only=False
-                )
-                hit_idx = np.nonzero(hit)[0]
-                if len(hit_idx):
-                    # distinct (row, gram) among HITS only — the hit set is
-                    # contamination-bound, tiny vs the batch
-                    hdf = pd.DataFrame(
-                        {
-                            "row": rows[hit_idx],
-                            "gram": grams.take(
-                                pa.array(hit_idx, pa.int64())
-                            ).to_pylist(),
-                        }
-                    ).drop_duplicates()
-                    vc = hdf.groupby("row").size()
-                    n_contam[vc.index.to_numpy()] = vc.to_numpy()
+        n_contam = ngram_hit_counts(t[text_col], ref, n)
         return pa.table(
             {
                 id_col: ids,

@@ -418,22 +418,13 @@ def normalize_urls(ds, url_col: str, out_col: str | None = None):
     return ds.map_batches(_norm, batch_format="pyarrow")
 
 
-def lm_unigram_score(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Per-doc unigram-LM negative mean log-likelihood (fixed-point e4) —
-    the perplexity-filter primitive of CCNet-style curation (Wenzek et al.
-    2020, public method), with add-one smoothing over the corpus's own
-    unigram table.
-
-    Two passes, both streaming: (1) the global unigram table — per-block
-    ``value_counts`` partials, ONE vocabulary-keyed groupby, tree-reduced
-    to a single ObjectRef (vocab-sized, never on the driver); (2) a
-    broadcast-score pass — each worker builds the token→logp Series once
-    (``cached_build``), each batch is one hash-join ``reindex`` plus a
-    segment mean. The corpus never shuffles; only the vocab table moves.
-    """
+def unigram_count_ref(ds, text_col: str = "text"):
+    """Corpus-wide unigram count table as one worker-held ObjectRef:
+    per-block ``value_counts`` partials, ONE vocabulary-keyed groupby,
+    tree-reduced off the driver. The broadcastable LM artifact shared by
+    :func:`lm_unigram_score` and the curation composite."""
     from ray.data.aggregate import Sum
 
-    from ocr_suite_ray.stages._bcast import cached_build
     from ocr_suite_ray.state.dupset import coalesce_reduce
 
     import pyarrow.compute as pc
@@ -453,22 +444,49 @@ def lm_unigram_score(ds, id_col: str = "doc_id", text_col: str = "text"):
         .groupby("tok")
         .aggregate(Sum("n", alias_name="n"))
     )
-    ref = coalesce_reduce(counts, lambda t: t, None, materialize=False)
+    return coalesce_reduce(counts, lambda t: t, None, materialize=False)
 
-    def _build(tbl):
-        n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        total, vocab = n.sum(), float(len(n))
-        logp = np.log((n + 1.0) / (total + vocab))
-        return pd.Series(logp, index=tbl["tok"].to_pandas())
+
+def _logp_series(tbl) -> "pd.Series":
+    """token -> add-one-smoothed ln probability, from a unigram count
+    table (the cached_build derivation for the broadcast ref)."""
+    n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total, vocab = n.sum(), float(len(n))
+    logp = np.log((n + 1.0) / (total + vocab))
+    return pd.Series(logp, index=tbl["tok"].to_pandas())
+
+
+def lm_scores(texts, counts_ref) -> "np.ndarray":
+    """Per-row negative mean log-likelihood, fixed-point e4 (the reusable
+    per-batch kernel): one ``reindex`` hash-join against the cached logp
+    Series + a float segment mean."""
+    from ocr_suite_ray.stages._bcast import cached_build
+
+    series = cached_build(counts_ref, _logp_series)
+    n_tokens, flat, off = _tokens(texts)
+    vals = series.reindex(flat.to_pandas()).to_numpy()
+    cs = np.concatenate([[0.0], np.cumsum(vals)])
+    sums = cs[off[1:]] - cs[off[:-1]]
+    mean = sums / np.maximum(n_tokens, 1)
+    return np.floor(-mean * 10000 + 0.5).astype(np.int64)
+
+
+def lm_unigram_score(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc unigram-LM negative mean log-likelihood (fixed-point e4) —
+    the perplexity-filter primitive of CCNet-style curation (Wenzek et al.
+    2020, public method), with add-one smoothing over the corpus's own
+    unigram table.
+
+    Two passes, both streaming: (1) :func:`unigram_count_ref` (vocab-sized,
+    never on the driver); (2) a broadcast-score pass — each worker builds
+    the token->logp Series once (``cached_build``), each batch is one
+    hash-join ``reindex`` plus a segment mean. The corpus never shuffles;
+    only the vocab table moves.
+    """
+    ref = unigram_count_ref(ds, text_col)
 
     def _score(batch: pa.Table) -> pa.Table:
-        series = cached_build(ref, _build)
-        n_tokens, flat, off = _tokens(batch[text_col])
-        vals = series.reindex(flat.to_pandas()).to_numpy()
-        cs = np.concatenate([[0.0], np.cumsum(vals)])
-        sums = cs[off[1:]] - cs[off[:-1]]
-        mean = sums / np.maximum(n_tokens, 1)
-        score = np.floor(-mean * 10000 + 0.5).astype(np.int64)
+        score = lm_scores(batch[text_col], ref)
         return pa.table(
             {id_col: batch[id_col], "lm_score_e4": pa.array(score, pa.int64())}
         )
