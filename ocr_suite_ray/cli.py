@@ -80,6 +80,18 @@ def main(argv: list[str] | None = None) -> int:
         help="stop after N polls (0 = run until interrupted)",
     )
 
+    pc_ = sub.add_parser(
+        "curate",
+        help="quality-gate + dedup + LM-score the final store into training shards",
+    )
+    pc_.add_argument("--out", required=True, help="extract output dir (reads OUT/final)")
+    pc_.add_argument("--curated", required=True, help="curated shard output dir")
+    pc_.add_argument("--quality-min", type=int, default=70)
+    pc_.add_argument(
+        "--sample-e4", type=int, default=None,
+        help="optional deterministic url-hash subsample, parts per 10000",
+    )
+
     pi = sub.add_parser("ingest", help="convert JSONL crawl dumps to the pages layout")
     pi.add_argument("--src", required=True, help="directory of *.jsonl dumps")
     pi.add_argument("--pages", required=True)
@@ -143,6 +155,19 @@ def main(argv: list[str] | None = None) -> int:
                 debug_dump=a.debug_dump,
             )
             print(json.dumps(run_pipeline(a.pages, a.out, cfg)))
+        elif a.cmd == "curate":
+            from ocr_suite_ray.pipelines.curate import run_curation
+
+            print(
+                json.dumps(
+                    run_curation(
+                        os.path.join(a.out, "final"),
+                        a.curated,
+                        quality_min=a.quality_min,
+                        sample_e4=a.sample_e4,
+                    )
+                )
+            )
         elif a.cmd == "watch":
             # The watcher analogue (tools/ocs-watcher/src/ocsw/watcher.py:
             # 10-29 re-triggers recognition when files change). Polling +

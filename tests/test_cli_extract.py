@@ -39,3 +39,29 @@ def test_cli_gen_extract_resume_search(tmp_path):
              "--pattern", "capture", "--limit", "5").stdout.strip().splitlines()
     assert 1 <= len(s) <= 5
     assert "url" in json.loads(s[0])
+
+
+def test_cli_curate_writes_training_shards(tmp_path):
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    cur = str(tmp_path / "curated")
+    _run("--num-cpus", "4", "gen", "--pages", pages, "--n-pages", "200",
+         "--n-files", "2")
+    _run("--num-cpus", "4", "extract", "--pages", pages, "--out", out,
+         "--pool", "2")
+    c = json.loads(_run("--num-cpus", "4", "curate", "--out", out,
+                        "--curated", cur).stdout.strip().splitlines()[-1])
+    assert 0 < c["rows_out"] <= 200
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(cur, partitioning="hive").to_table()
+    assert t.num_rows == c["rows_out"]
+    assert set(t.schema.names) >= {"url", "text", "quality", "lm_score_e4", "bucket"}
+    assert (t.to_pandas().quality >= 70).all()
+    # one row per distinct text (exact dedup held)
+    texts = t.to_pandas().text
+    assert texts.nunique() == len(texts)
+    # atomic re-run replaces the output and stays deterministic
+    c2 = json.loads(_run("--num-cpus", "4", "curate", "--out", out,
+                         "--curated", cur).stdout.strip().splitlines()[-1])
+    assert c2["rows_out"] == c["rows_out"]
