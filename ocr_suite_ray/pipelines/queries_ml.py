@@ -882,6 +882,18 @@ GROUP BY t.doc_id
 """
 
 
+def q_bpe_stats(sf_dir: str):
+    """Distributed BPE tokenizer training (64 merges learned from the
+    corpus word-type table) + encode pass emitting per-doc subword counts.
+    Iterative algorithm — no SQL twin (rows-only driver check); the
+    sequential pure-python oracle lives in tests/test_contamination.py."""
+    from ocr_suite_ray.stages.text_ops import bpe_encode, bpe_train_ref
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges_ref = bpe_train_ref(ds, n_merges=64)
+    return bpe_encode(ds, merges_ref)
+
+
 def q_curation_v2(sf_dir: str):
     """Full-stack curation composite: quality gate (>= 70) → benchmark
     decontamination (drop docs sharing a word-5-gram with the eval slice
@@ -1194,6 +1206,7 @@ ML_QUERIES = {
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
+    "bpe_stats": (q_bpe_stats, None),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "group_quota": (q_group_quota, SQL_GROUP_QUOTA),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),

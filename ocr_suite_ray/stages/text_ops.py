@@ -589,3 +589,129 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def bpe_train_ref(ds, text_col: str = "text", n_merges: int = 64):
+    """Learn ``n_merges`` BPE merges from the corpus, returning an ObjectRef
+    to the ordered merge list (list of (left, right) symbol pairs).
+
+    Distribution shape (the standard recipe): the corpus-scale work is the
+    WORD-TYPE count table (per-block ``value_counts`` partials -> one
+    vocab-keyed groupby -> tree reduce); the merge loop itself runs over
+    that vocab-sized table in ONE remote task (BPE iterations are inherently
+    sequential — each merge depends on the previous — and the vocab fits a
+    worker by the same contract as every broadcast artifact here). The
+    driver holds only the ObjectRef. Deterministic: ties on pair count
+    break lexicographically.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _nt, flat, _off = _tokens(batch[text_col])
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "tok": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    counts_ref = coalesce_reduce(counts, lambda t: t, None, materialize=False)
+
+    @ray.remote
+    def _learn(tbl):
+        if tbl is None or not len(tbl):
+            return []
+        toks = tbl["tok"].to_pylist()
+        ns = tbl["n"].to_pylist()
+        words = {t: (tuple(t), n) for t, n in zip(toks, ns) if t}
+        merges: list = []
+        for _ in range(n_merges):
+            pair_counts: dict = {}
+            for sym, (seq, n) in words.items():
+                for a, b in zip(seq, seq[1:]):
+                    pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+            if not pair_counts:
+                break
+            best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))
+            # deterministic: max count, then lexicographically LAST pair
+            # (any fixed order works; it must only be mirrored by oracles)
+            pair = best[0]
+            merges.append(pair)
+            merged = pair[0] + pair[1]
+            new_words = {}
+            for sym, (seq, n) in words.items():
+                out = []
+                i = 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == pair[0] and seq[i + 1] == pair[1]:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                new_words[sym] = (tuple(out), n)
+            words = new_words
+        return merges
+
+    return _learn.remote(counts_ref)
+
+
+def bpe_encode(ds, merges_ref, id_col: str = "doc_id", text_col: str = "text"):
+    """Apply learned merges: per doc emit ``n_tokens`` (whitespace) and
+    ``n_bpe`` (symbols after merging). The merge table is broadcast once;
+    each batch encodes only its DISTINCT tokens (memoized per batch) and
+    distributes counts back with a segment sum — the per-token loop runs
+    over the batch vocabulary, not the corpus."""
+    from ocr_suite_ray.stages._bcast import cached_build
+
+    def _ranks(merges):
+        return {tuple(p): i for i, p in enumerate(merges)}
+
+    def _encode_len(tok: str, ranks: dict) -> int:
+        seq = list(tok)
+        if len(seq) < 2:
+            return len(seq)
+        while True:
+            best_i, best_r = -1, None
+            for i in range(len(seq) - 1):
+                r = ranks.get((seq[i], seq[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_i < 0:
+                return len(seq)
+            seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        ranks = cached_build(merges_ref, _ranks)
+        n_tokens, flat, off = _tokens(batch[text_col])
+        toks = flat.to_pylist()
+        memo: dict = {}
+        lens = np.fromiter(
+            (
+                memo[t] if t in memo else memo.setdefault(t, _encode_len(t, ranks))
+                for t in toks
+            ),
+            dtype=np.int64,
+            count=len(toks),
+        )
+        n_bpe = _segment_sum(lens, off)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_bpe": pa.array(n_bpe, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_apply, batch_format="pyarrow")

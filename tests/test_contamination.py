@@ -223,3 +223,80 @@ def test_tfidf_top_terms_matches_python_oracle(ray_session):
         assert pairs == want[did], (did, pairs, want[did])
     # "common" appears everywhere -> idf ln(5/5)=0 -> never a top term
     assert "common" not in set(got.term)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (sequential oracle)
+# ---------------------------------------------------------------------------
+
+def _bpe_train_py(texts, n_merges):
+    counts: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    words = {w: (tuple(w), n) for w, n in counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc_: dict = {}
+        for seq, n in words.values():
+            for a, b in zip(seq, seq[1:]):
+                pc_[(a, b)] = pc_.get((a, b), 0) + n
+        if not pc_:
+            break
+        pair = max(pc_.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        nw = {}
+        for sym, (seq, n) in words.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == pair:
+                    out.append(merged); i += 2
+                else:
+                    out.append(seq[i]); i += 1
+            nw[sym] = (tuple(out), n)
+        words = nw
+    return merges
+
+
+def _bpe_len_py(tok, ranks):
+    seq = list(tok)
+    while len(seq) >= 2:
+        cands = [(ranks[(a, b)], i) for i, (a, b) in enumerate(zip(seq, seq[1:]))
+                 if (a, b) in ranks]
+        if not cands:
+            break
+        _, i = min(cands)
+        seq[i:i + 2] = [seq[i] + seq[i + 1]]
+    return len(seq)
+
+
+def test_bpe_matches_sequential_oracle(ray_session):
+    import ray
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import bpe_encode, bpe_train_ref
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new news",
+        "wide wider widest wide",
+        "low newer wide lowest",
+    ] * 3
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    want_merges = _bpe_train_py(texts, 16)
+    ds = rd.from_pandas(df).repartition(3)
+    ref = bpe_train_ref(ds, n_merges=16)
+    got_merges = [tuple(p) for p in ray.get(ref)]
+    assert got_merges == want_merges
+    ranks = {p: i for i, p in enumerate(want_merges)}
+    got = bpe_encode(ds, ref).to_pandas().set_index("doc_id")
+    for r in df.itertuples():
+        ws = r.text.split(" ")
+        want_n = sum(_bpe_len_py(w, ranks) for w in ws)
+        assert got.loc[r.doc_id, "n_bpe"] == want_n
+        assert got.loc[r.doc_id, "n_tokens"] == len(ws)
+    # merges actually compress: fewer symbols than characters
+    total_chars = sum(len(w) for t in texts for w in t.split(" "))
+    assert got.n_bpe.sum() < total_chars
