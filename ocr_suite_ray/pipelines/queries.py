@@ -59,8 +59,6 @@ def _sql_fp(expr: str, scale: int, alias: str) -> str:
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shape grouped aggregate with a pre-aggregable derived column.
     Reference analogue: grouped counts (search_results_view.cpp:63-68)."""
-    from ray.data.aggregate import Sum
-
     ds = _read(
         sf_dir,
         "lineitem",
@@ -91,16 +89,15 @@ def q_pricing_summary(sf_dir: str):
         avg = pc.divide(t["sum_disc"], pc.cast(t["n_rows"], pa.float64()))
         return t.drop_columns(["sum_disc"]).append_column("avg_disc", avg)
 
-    out = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_revenue", alias_name="sum_revenue"),
-            Sum("sum_disc", alias_name="sum_disc"),
-            Sum("n_rows", alias_name="n_rows"),
-        )
-        .map_batches(_finish, batch_format="pyarrow")
+    from ocr_suite_ray.stages.relational import narrow_grouped_sum
+
+    # <= 6 distinct (flag, status) groups: the narrow tree merge applies
+    # by construction — no sort-based exchange for a 6-row aggregate
+    out = narrow_grouped_sum(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_revenue", "sum_disc", "n_rows"],
+        finish_fn=_finish,
     )
     return _fixed_point(out, {"sum_qty": 100, "sum_revenue": 100, "avg_disc": 10000})
 

@@ -68,10 +68,12 @@ def broadcast_join_agg(
     combine-before-shuffle pattern for dimension-grouped rollups.
 
     ``sum_cols``: {output_name: source_col} summed per group;
-    ``count_col``: output name for the per-group row count (optional)."""
-    import ray
+    ``count_col``: output name for the per-group row count (optional).
 
-    from ray.data.aggregate import Sum
+    The partial tables are dimension-keyed (regions, nations — tiny by
+    construction: the join side was broadcastable), so the merge takes the
+    narrow tree path rather than a sort-based exchange."""
+    import ray
 
     ref = ray.put(small_df)
 
@@ -84,10 +86,8 @@ def broadcast_join_agg(
         return m.groupby(group_col, as_index=False).agg(**specs)
 
     partial = ds.map_batches(_join_agg, batch_format="pandas")
-    aggs = [Sum(name, alias_name=name) for name in sum_cols]
-    if count_col:
-        aggs.append(Sum(count_col, alias_name=count_col))
-    return partial.groupby(group_col).aggregate(*aggs)
+    out_cols = list(sum_cols) + ([count_col] if count_col else [])
+    return narrow_grouped_sum(partial, [group_col], out_cols)
 
 
 def join_on(
@@ -341,3 +341,34 @@ def range_join(
         return pa.table(data)
 
     return lt.union(rt).groupby("__bin").map_groups(_verify, batch_format="pyarrow")
+
+
+def narrow_grouped_sum(
+    partials,
+    keys: list,
+    sum_cols: list,
+    finish_fn=None,
+    empty_schema: "pa.Schema | None" = None,
+):
+    """Merge pre-aggregated per-block partials with a remote TREE instead of
+    a sort-based all-to-all: every fan-in re-aggregates (sum) on ``keys``,
+    so each merge holds at most the distinct-group table and the executor's
+    ~2 s shuffle ramp is never paid. The narrow counterpart of
+    ``groupby(keys).aggregate(Sum...)`` for aggregates whose DISTINCT group
+    table fits one worker (TPC-H Q1 flags, key x hour windows, language
+    counts); corpus-keyed aggregates (distinct texts, urls) must keep the
+    hash-partitioned shuffle."""
+    import ray.data as rd
+
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    def _merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+        return g.rename_columns(keys + sum_cols)
+
+    ref = coalesce_reduce(partials, _merge, finish_fn, materialize=False)
+    if ref is None:
+        if empty_schema is not None:
+            return rd.from_arrow(empty_schema.empty_table())
+        return rd.from_items([])
+    return rd.from_arrow_refs([ref])

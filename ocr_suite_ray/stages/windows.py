@@ -19,14 +19,30 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def tumbling_window_agg(ds, key_col: str, ts_col: str, value_col: str, every: str = "hour"):
+def tumbling_window_agg(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    every: str = "hour",
+    exchange: str = "narrow",
+):
     """Per (key, window) count + sum + mean. ``every`` is a pyarrow
     floor_temporal unit ("hour", "day", "minute").
 
     Combine-before-shuffle: each block collapses to one partial row per
-    (key, window) with an Arrow hash aggregate, so the global groupby moves
+    (key, window) with an Arrow hash aggregate, so the exchange moves
     O(groups x blocks) partials instead of every event row; the mean is
-    derived from total sum / total count after the merge."""
+    derived from total sum / total count after the merge.
+
+    ``exchange="narrow"`` (default) merges the partials in a remote TREE,
+    re-aggregating at every fan-in — each merge holds at most the distinct
+    (key, window) table, and nothing pays a sort-based all-to-all (~2 s of
+    fixed executor cost at bench scale for a partial table of a few
+    thousand rows). Contract: the DISTINCT group table must fit one
+    worker. When keys x windows outgrow that (billions of groups at
+    100 TB), pass ``exchange="shuffle"`` for the hash-partitioned groupby
+    — the same partials, exchanged all-to-all."""
     from ray.data.aggregate import Sum
 
     def _win_partial(t: pa.Table) -> pa.Table:
@@ -51,14 +67,35 @@ def tumbling_window_agg(ds, key_col: str, ts_col: str, value_col: str, every: st
             }
         )
 
-    return (
-        ds.map_batches(_win_partial, batch_format="pyarrow")
-        .groupby([key_col, "window_start"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value", alias_name="sum_value"),
+    partials = ds.map_batches(_win_partial, batch_format="pyarrow")
+
+    if exchange == "shuffle":
+        return (
+            partials.groupby([key_col, "window_start"])
+            .aggregate(
+                Sum("n_events", alias_name="n_events"),
+                Sum("sum_value", alias_name="sum_value"),
+            )
+            .map_batches(_finish, batch_format="pyarrow")
         )
-        .map_batches(_finish, batch_format="pyarrow")
+
+    from ocr_suite_ray.stages.relational import narrow_grouped_sum
+
+    empty = pa.schema(
+        [
+            (key_col, pa.int64()),
+            ("window_start", pa.timestamp("us")),
+            ("n_events", pa.int64()),
+            ("sum_value", pa.float64()),
+            ("avg_value", pa.float64()),
+        ]
+    )
+    return narrow_grouped_sum(
+        partials,
+        [key_col, "window_start"],
+        ["sum_value", "n_events"],
+        finish_fn=_finish,
+        empty_schema=empty,
     )
 
 
