@@ -197,17 +197,18 @@ SELECT doc_id, lang, n_chars FROM documents WHERE text LIKE '%window vector%'
 
 def q_search_count_by_lang(sf_dir: str):
     """Grouped match counts (texts-per-frame label analogue,
-    search_results_view.cpp:63-68)."""
-    from ray.data.aggregate import Count
-
+    search_results_view.cpp:63-68). Language-keyed — a handful of groups,
+    so per-block count partials + the narrow tree merge."""
+    from ocr_suite_ray.stages.relational import narrow_grouped_sum
     from ocr_suite_ray.stages.search import find_text
 
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang"]).aggregate([("lang", "count")])
+        return g.rename_columns(["lang", "n_docs"])
+
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
-    return (
-        find_text(ds, "stream")
-        .groupby("lang")
-        .aggregate(Count(alias_name="n_docs"))
-    )
+    partials = find_text(ds, "stream").map_batches(_partial, batch_format="pyarrow")
+    return narrow_grouped_sum(partials, ["lang"], ["n_docs"])
 
 
 SQL_SEARCH_COUNT_BY_LANG = """

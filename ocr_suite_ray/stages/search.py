@@ -41,11 +41,18 @@ def add_time_buckets(ds, ts_col: str = "ts"):
 
 
 def hierarchy_counts(ds, ts_col: str = "ts"):
-    """day→hour→minute group counts (the search-results tree, flattened)."""
-    from ray.data.aggregate import Count
+    """day→hour→minute group counts (the search-results tree, flattened).
 
-    return (
-        add_time_buckets(ds, ts_col)
-        .groupby(["day", "hour", "minute"])
-        .aggregate(Count(alias_name="n"))
+    Per-block Arrow hash-count partials, then the narrow tree merge — the
+    group space is calendar-bounded (days x 1440 minutes), so no row-level
+    exchange and no sort-based shuffle."""
+    from ocr_suite_ray.stages.relational import narrow_grouped_sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["day", "hour", "minute"]).aggregate([("day", "count")])
+        return g.rename_columns(["day", "hour", "minute", "n"])
+
+    partials = add_time_buckets(ds, ts_col).map_batches(
+        _partial, batch_format="pyarrow"
     )
+    return narrow_grouped_sum(partials, ["day", "hour", "minute"], ["n"])
