@@ -206,6 +206,7 @@ def range_join(
     upper_us: int,
     left_cols: list,
     right_cols: list,
+    n_shards: int = 256,
 ):
     """Event-time range join: every (left, right) pair with
     ``right.ts - left.ts`` in ``[lower_us, upper_us]`` (inclusive,
@@ -213,10 +214,17 @@ def range_join(
     pattern is time-binning: with bin width W = upper - lower, each RIGHT
     row lands in exactly ONE bin (``floor(ts/W)``) and each LEFT row is
     replicated to the two consecutive bins its match-interval
-    ``[ts+lower, ts+upper]`` overlaps — so one groupby(bin) shuffle
-    co-locates every possible pair exactly once (no global dedup needed:
-    a pair meets only in the right row's bin). Inside a bin the verify is
-    sort + ``np.searchsorted`` slab emission — no per-pair Python. The
+    ``[ts+lower, ts+upper]`` overlaps — so one groupby shuffle co-locates
+    every possible pair exactly once (no global dedup needed: a pair meets
+    only in the right row's bin). The exchange key is a COARSE SHARD of
+    the bin (``bin % n_shards``), not the bin itself: per-bin map_groups
+    dispatch costs ~0.1-0.3 ms of UDF overhead per group (the round-1
+    MinHash lesson) and the week-of-60s-windows bench case has ~10k bins;
+    sharding is safe because any in-range right row lives in bin b0 or
+    b0+1, consecutive bins never share a residue (n_shards >= 2), and the
+    verify matches on exact timestamps, so far-apart bins sharing a shard
+    can never pair. Inside a shard the verify is sort +
+    ``np.searchsorted`` slab emission — no per-pair Python. The
     union and group blocks stay Arrow end-to-end: the absent side's
     columns are TYPED nulls, so int64 ids never round-trip through
     float64 (cf. the components id-corruption fix).
@@ -280,7 +288,7 @@ def range_join(
         n = len(bins)
         data = {
             "__side": pa.array(np.full(n, side, dtype=np.int8)),
-            "__bin": pa.array(bins, pa.int64()),
+            "__bin": pa.array(bins % max(int(n_shards), 2), pa.int64()),
             "__ts_us": pa.array(ts_us, pa.int64()),
         }
         for c in left_cols:
