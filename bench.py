@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "lm_score",
     "tfidf_top",
     "curation_v2",
+    "bpe_stats",
+    "chunk_docs",
     "range_join",
     "semantic_dedup",
 ]

@@ -882,6 +882,27 @@ GROUP BY t.doc_id
 """
 
 
+def q_chunk_docs(sf_dir: str):
+    """Word-window chunking (size 32, overlap 8): the long-document
+    splitter for fixed context windows; flat_map shape."""
+    from ocr_suite_ray.stages.text_ops import chunk_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, size=32, overlap=8)
+
+
+SQL_CHUNK_DOCS = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, w, unnest(range(0, len(w), 24)) AS i FROM d
+)
+SELECT doc_id, i // 24 AS chunk_id,
+       array_to_string(w[i + 1 : i + 32], ' ') AS chunk_text,
+       LEAST(32, len(w) - i) AS n_words
+FROM s WHERE i < len(w)
+"""
+
+
 def q_bpe_stats(sf_dir: str):
     """Distributed BPE tokenizer training (64 merges learned from the
     corpus word-type table) + encode pass emitting per-doc subword counts.
@@ -1207,6 +1228,7 @@ ML_QUERIES = {
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
     "bpe_stats": (q_bpe_stats, None),
+    "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "group_quota": (q_group_quota, SQL_GROUP_QUOTA),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),

@@ -715,3 +715,71 @@ def bpe_encode(ds, merges_ref, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(_apply, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 16,
+):
+    """Split each document into word chunks of ``size`` with ``overlap``
+    (stride = size - overlap) — the long-document splitter feeding fixed
+    context windows. flat_map shape: one input row -> ceil(n/stride) rows
+    ``(id, chunk_id, chunk_text, n_words)``.
+
+    Vectorized without per-row Python: ``pyarrow.list_slice`` takes only
+    scalar bounds, so the kernel loops over the CHUNK INDEX (bounded by
+    the longest doc in the batch, a handful of iterations), slicing and
+    ``binary_join``-ing every doc that still has words at that offset in
+    one C pass per index. Pure map stage — no shuffle, no state."""
+    import pyarrow.compute as pc
+
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    stride = size - overlap
+
+    def _chunk(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lst = pc.split_pattern(texts, " ")
+        n = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        ids_np = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        out_ids, out_cidx, out_text, out_nw = [], [], [], []
+        k = 0
+        while True:
+            start = k * stride
+            sel = np.nonzero(n > start)[0]
+            if not len(sel):
+                break
+            sub = lst.take(pa.array(sel, pa.int64()))
+            sliced = pc.list_slice(sub, start=start, stop=start + size)
+            out_text.append(pc.binary_join(sliced, " "))
+            out_ids.append(ids_np[sel])
+            out_cidx.append(np.full(len(sel), k, dtype=np.int64))
+            out_nw.append(np.minimum(size, n[sel] - start))
+            k += 1
+        if not out_ids:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "n_words": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids)),
+                "chunk_id": pa.array(np.concatenate(out_cidx), pa.int64()),
+                "chunk_text": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                     for a in out_text]
+                ),
+                "n_words": pa.array(np.concatenate(out_nw), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_chunk, batch_format="pyarrow")

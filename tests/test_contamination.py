@@ -300,3 +300,38 @@ def test_bpe_matches_sequential_oracle(ray_session):
     # merges actually compress: fewer symbols than characters
     total_chars = sum(len(w) for t in texts for w in t.split(" "))
     assert got.n_bpe.sum() < total_chars
+
+
+def test_chunk_documents_matches_python_oracle(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import chunk_documents
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(10)),  # 10 words, 3 chunks @ size4/stride3
+        1: "single",
+        2: "",
+        3: " ".join(f"x{i}" for i in range(4)),   # exactly size -> 2 starts? no: starts 0,3
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    got = (
+        chunk_documents(rd.from_pandas(df).repartition(2), size=4, overlap=1)
+        .to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    )
+    want_rows = []
+    for did, t in texts.items():
+        w = t.split(" ")
+        k = 0
+        while k * 3 < len(w):
+            seg = w[k * 3 : k * 3 + 4]
+            want_rows.append((did, k, " ".join(seg), len(seg)))
+            k += 1
+    want = pd.DataFrame(
+        want_rows, columns=["doc_id", "chunk_id", "chunk_text", "n_words"]
+    ).sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    got = got.astype({"doc_id": "int64", "chunk_id": "int64", "n_words": "int64"})
+    assert got.equals(want.astype({"doc_id": "int64", "chunk_id": "int64", "n_words": "int64"}))
+    # overlap property: consecutive chunks share exactly `overlap` words
+    c0 = got[(got.doc_id == 0) & (got.chunk_id == 0)].chunk_text.iloc[0].split(" ")
+    c1 = got[(got.doc_id == 0) & (got.chunk_id == 1)].chunk_text.iloc[0].split(" ")
+    assert c0[-1:] == c1[:1]
