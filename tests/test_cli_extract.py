@@ -65,3 +65,29 @@ def test_cli_curate_writes_training_shards(tmp_path):
     c2 = json.loads(_run("--num-cpus", "4", "curate", "--out", out,
                          "--curated", cur).stdout.strip().splitlines()[-1])
     assert c2["rows_out"] == c["rows_out"]
+
+
+def test_curate_recovers_from_stale_staging(tmp_path):
+    """A crash between write and rename leaves only the staging dir; the
+    next run must replace it and land a complete output."""
+    import pyarrow.dataset as pads
+
+    pages = str(tmp_path / "pages")
+    out = str(tmp_path / "out")
+    cur = str(tmp_path / "curated")
+    _run("--num-cpus", "4", "gen", "--pages", pages, "--n-pages", "120",
+         "--n-files", "2")
+    _run("--num-cpus", "4", "extract", "--pages", pages, "--out", out,
+         "--pool", "2")
+    # simulate the crash artifact
+    stale = cur + ".staging"
+    os.makedirs(os.path.join(stale, "bucket=99"), exist_ok=True)
+    with open(os.path.join(stale, "bucket=99", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    c = json.loads(_run("--num-cpus", "4", "curate", "--out", out,
+                        "--curated", cur).stdout.strip().splitlines()[-1])
+    assert c["rows_out"] > 0
+    assert not os.path.exists(stale)  # staging consumed by the atomic rename
+    t = pads.dataset(cur, partitioning="hive").to_table()
+    assert t.num_rows == c["rows_out"]
+    assert 99 not in set(t["bucket"].to_pylist())  # junk partition gone
