@@ -1213,6 +1213,86 @@ SELECT doc_id, lang, n_chars, running FROM w WHERE running <= 20000
 """
 
 
+def q_segment_dedup(sf_dir: str):
+    """Within-document repeated-segment removal (Gopher repetition
+    cleaning): drop 2-word segments equal to an earlier segment of the same
+    doc, reassemble. Embarrassingly parallel — no shuffle, no global state."""
+    from ocr_suite_ray.stages.segments import segment_dedup_within
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return segment_dedup_within(ds, w=2)
+
+
+SQL_SEGMENT_DEDUP = """
+WITH segs AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(string_split(text,' ')[i*2+1 : least((i+1)*2, len(string_split(text,' ')))], ' ') AS seg
+  FROM documents,
+       unnest(range(0, CAST(ceil(len(string_split(text,' '))/2.0) AS BIGINT))) AS t(i)
+),
+k AS (
+  SELECT doc_id, idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, seg ORDER BY idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       COALESCE(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS text_dedup,
+       CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+FROM k GROUP BY doc_id
+"""
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Corpus-wide duplicated-segment removal (CC-Net paragraph dedup over
+    3-word segments): the dup-segment table is tree-reduced and broadcast
+    once; the cleanup is one streaming is_in + reassembly pass."""
+    from ocr_suite_ray.stages.segments import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return paragraph_dedup(ds, w=3)
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH segs AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(string_split(text,' ')[i*3+1 : least((i+1)*3, len(string_split(text,' ')))], ' ') AS seg
+  FROM documents,
+       unnest(range(0, CAST(ceil(len(string_split(text,' '))/3.0) AS BIGINT))) AS t(i)
+),
+dup AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(*) >= 2)
+SELECT s.doc_id,
+       COALESCE(string_agg(s.seg, ' ' ORDER BY s.idx) FILTER (WHERE d.seg IS NULL), '') AS text_clean,
+       CAST(COUNT(*) FILTER (WHERE d.seg IS NOT NULL) AS BIGINT) AS n_removed
+FROM segs s LEFT JOIN dup d ON s.seg = d.seg
+GROUP BY s.doc_id
+"""
+
+
+def q_term_postings(sf_dir: str):
+    """Inverted-index postings (term, doc_id, tf) for terms with document
+    frequency in [2, 380] — the df-admitted term set is tree-reduced and
+    broadcast once; the postings pass streams with no shuffle."""
+    from ocr_suite_ray.stages.segments import term_postings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return term_postings(ds, df_lo=2, df_hi=380)
+
+
+SQL_TERM_POSTINGS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT tf.term, tf.doc_id, tf.tf
+FROM tf JOIN df ON tf.term = df.term
+WHERE df.df BETWEEN 2 AND 380
+"""
+
+
 ML_QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality, SQL_QUALITY),
@@ -1229,6 +1309,9 @@ ML_QUERIES = {
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
     "bpe_stats": (q_bpe_stats, None),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
+    "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "term_postings": (q_term_postings, SQL_TERM_POSTINGS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "group_quota": (q_group_quota, SQL_GROUP_QUOTA),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),

@@ -1,0 +1,306 @@
+"""Segment-granular corpus ops: paragraph-level dedup, within-doc repeated-
+segment removal, and inverted-index (postings) construction.
+
+A *segment* is a non-overlapping ``w``-word window of a document (the last
+window may be short) — the unit CC-Net-style pipelines deduplicate at
+("remove paragraphs duplicated across the corpus", Wenzek et al. 2020) and
+Gopher-style repetition rules clean within a document (Rae et al. 2021).
+Web text carries real paragraph boundaries; the synthetic corpus has none,
+so the fixed word window stands in — the Ray plumbing (segment explode,
+corpus-wide dup-set build, broadcast filter, reassembly) is identical.
+
+Scale shapes (all three ops):
+
+- The corpus is never shuffled. Segmentation, filtering and reassembly are
+  per-batch Arrow kernels (one ``split_pattern`` + zero-copy list
+  re-windowing — no per-row Python).
+- The only global state is a tree-reduced artifact broadcast once:
+  the duplicated-segment table (dup-rate bound) for
+  :func:`paragraph_dedup`, the df-admitted term table (vocab bound) for
+  :func:`term_postings`. Both ride :func:`~ocr_suite_ray.state.dupset.
+  coalesce_reduce` / :func:`~ocr_suite_ray.state.dupset.dup_key_table_ref`
+  and the per-worker ``cached_get`` broadcast cache.
+- :func:`segment_dedup_within` needs no global state at all — embarrassingly
+  parallel.
+
+Reference analogue: the dedup/"already-processed" filters of the reference
+(``src/ocr/service.cpp`` ``is_frame_processed``; newest-capture-wins in
+``stages/dedup.py``) applied at sub-document granularity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def segment_table(texts, w: int):
+    """Non-overlapping ``w``-word segments of every row, vectorized.
+
+    Returns ``(row_of, within, segs)``: int64 row index per segment, the
+    segment's 0-based index within its row, and a ``pa.StringArray`` of the
+    space-joined segment texts. A row always yields at least one segment
+    (``"".split(" ") == [""]``), so reassembly never loses rows.
+
+    One ``split_pattern`` + one zero-copy ``ListArray`` re-window over the
+    flat token array + one ``binary_join`` — the flatten-plus-offsets shape
+    of ``text_ops._tokens``; no per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(lst)
+    off = lst.offsets.to_numpy().astype(np.int64)
+    off = off - off[0]
+    n_tok = off[1:] - off[:-1]
+    k = (n_tok + w - 1) // w  # segments per row (>= 1: every row has a token)
+    total = int(k.sum())
+    if total == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            pa.array([], pa.string()),
+        )
+    row_of = np.repeat(np.arange(len(k), dtype=np.int64), k)
+    cum = np.concatenate(([0], np.cumsum(k)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum, k)
+    starts = off[:-1][row_of] + within * w
+    # rows tile the flat array contiguously, so segment starts plus the
+    # global end form a valid monotone offsets vector
+    offsets = np.append(starts, off[-1]).astype(np.int32)
+    seg_list = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    segs = pc.binary_join(seg_list, " ")
+    if isinstance(segs, pa.ChunkedArray):
+        segs = segs.combine_chunks()
+    return row_of, within, segs
+
+
+def rejoin_segments(segs, row_of: np.ndarray, keep: np.ndarray, n_rows: int):
+    """Space-rejoin the kept segments per row (original order preserved).
+    Rows with every segment dropped become ``''``. Returns
+    ``(texts: pa.StringArray, n_dropped: np.ndarray)``."""
+    import pyarrow.compute as pc
+
+    kept = segs.filter(pa.array(keep))
+    counts = np.bincount(row_of[keep], minlength=n_rows)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept), " "
+    )
+    n_dropped = np.bincount(row_of[~keep], minlength=n_rows).astype(np.int64)
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    # binary_join of an empty list yields null; the removed-everything row
+    # is the empty document, not a missing one
+    joined = pc.fill_null(joined, "")
+    return joined, n_dropped
+
+
+def segment_dedup_within(ds, id_col: str = "doc_id", text_col: str = "text", w: int = 2):
+    """Within-document repeated-segment removal (Gopher-style repetition
+    cleaning): drop every segment equal to an EARLIER segment of the same
+    document, reassemble the survivors in order. Emits
+    ``(id_col, text_dedup, n_dropped)``.
+
+    No global state, no shuffle — one streaming ``map_batches`` pass. The
+    first-occurrence scan is a dictionary-encode + int-composite
+    ``duplicated`` (C hash passes), not a per-row set.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def _clean(t: pa.Table) -> pa.Table:
+        row_of, _within, segs = segment_table(t[text_col], w)
+        enc = pc.dictionary_encode(segs)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = len(enc.dictionary)
+        composite = row_of * max(n_dict, 1) + codes
+        keep = ~pd.Series(composite).duplicated().to_numpy()
+        texts, n_dropped = rejoin_segments(segs, row_of, keep, t.num_rows)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text_dedup": texts,
+                "n_dropped": pa.array(n_dropped, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_clean, batch_format="pyarrow")
+
+
+def dup_segment_ref(ds, text_col: str = "text", w: int = 3):
+    """ObjectRef[pa.Table | None] of segments occurring >= 2 times across
+    the corpus (total occurrences, within-doc repeats included — CC-Net's
+    "duplicated paragraph"). Per-block vectorized (seg, n) partials merged
+    in a remote tree; the driver holds only the ref. The root table is
+    dup-rate bound; the merge's key universe is segment-distinct bound —
+    beyond one worker, explode to a narrow seg column and take
+    ``dup_key_table_ref(key_exchange="shuffle")`` instead."""
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        _row, _within, segs = segment_table(t[text_col], w)
+        vc = pc.value_counts(segs)
+        return pa.table(
+            {"seg": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("seg").aggregate([("n", "sum")])
+        return g.rename_columns(["seg", "n"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["n"], 2)).select(["seg"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return coalesce_reduce(partials, _combine, _final, materialize=False)
+
+
+def paragraph_dedup(
+    ds, id_col: str = "doc_id", text_col: str = "text", w: int = 3
+):
+    """Corpus-wide duplicated-segment removal (CC-Net paragraph dedup):
+    every occurrence of a segment that appears >= 2 times anywhere in the
+    corpus is removed from every document. Emits
+    ``(id_col, text_clean, n_removed)``.
+
+    Two passes: (1) build the duplicated-segment table distributively and
+    broadcast it once (exact membership — a Bloom false positive here would
+    delete unique text, so the Bloom variant needs a confirm pass and is
+    deliberately not wired); (2) one streaming ``is_in`` + reassembly pass.
+    """
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages._bcast import cached_get
+
+    ref = dup_segment_ref(ds, text_col, w)
+
+    def _clean(t: pa.Table) -> pa.Table:
+        row_of, _within, segs = segment_table(t[text_col], w)
+        dup = cached_get(ref) if ref is not None else None
+        if dup is None or dup.num_rows == 0:
+            keep = np.ones(len(row_of), dtype=bool)
+        else:
+            value_set = dup["seg"].combine_chunks()
+            keep = ~pc.is_in(segs, value_set=value_set).to_numpy(
+                zero_copy_only=False
+            )
+        texts, n_removed = rejoin_segments(segs, row_of, keep, t.num_rows)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text_clean": texts,
+                "n_removed": pa.array(n_removed, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_clean, batch_format="pyarrow")
+
+
+def admitted_term_ref(ds, text_col: str, df_lo: int, df_hi: int):
+    """ObjectRef[pa.Table | None] of terms whose document frequency lies in
+    ``[df_lo, df_hi]`` — per-block distinct-(row, term) partials, remote
+    tree sum, one filter at the root. Vocabulary-bound (natural-language
+    vocabularies are millions of terms, not corpus-scale)."""
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+    from ocr_suite_ray.stages.text_ops import _tokens
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_tok, flat, _off = _tokens(t[text_col])
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = len(enc.dictionary)
+        row_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        uniq = np.unique(row_of * max(n_dict, 1) + codes)
+        df = np.bincount(uniq % max(n_dict, 1), minlength=n_dict)
+        return pa.table(
+            {"term": enc.dictionary, "df": pa.array(df, pa.int64())}
+        )
+
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("df", "sum")])
+        return g.rename_columns(["term", "df"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.greater_equal(t["df"], df_lo), pc.less_equal(t["df"], df_hi)
+        )
+        return t.filter(m).select(["term"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return coalesce_reduce(partials, _combine, _final, materialize=False)
+
+
+def term_postings(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_lo: int = 2,
+    df_hi: int = 1_000_000,
+):
+    """Inverted-index construction: ``(term, doc_id, tf)`` postings for every
+    term whose corpus document frequency lies in ``[df_lo, df_hi]`` (the df
+    band drops hapaxes and stop-words — the classic index-size control).
+
+    The df table is tree-reduced and the admitted term set broadcast once;
+    the postings pass is one streaming ``is_in`` + composite-key
+    ``np.unique`` per batch. The corpus is never shuffled; postings stream
+    out partitioned exactly like their source blocks (sort/partition by term
+    downstream if a term-clustered index layout is needed).
+    """
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages._bcast import cached_get
+    from ocr_suite_ray.stages.text_ops import _tokens
+
+    ref = admitted_term_ref(ds, text_col, df_lo, df_hi)
+
+    def _postings(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        adm = cached_get(ref) if ref is not None else None
+        if adm is None or adm.num_rows == 0:
+            return empty
+        n_tok, flat, _off = _tokens(t[text_col])
+        hit = pc.is_in(flat, value_set=adm["term"].combine_chunks())
+        hit_np = hit.to_numpy(zero_copy_only=False)
+        if not hit_np.any():
+            return empty
+        enc = pc.dictionary_encode(flat.filter(hit))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = len(enc.dictionary)
+        row_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)[hit_np]
+        uniq, tf = np.unique(row_of * n_dict + codes, return_counts=True)
+        rows = pa.array(uniq // n_dict, pa.int64())
+        terms = enc.dictionary.take(pa.array(uniq % n_dict, pa.int64()))
+        ids = t[id_col].combine_chunks().take(rows)
+        return pa.table(
+            {
+                "term": terms,
+                id_col: ids,
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_postings, batch_format="pyarrow")

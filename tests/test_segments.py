@@ -1,0 +1,156 @@
+"""Segment ops: kernel edge cases, semantics, and partition invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_suite_ray.stages.segments import (
+    paragraph_dedup,
+    rejoin_segments,
+    segment_dedup_within,
+    segment_table,
+    term_postings,
+)
+
+
+def test_segment_table_widths_and_ragged_tail():
+    row_of, within, segs = segment_table(pa.array(["a b c d e", "x y"]), 2)
+    assert segs.to_pylist() == ["a b", "c d", "e", "x y"]
+    assert row_of.tolist() == [0, 0, 0, 1]
+    assert within.tolist() == [0, 1, 2, 0]
+
+
+def test_segment_table_empty_string_row():
+    row_of, _within, segs = segment_table(pa.array(["", "a"]), 3)
+    # "" splits to [""] — one empty segment; the row is never lost
+    assert segs.to_pylist() == ["", "a"]
+    assert row_of.tolist() == [0, 1]
+
+
+def test_rejoin_roundtrips_when_nothing_dropped():
+    texts = pa.array(["a b c d e", "x y", ""])
+    row_of, _w, segs = segment_table(texts, 2)
+    keep = np.ones(len(row_of), dtype=bool)
+    joined, dropped = rejoin_segments(segs, row_of, keep, 3)
+    assert joined.to_pylist() == texts.to_pylist()
+    assert dropped.tolist() == [0, 0, 0]
+
+
+def test_rejoin_all_dropped_yields_empty_string():
+    texts = pa.array(["a b"])
+    row_of, _w, segs = segment_table(texts, 2)
+    joined, dropped = rejoin_segments(
+        segs, row_of, np.zeros(len(row_of), dtype=bool), 1
+    )
+    assert joined.to_pylist() == [""]
+    assert dropped.tolist() == [1]
+
+
+def test_segment_dedup_within_keeps_first(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a b a b c d a b"},  # segs: ab, ab, cd, ab
+            {"doc_id": 2, "text": "u v w"},
+        ]
+    )
+    out = {
+        r["doc_id"]: r for r in segment_dedup_within(ds, w=2).take_all()
+    }
+    assert out[1]["text_dedup"] == "a b c d"
+    assert out[1]["n_dropped"] == 2
+    assert out[2]["text_dedup"] == "u v w"
+    assert out[2]["n_dropped"] == 0
+
+
+def test_paragraph_dedup_removes_all_occurrences(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": "p q r unique one here"},
+        {"doc_id": 2, "text": "p q r other words now"},
+        {"doc_id": 3, "text": "fully distinct text row"},
+    ]
+    ds = rd.from_items(rows)
+    out = {r["doc_id"]: r for r in paragraph_dedup(ds, w=3).take_all()}
+    # "p q r" appears in docs 1 and 2 -> removed from BOTH
+    assert out[1]["text_clean"] == "unique one here"
+    assert out[2]["text_clean"] == "other words now"
+    assert out[1]["n_removed"] == 1 and out[2]["n_removed"] == 1
+    assert out[3]["text_clean"] == "fully distinct text row"
+    assert out[3]["n_removed"] == 0
+
+
+def test_paragraph_dedup_partition_invariance(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab, size=rng.integers(3, 12))),
+        }
+        for i in range(60)
+    ]
+
+    def run(nparts):
+        ds = rd.from_items(rows).repartition(nparts)
+        got = paragraph_dedup(ds, w=2).take_all()
+        return sorted((r["doc_id"], r["text_clean"], r["n_removed"]) for r in got)
+
+    assert run(1) == run(7)
+
+
+def test_term_postings_df_band(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": "common rare common mid"},
+        {"doc_id": 2, "text": "common mid"},
+        {"doc_id": 3, "text": "common"},
+    ]
+    ds = rd.from_items(rows)
+    # df: common=3, mid=2, rare=1 -> band [2,2] admits only mid
+    got = sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in term_postings(ds, df_lo=2, df_hi=2).take_all()
+    )
+    assert got == [("mid", 1, 1), ("mid", 2, 1)]
+    # tf counts repeats: band [3,3] admits common with tf 2 in doc 1
+    got3 = sorted(
+        (r["term"], r["doc_id"], r["tf"])
+        for r in term_postings(ds, df_lo=3, df_hi=3).take_all()
+    )
+    assert got3 == [("common", 1, 2), ("common", 2, 1), ("common", 3, 1)]
+
+
+def test_term_postings_partition_invariance(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{j}" for j in range(9)]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(rng.choice(vocab, size=rng.integers(2, 20))),
+        }
+        for i in range(50)
+    ]
+
+    def run(nparts):
+        ds = rd.from_items(rows).repartition(nparts)
+        got = term_postings(ds, df_lo=3, df_hi=30).take_all()
+        return sorted((r["term"], r["doc_id"], r["tf"]) for r in got)
+
+    assert run(1) == run(6)
+
+
+def test_term_postings_empty_band(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"doc_id": 1, "text": "a b"}])
+    assert term_postings(ds, df_lo=5, df_hi=9).take_all() == []
