@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "chunk_docs",
     "range_join",
     "semantic_dedup",
+    "paragraph_dedup",
+    "term_postings",
 ]
 
 
