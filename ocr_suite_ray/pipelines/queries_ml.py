@@ -1213,6 +1213,41 @@ SELECT doc_id, lang, n_chars, running FROM w WHERE running <= 20000
 """
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights: target model = lang='en' docs, source model
+    = the rest; per-doc mean token log-ratio, e4 fixed-point. Two broadcast
+    vocab tables, zero corpus shuffles."""
+    from ocr_suite_ray.stages.text_ops import dsir_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return dsir_weights(ds, domain_col="lang", target_value="en")
+
+
+SQL_DSIR = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT DISTINCT tok FROM toks),
+tc AS (SELECT tok, COUNT(*) AS n FROM toks WHERE lang = 'en' GROUP BY tok),
+sc AS (SELECT tok, COUNT(*) AS n FROM toks WHERE lang <> 'en' GROUP BY tok),
+tot AS (
+  SELECT CAST((SELECT COALESCE(SUM(n), 0) FROM tc) AS DOUBLE) AS nt,
+         CAST((SELECT COALESCE(SUM(n), 0) FROM sc) AS DOUBLE) AS ns,
+         CAST((SELECT COUNT(*) FROM vocab) AS DOUBLE) AS vv
+),
+lr AS (
+  SELECT v.tok,
+         ln((COALESCE(tc.n, 0) + 1.0) / (tot.nt + tot.vv))
+         - ln((COALESCE(sc.n, 0) + 1.0) / (tot.ns + tot.vv)) AS lr
+  FROM vocab v LEFT JOIN tc USING (tok) LEFT JOIN sc USING (tok), tot
+)
+SELECT t.doc_id,
+       CAST(FLOOR(AVG(l.lr) * 10000 + 0.5) AS BIGINT) AS dsir_e4
+FROM toks t JOIN lr l USING (tok)
+GROUP BY t.doc_id
+"""
+
+
 def q_segment_dedup(sf_dir: str):
     """Within-document repeated-segment removal (Gopher repetition
     cleaning): drop 2-word segments equal to an earlier segment of the same
@@ -1309,6 +1344,7 @@ ML_QUERIES = {
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
     "bpe_stats": (q_bpe_stats, None),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "term_postings": (q_term_postings, SQL_TERM_POSTINGS),

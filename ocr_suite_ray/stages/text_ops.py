@@ -494,6 +494,98 @@ def lm_unigram_score(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(_score, batch_format="pyarrow")
 
 
+_DSIR_CACHE: dict = {}
+
+
+def _dsir_series(ref_t, ref_s):
+    """Worker-cached token -> log-ratio Series for :func:`dsir_weights`:
+    ln p_target(w) - ln p_source(w) with add-one smoothing over the SHARED
+    vocabulary (union of both models' tokens), plus the out-of-union
+    fallback (both models back off to their smoothing floor)."""
+    from ocr_suite_ray.stages._bcast import cached_get
+
+    key = (ref_t, ref_s)
+    v = _DSIR_CACHE.get(key)
+    if v is None:
+        while len(_DSIR_CACHE) >= 4:
+            _DSIR_CACHE.pop(next(iter(_DSIR_CACHE)))
+
+        def _counts(ref):
+            tbl = cached_get(ref) if ref is not None else None
+            if tbl is None or tbl.num_rows == 0:
+                return pd.Series(np.empty(0, np.float64), index=pd.Index([]))
+            return pd.Series(
+                tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64),
+                index=tbl["tok"].to_pandas(),
+            )
+
+        st, ss = _counts(ref_t), _counts(ref_s)
+        vocab = st.index.union(ss.index)
+        nt = st.reindex(vocab).fillna(0.0).to_numpy()
+        ns = ss.reindex(vocab).fillna(0.0).to_numpy()
+        tt, ts, vv = nt.sum(), ns.sum(), float(len(vocab))
+        lr = np.log((nt + 1.0) / (tt + vv)) - np.log((ns + 1.0) / (ts + vv))
+        fallback = np.log(1.0 / (tt + vv)) - np.log(1.0 / (ts + vv))
+        v = (pd.Series(lr, index=vocab), fallback)
+        _DSIR_CACHE[key] = v
+    return v
+
+
+def dsir_weights(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "lang",
+    target_value: str = "en",
+):
+    """DSIR-style importance weights (Xie et al. 2023, public method): per
+    doc, the mean over tokens of ln p_target(w) - ln p_source(w), where the
+    target unigram model is trained on ``domain_col == target_value`` docs
+    and the source model on the rest. High weight = "looks like the target
+    domain" — the data-selection score for domain-matched resampling.
+
+    Scale shape: two :func:`unigram_count_ref` builds (vocab-bound,
+    tree-reduced, never on the driver), both broadcast once; the scoring
+    pass is one streaming ``reindex`` hash-join + segment mean per batch —
+    the corpus never shuffles. Emits ``(id_col, dsir_e4)`` fixed-point.
+    """
+    import pyarrow.compute as pc
+
+    def _is(val):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t[domain_col], val))
+
+        return _f
+
+    def _is_not(val):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.not_equal(t[domain_col], val))
+
+        return _f
+
+    ref_t = unigram_count_ref(
+        ds.map_batches(_is(target_value), batch_format="pyarrow"), text_col
+    )
+    ref_s = unigram_count_ref(
+        ds.map_batches(_is_not(target_value), batch_format="pyarrow"), text_col
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        series, fallback = _dsir_series(ref_t, ref_s)
+        n_tokens, flat, off = _tokens(batch[text_col])
+        vals = series.reindex(flat.to_pandas()).to_numpy()
+        vals = np.where(np.isnan(vals), fallback, vals)
+        cs = np.concatenate([[0.0], np.cumsum(vals)])
+        sums = cs[off[1:]] - cs[off[:-1]]
+        mean = sums / np.maximum(n_tokens, 1)
+        e4 = np.floor(mean * 10000 + 0.5).astype(np.int64)
+        return pa.table(
+            {id_col: batch[id_col], "dsir_e4": pa.array(e4, pa.int64())}
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
 def tfidf_top_terms(
     ds,
     id_col: str = "doc_id",
