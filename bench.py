@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "paragraph_dedup",
     "term_postings",
+    "dsir_weights",
+    "shuffle_shards",
 ]
 
 

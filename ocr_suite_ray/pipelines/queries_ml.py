@@ -1213,6 +1213,31 @@ SELECT doc_id, lang, n_chars, running FROM w WHERE running <= 20000
 """
 
 
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle + round-robin shard assignment (the
+    reproducible training-shard export order); one global sort + the
+    narrow prefix-scan rank."""
+    from ocr_suite_ray.stages.scan import shuffle_shards
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return shuffle_shards(ds, n_shards=8, salt="shuf")
+
+
+SQL_SHUFFLE_SHARDS = """
+WITH h AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR) || 'shuf'), 1, 8) || '-' ||
+         lpad(CAST(doc_id AS VARCHAR), 12, '0') AS okey
+  FROM documents
+),
+r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY okey) - 1 AS rn FROM h
+)
+SELECT doc_id, CAST(rn % 8 AS BIGINT) AS shard, CAST(rn // 8 AS BIGINT) AS pos
+FROM r
+"""
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights: target model = lang='en' docs, source model
     = the rest; per-doc mean token log-ratio, e4 fixed-point. Two broadcast
@@ -1345,6 +1370,7 @@ ML_QUERIES = {
     "bpe_stats": (q_bpe_stats, None),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "dsir_weights": (q_dsir_weights, SQL_DSIR),
+    "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "term_postings": (q_term_postings, SQL_TERM_POSTINGS),

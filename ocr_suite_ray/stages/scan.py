@@ -71,6 +71,64 @@ def prefix_sum(ds, order_col: str, value_col: str, out_col: str = "cum_before"):
     return sorted_ds.map_batches(_scan, batch_size=None, batch_format="pandas")
 
 
+def shuffle_shards(
+    ds,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuf",
+):
+    """Deterministic global shuffle + shard assignment — the training-shard
+    export primitive: every row gets a pseudo-random but reproducible
+    position (salted-md5 order), then ``shard`` = position % n_shards and
+    ``pos`` = position // n_shards (round-robin keeps shards balanced to
+    within one row regardless of key skew). Unlike ``random_shuffle`` the
+    result is identical at any parallelism and across re-runs — a resumable
+    export can re-derive any shard independently.
+
+    The order key is md5(id+salt) hex prefixed to a zero-padded id, so keys
+    are UNIQUE (the prefix-scan tie contract) and collisions in the 32-bit
+    hash cannot reorder nondeterministically. One global sort (the one
+    honest all-to-all this op needs) + the two narrow prefix-scan passes
+    over (id, key) only — payload columns join by id afterwards.
+    The md5 is per-row Python by design (DuckDB hash parity, cf.
+    ``q_hash_sample``).
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        okey = [
+            hashlib.md5((str(d) + salt).encode()).hexdigest()[:8]
+            + "-"
+            + str(d).zfill(12)
+            for d in ids
+        ]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "okey": pa.array(okey, pa.string()),
+                "one": pa.array(np.ones(len(okey), np.int64), pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+    ranked = prefix_sum(keyed, "okey", "one", out_col="rank")
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["rank"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "shard": r % n_shards,
+                "pos": r // n_shards,
+            }
+        )
+
+    return ranked.map_batches(_assign, batch_format="pandas")
+
+
 def pack_sequences(ds, order_col: str, tokens_col: str, seq_len: int):
     """Deterministic sequence packing: each doc gets ``seq_id`` =
     floor(tokens_before / seq_len) and ``seq_offset`` = tokens_before mod

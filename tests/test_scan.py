@@ -44,3 +44,32 @@ def test_pack_sequences_boundaries(ray_session):
     # doc k starts at 100k: seq = 100k // 256
     assert list(out["seq_id"]) == [100 * k // 256 for k in range(100)]
     assert list(out["seq_offset"]) == [100 * k % 256 for k in range(100)]
+
+
+def test_shuffle_shards_balanced_and_deterministic(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.scan import shuffle_shards
+
+    rows = [{"doc_id": i} for i in range(100)]
+
+    def run(nparts):
+        ds = rd.from_items(rows).repartition(nparts)
+        got = shuffle_shards(ds, n_shards=8).take_all()
+        return sorted((r["doc_id"], r["shard"], r["pos"]) for r in got)
+
+    a = run(1)
+    assert a == run(7)  # parallelism-invariant
+    import collections
+
+    by_shard = collections.Counter(s for _d, s, _p in a)
+    assert max(by_shard.values()) - min(by_shard.values()) <= 1  # balanced
+    # (shard, pos) is a bijection onto 0..99
+    assert len({(s, p) for _d, s, p in a}) == 100
+    # salt changes the permutation
+    ds = rd.from_items(rows)
+    b = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shards(ds, n_shards=8, salt="other").take_all()
+    )
+    assert a != b
