@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "term_postings",
     "dsir_weights",
     "shuffle_shards",
+    "bm25_rank",
 ]
 
 

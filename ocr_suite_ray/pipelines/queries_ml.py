@@ -1213,6 +1213,45 @@ SELECT doc_id, lang, n_chars, running FROM w WHERE running <= 20000
 """
 
 
+def q_bm25_rank(sf_dir: str):
+    """BM25 top-10 ranked search for a 3-term query — one query-bound stats
+    reduce + one streaming score pass + a k-row top-k tree merge."""
+    from ocr_suite_ray.stages.text_ops import bm25_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_rank(ds, ["dup", "vector", "window"], top_k=10)
+
+
+SQL_BM25 = """
+WITH q(term) AS (VALUES ('dup'), ('vector'), ('window')),
+d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM d),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+tf AS (
+  SELECT t.doc_id, t.term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok t JOIN q ON t.term = q.term GROUP BY t.doc_id, t.term
+),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id, stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(FLOOR(score * 10000 + 0.5) AS BIGINT) AS bm25_e4
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def q_shuffle_shards(sf_dir: str):
     """Deterministic global shuffle + round-robin shard assignment (the
     reproducible training-shard export order); one global sort + the
@@ -1371,6 +1410,7 @@ ML_QUERIES = {
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "dsir_weights": (q_dsir_weights, SQL_DSIR),
     "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
+    "bm25_rank": (q_bm25_rank, SQL_BM25),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "term_postings": (q_term_postings, SQL_TERM_POSTINGS),

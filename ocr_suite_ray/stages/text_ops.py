@@ -494,6 +494,149 @@ def lm_unigram_score(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(_score, batch_format="pyarrow")
 
 
+def bm25_rank(
+    ds,
+    query_terms: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+):
+    """BM25 ranked search (Robertson/Spärck Jones, public): top-``top_k``
+    docs by ``sum over query terms of idf(t) * tf*(k1+1) / (tf + k1*(1 - b
+    + b*dl/avgdl))`` with the Lucene idf ``ln(1 + (N-df+0.5)/(df+0.5))``.
+    Ties break by ascending id. Returns a tiny ``pa.Table``
+    ``(id_col, bm25_e4)``.
+
+    Scale shape: one tree-reduced stats pass (N, total length, and df for
+    the QUERY terms only — the artifact is query-bound, a handful of rows);
+    one streaming score pass (``is_in`` + composite-key tf counts +
+    ``np.add.at`` accumulation); per-block top-k then a tree merge of
+    k-row tables. The corpus never shuffles. Reference analogue: the
+    viewer's ``find_text`` ranked search (src/viewer/search.h) upgraded
+    from LIKE-match to relevance ranking.
+    """
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+    from ocr_suite_ray.stages._bcast import cached_get
+
+    qset = pa.array(sorted(set(query_terms)), pa.string())
+    _SENTINEL = "\x00stats"
+
+    def _stats_partial(t: pa.Table) -> pa.Table:
+        n_tok, flat, _off = _tokens(t[text_col])
+        hit = pc.is_in(flat, value_set=qset).to_numpy(zero_copy_only=False)
+        terms, dfs = [], []
+        if hit.any():
+            enc = pc.dictionary_encode(flat.filter(pa.array(hit)))
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            n_dict = len(enc.dictionary)
+            row_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)[hit]
+            uniq = np.unique(row_of * n_dict + codes)
+            df = np.bincount(uniq % n_dict, minlength=n_dict)
+            terms = enc.dictionary.to_pylist()
+            dfs = df.tolist()
+        return pa.table(
+            {
+                "term": pa.array([_SENTINEL] + terms, pa.string()),
+                "df": pa.array([t.num_rows] + dfs, pa.int64()),
+                "dl": pa.array(
+                    [int(n_tok.sum())] + [0] * len(terms), pa.int64()
+                ),
+            }
+        )
+
+    def _stats_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("term").aggregate([("df", "sum"), ("dl", "sum")])
+        return g.rename_columns(["term", "df", "dl"])
+
+    stats_ref = coalesce_reduce(
+        ds.map_batches(_stats_partial, batch_format="pyarrow"),
+        _stats_combine,
+        None,
+        materialize=False,
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "_score": pa.array([], pa.float64()),
+                "bm25_e4": pa.array([], pa.int64()),
+            }
+        )
+        stats = cached_get(stats_ref) if stats_ref is not None else None
+        if stats is None or stats.num_rows == 0:
+            return empty
+        term_np = stats["term"].to_pylist()
+        df_np = stats["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl_np = stats["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        si = term_np.index(_SENTINEL)
+        n_docs, sum_dl = df_np[si], dl_np[si]
+        avgdl = sum_dl / max(n_docs, 1.0)
+        idf_by_term = {
+            term_np[j]: float(
+                np.log(1.0 + (n_docs - df_np[j] + 0.5) / (df_np[j] + 0.5))
+            )
+            for j in range(len(term_np))
+            if j != si
+        }
+        n_tok, flat, _off = _tokens(t[text_col])
+        hit = pc.is_in(flat, value_set=qset).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return empty
+        enc = pc.dictionary_encode(flat.filter(pa.array(hit)))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_dict = len(enc.dictionary)
+        idf = np.array(
+            [idf_by_term.get(w, 0.0) for w in enc.dictionary.to_pylist()],
+            dtype=np.float64,
+        )
+        row_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)[hit]
+        uniq, tf = np.unique(row_of * n_dict + codes, return_counts=True)
+        rows, term_code = uniq // n_dict, uniq % n_dict
+        tf = tf.astype(np.float64)
+        dl = n_tok.astype(np.float64)[rows]
+        contrib = idf[term_code] * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl / avgdl)
+        )
+        scores = np.zeros(t.num_rows, dtype=np.float64)
+        np.add.at(scores, rows, contrib)
+        matched = np.unique(rows)
+        sc = scores[matched]
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().take(
+                    pa.array(matched, pa.int64())
+                ),
+                "_score": pa.array(sc, pa.float64()),
+                "bm25_e4": pa.array(
+                    np.floor(sc * 10000 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def _topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("_score", "descending"), (id_col, "ascending")]
+        )
+        return t.take(idx[:top_k])
+
+    scored = ds.map_batches(_score, batch_format="pyarrow")
+    out = coalesce_reduce(scored, _topk, lambda t: _topk(t), materialize=True)
+    if out is None:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "bm25_e4": pa.array([], pa.int64())}
+        )
+    return out.select([id_col, "bm25_e4"])
+
+
 _DSIR_CACHE: dict = {}
 
 

@@ -54,3 +54,54 @@ def test_dsir_empty_target_model(ray_session):
     vals = {r["dsir_e4"] for r in got}
     assert len(got) == 6 and len(vals) == 1
     assert np.isfinite(next(iter(vals)))
+
+
+def test_bm25_ranks_denser_matches_higher(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import bm25_rank
+
+    rows = [
+        {"doc_id": 1, "text": "render render boiler pad pad"},
+        {"doc_id": 2, "text": "render pad pad pad pad"},
+        {"doc_id": 3, "text": "pad pad pad pad pad"},
+        {"doc_id": 4, "text": "filler words only here now"},
+    ]
+    out = bm25_rank(rd.from_items(rows), ["render", "boiler"], top_k=10)
+    ids = out["doc_id"].to_pylist()
+    scores = out["bm25_e4"].to_pylist()
+    assert ids[0] == 1 and set(ids) == {1, 2}  # only matching docs appear
+    assert scores[0] > scores[1] > 0
+
+
+def test_bm25_partition_invariance_and_topk(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import bm25_rank
+
+    rng = np.random.default_rng(3)
+    vocab = ["render", "boiler", "pad", "fill", "noise"]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=rng.integers(3, 15)))}
+        for i in range(80)
+    ]
+
+    def run(nparts):
+        ds = rd.from_items(rows).repartition(nparts)
+        t = bm25_rank(ds, ["render", "boiler"], top_k=5)
+        return list(zip(t["doc_id"].to_pylist(), t["bm25_e4"].to_pylist()))
+
+    a = run(1)
+    assert a == run(6)
+    assert len(a) == 5
+
+
+def test_bm25_no_match_is_empty(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import bm25_rank
+
+    ds = rd.from_items([{"doc_id": 1, "text": "a b c"}])
+    out = bm25_rank(ds, ["zzz"], top_k=3)
+    assert out.num_rows == 0
