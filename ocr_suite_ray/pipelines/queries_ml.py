@@ -1213,6 +1213,56 @@ SELECT doc_id, lang, n_chars, running FROM w WHERE running <= 20000
 """
 
 
+def q_linear_fit(sf_dir: str):
+    """Distributed ridge/OLS fit (n_chars ~ token count) + residual scoring:
+    per-block X^T X / X^T y partials tree-reduce to one tiny solve; the
+    corpus streams once per pass. Residual = model-disagreement outlier
+    signal."""
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc_mod
+
+    from ocr_suite_ray.stages.mlfit import fit_linear_ref, linear_residuals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def _feat(t: pa_mod.Table) -> pa_mod.Table:
+        n_tok = pc_mod.list_value_length(pc_mod.split_pattern(t["text"], " "))
+        return pa_mod.table(
+            {
+                "doc_id": t["doc_id"],
+                "x_tok": pc_mod.cast(n_tok, pa_mod.float64()),
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    feats = ds.map_batches(_feat, batch_format="pyarrow")
+    ref = fit_linear_ref(feats, ["x_tok"], "n_chars")
+    return linear_residuals(feats, ref, ["x_tok"], "n_chars")
+
+
+SQL_LINEAR_FIT = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS x,
+         CAST(n_chars AS DOUBLE) AS y
+  FROM documents
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM f
+),
+w AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS m,
+         (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS c
+  FROM s
+)
+SELECT doc_id,
+       CAST(FLOOR((y - (w.m * x + w.c)) * 10000 + 0.5) AS BIGINT) AS resid_e4
+FROM f, w
+"""
+
+
 def q_bm25_rank(sf_dir: str):
     """BM25 top-10 ranked search for a 3-term query — one query-bound stats
     reduce + one streaming score pass + a k-row top-k tree merge."""
@@ -1411,6 +1461,7 @@ ML_QUERIES = {
     "dsir_weights": (q_dsir_weights, SQL_DSIR),
     "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
     "bm25_rank": (q_bm25_rank, SQL_BM25),
+    "linear_fit_residuals": (q_linear_fit, SQL_LINEAR_FIT),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "term_postings": (q_term_postings, SQL_TERM_POSTINGS),
