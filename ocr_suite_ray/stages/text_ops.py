@@ -637,41 +637,32 @@ def bm25_rank(
     return out.select([id_col, "bm25_e4"])
 
 
-_DSIR_CACHE: dict = {}
+def _dsir_series(tbl):
+    """token -> log-ratio Series for :func:`dsir_weights` from the combined
+    (grp, tok, n) count table: ln p_target(w) - ln p_source(w) with add-one
+    smoothing over the SHARED vocabulary (union of both models' tokens),
+    plus the out-of-union fallback (both models back off to their smoothing
+    floor). Passed to ``cached_build`` so each worker derives it once."""
 
+    def _counts(grp):
+        if tbl is None or tbl.num_rows == 0:
+            return pd.Series(np.empty(0, np.float64), index=pd.Index([]))
+        import pyarrow.compute as pc
 
-def _dsir_series(ref_t, ref_s):
-    """Worker-cached token -> log-ratio Series for :func:`dsir_weights`:
-    ln p_target(w) - ln p_source(w) with add-one smoothing over the SHARED
-    vocabulary (union of both models' tokens), plus the out-of-union
-    fallback (both models back off to their smoothing floor)."""
-    from ocr_suite_ray.stages._bcast import cached_get
+        sub = tbl.filter(pc.equal(tbl["grp"], grp))
+        return pd.Series(
+            sub["n"].to_numpy(zero_copy_only=False).astype(np.float64),
+            index=sub["tok"].to_pandas(),
+        )
 
-    key = (ref_t, ref_s)
-    v = _DSIR_CACHE.get(key)
-    if v is None:
-        while len(_DSIR_CACHE) >= 4:
-            _DSIR_CACHE.pop(next(iter(_DSIR_CACHE)))
-
-        def _counts(ref):
-            tbl = cached_get(ref) if ref is not None else None
-            if tbl is None or tbl.num_rows == 0:
-                return pd.Series(np.empty(0, np.float64), index=pd.Index([]))
-            return pd.Series(
-                tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64),
-                index=tbl["tok"].to_pandas(),
-            )
-
-        st, ss = _counts(ref_t), _counts(ref_s)
-        vocab = st.index.union(ss.index)
-        nt = st.reindex(vocab).fillna(0.0).to_numpy()
-        ns = ss.reindex(vocab).fillna(0.0).to_numpy()
-        tt, ts, vv = nt.sum(), ns.sum(), float(len(vocab))
-        lr = np.log((nt + 1.0) / (tt + vv)) - np.log((ns + 1.0) / (ts + vv))
-        fallback = np.log(1.0 / (tt + vv)) - np.log(1.0 / (ts + vv))
-        v = (pd.Series(lr, index=vocab), fallback)
-        _DSIR_CACHE[key] = v
-    return v
+    st, ss = _counts(1), _counts(0)
+    vocab = st.index.union(ss.index)
+    nt = st.reindex(vocab).fillna(0.0).to_numpy()
+    ns = ss.reindex(vocab).fillna(0.0).to_numpy()
+    tt, ts, vv = nt.sum(), ns.sum(), float(len(vocab))
+    lr = np.log((nt + 1.0) / (tt + vv)) - np.log((ns + 1.0) / (ts + vv))
+    fallback = np.log(1.0 / (tt + vv)) - np.log(1.0 / (ts + vv))
+    return pd.Series(lr, index=vocab), fallback
 
 
 def dsir_weights(
@@ -687,34 +678,61 @@ def dsir_weights(
     and the source model on the rest. High weight = "looks like the target
     domain" — the data-selection score for domain-matched resampling.
 
-    Scale shape: two :func:`unigram_count_ref` builds (vocab-bound,
-    tree-reduced, never on the driver), both broadcast once; the scoring
-    pass is one streaming ``reindex`` hash-join + segment mean per batch —
-    the corpus never shuffles. Emits ``(id_col, dsir_e4)`` fixed-point.
-    """
+    Scale shape: BOTH unigram models build in ONE streaming pass (per-block
+    value_counts keyed by (is_target, tok), one tree reduce — vocab-bound,
+    never on the driver), broadcast once; the scoring pass is one streaming
+    ``reindex`` hash-join + segment mean per batch — the corpus never
+    shuffles and is read exactly twice. Emits ``(id_col, dsir_e4)``."""
     import pyarrow.compute as pc
 
-    def _is(val):
-        def _f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t[domain_col], val))
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+    from ocr_suite_ray.stages._bcast import cached_build
 
-        return _f
+    def _partial(t: pa.Table) -> pa.Table:
+        grp = pc.cast(
+            pc.equal(t[domain_col], target_value), pa.int32()
+        ).to_numpy(zero_copy_only=False)
+        parts = []
+        for g in (0, 1):
+            sub = t.filter(pa.array(grp == g))
+            if not sub.num_rows:
+                continue
+            _nt, flat, _off = _tokens(sub[text_col])
+            vc = pc.value_counts(flat)
+            parts.append(
+                pa.table(
+                    {
+                        "grp": pa.array(
+                            np.full(len(vc), g, np.int32), pa.int32()
+                        ),
+                        "tok": vc.field("values"),
+                        "n": pc.cast(vc.field("counts"), pa.int64()),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "grp": pa.array([], pa.int32()),
+                    "tok": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
 
-    def _is_not(val):
-        def _f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.not_equal(t[domain_col], val))
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["grp", "tok"]).aggregate([("n", "sum")])
+        return g.rename_columns(["grp", "tok", "n"])
 
-        return _f
-
-    ref_t = unigram_count_ref(
-        ds.map_batches(_is(target_value), batch_format="pyarrow"), text_col
-    )
-    ref_s = unigram_count_ref(
-        ds.map_batches(_is_not(target_value), batch_format="pyarrow"), text_col
+    ref = coalesce_reduce(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        _combine,
+        None,
+        materialize=False,
     )
 
     def _score(batch: pa.Table) -> pa.Table:
-        series, fallback = _dsir_series(ref_t, ref_s)
+        series, fallback = cached_build(ref, _dsir_series)
         n_tokens, flat, off = _tokens(batch[text_col])
         vals = series.reindex(flat.to_pandas()).to_numpy()
         vals = np.where(np.isnan(vals), fallback, vals)
