@@ -270,10 +270,12 @@ def term_postings(
     ref = admitted_term_ref(ds, text_col, df_lo, df_hi)
 
     def _postings(t: pa.Table) -> pa.Table:
+        # empty result carries the INPUT id type so empty and non-empty
+        # blocks always agree on schema
         empty = pa.table(
             {
                 "term": pa.array([], pa.string()),
-                id_col: pa.array([], pa.int64()),
+                id_col: pa.array([], t.schema.field(id_col).type),
                 "tf": pa.array([], pa.int64()),
             }
         )

@@ -562,9 +562,11 @@ def bm25_rank(
     )
 
     def _score(t: pa.Table) -> pa.Table:
+        # empty result carries the INPUT id type so empty and non-empty
+        # blocks always agree on schema
         empty = pa.table(
             {
-                id_col: pa.array([], pa.int64()),
+                id_col: pa.array([], t.schema.field(id_col).type),
                 "_score": pa.array([], pa.float64()),
                 "bm25_e4": pa.array([], pa.int64()),
             }
