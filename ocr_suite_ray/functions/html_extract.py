@@ -108,6 +108,23 @@ _CDATA_CLOSE = {
     "style": re.compile(r"</\s*style", re.IGNORECASE),
 }
 
+# Master event pattern: ONE C-level search per construct replaces the
+# find('<') + next-char classify + per-kind regex sequence (each tag
+# previously cost ~4-6 C calls plus slice allocations; at ~125 events per
+# document the dispatch overhead was the biggest single kernel line item).
+# Alternatives mirror html.parser's classification exactly; a '<' that
+# starts no construct matches with all groups None (literal-data event).
+# Group 1: comment open; 2: full end tag name; 3: bogus end-tag slash;
+# 4: start tag name; 5: declaration/PI marker.
+_EVENT = re.compile(
+    r"<(?:(!--)"
+    r"|/\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
+    r"|(/)"
+    r"|([a-zA-Z][^\t\n\r\f />\x00]*)"
+    r"|([!?])"
+    r")?"
+)
+
 
 def _incomplete(raw: str, i: int) -> tuple[str, int]:
     """html.parser's end-of-input fallback for an unterminated construct:
@@ -135,6 +152,7 @@ def _scan_blocks(raw: str) -> list[Block]:
 
     n = len(raw)
     find = raw.find
+    search = _EVENT.search
     blocks: list[Block] = []
     link_depth = 0
     cur_chunks: list | None = None  # None <=> no open block
@@ -143,7 +161,8 @@ def _scan_blocks(raw: str) -> list[Block]:
     cur_total = 0
     i = 0
     while i < n:
-        lt = find("<", i)
+        m = search(raw, i)
+        lt = m.start() if m is not None else -1
         if lt < 0 or lt > i:
             text = raw[i:] if lt < 0 else raw[i:lt]
             if "&" in text:
@@ -164,11 +183,10 @@ def _scan_blocks(raw: str) -> list[Block]:
                 cur_link = sl if link_depth else 0
             if lt < 0:
                 break
-        nxt = raw[lt + 1 : lt + 2]
-        if "a" <= nxt <= "z" or "A" <= nxt <= "Z":  # start tag (ASCII letter
-            # only — html.parser's starttagopen; unicode letters are data)
-            m = _TAGNAME.match(raw, lt + 1)
-            name = m.group(0).lower()
+        name = m.group(4)
+        if name is not None:  # start tag (ASCII letter only —
+            # html.parser's starttagopen; unicode letters are data)
+            name = name.lower()
             gt = find(">", lt + 1)
             if gt < 0:
                 text, i = _incomplete(raw, lt)
@@ -209,27 +227,8 @@ def _scan_blocks(raw: str) -> list[Block]:
                 cur_chunks = []
                 cur_link = 0
                 cur_total = 0
-        elif nxt == "/":  # end tag
-            m = _ENDTAG.match(raw, lt)
-            if m is None:
-                gt = find(">", lt + 1)
-                if gt < 0:
-                    text, i = _incomplete(raw, lt)
-                    if cur_chunks is not None and text:
-                        sl = len(text.strip())
-                        cur_chunks.append(text)
-                        cur_total += sl
-                        if link_depth:
-                            cur_link += sl
-                    elif text and text.strip():
-                        cur_kind = KIND_PARAGRAPH
-                        cur_chunks = [text]
-                        cur_total = len(text.strip())
-                        cur_link = cur_total if link_depth else 0
-                else:
-                    i = gt + 1  # bogus end tag: ignored
-                continue
-            name = m.group(1).lower()
+        elif m.group(2) is not None:  # end tag (full </name> form)
+            name = m.group(2).lower()
             i = m.end()
             # inline end event
             if name == "a":
@@ -239,7 +238,25 @@ def _scan_blocks(raw: str) -> list[Block]:
                 if cur_chunks is not None and cur_total > 0:
                     blocks.append(Block(cur_kind, cur_chunks, cur_link, cur_total))
                 cur_chunks = None
-        elif raw.startswith("<!--", lt):  # comment
+        elif m.group(3) is not None:  # bogus end tag ('</' with no name>)
+            gt = find(">", lt + 1)
+            if gt < 0:
+                text, i = _incomplete(raw, lt)
+                if cur_chunks is not None and text:
+                    sl = len(text.strip())
+                    cur_chunks.append(text)
+                    cur_total += sl
+                    if link_depth:
+                        cur_link += sl
+                elif text and text.strip():
+                    cur_kind = KIND_PARAGRAPH
+                    cur_chunks = [text]
+                    cur_total = len(text.strip())
+                    cur_link = cur_total if link_depth else 0
+            else:
+                i = gt + 1  # bogus end tag: ignored
+            continue
+        elif m.group(1) is not None:  # comment
             e = find("-->", lt + 4)
             if e < 0:
                 text, i = _incomplete(raw, lt)
@@ -256,7 +273,7 @@ def _scan_blocks(raw: str) -> list[Block]:
                     cur_link = cur_total if link_depth else 0
                 continue
             i = e + 3
-        elif nxt in ("!", "?"):  # declaration / processing instruction
+        elif m.group(5) is not None:  # declaration / processing instruction
             gt = find(">", lt + 1)
             if gt < 0:
                 text, i = _incomplete(raw, lt)
