@@ -59,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--pattern", required=True)
     ps.add_argument("--limit", type=int, default=20)
 
+    pr = sub.add_parser("rank", help="BM25 ranked search over the final store")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--query", required=True, help="space-separated query terms")
+    pr.add_argument("--top-k", type=int, default=10)
+
     pv = sub.add_parser("view", help="point lookup: source payload + extraction for one url")
     pv.add_argument("--pages", required=True)
     pv.add_argument("--out", required=True)
@@ -202,6 +207,27 @@ def main(argv: list[str] | None = None) -> int:
                 if a.max_rounds and rounds >= a.max_rounds:
                     break
                 _time.sleep(a.interval)
+        elif a.cmd == "rank":
+            # relevance-ranked upgrade of the viewer's find_text: BM25 over
+            # the final store, query-bound stats reduce + streaming score
+            import ray.data as rd
+
+            from ocr_suite_ray.stages.text_ops import bm25_rank
+
+            final = os.path.join(a.out, "final")
+            ds = rd.read_parquet(final, columns=["url", "text"])
+            t = bm25_rank(
+                ds, a.query.split(), id_col="url", text_col="text", top_k=a.top_k
+            )
+            for k in range(t.num_rows):
+                print(
+                    json.dumps(
+                        {
+                            "url": t["url"][k].as_py(),
+                            "bm25_e4": t["bm25_e4"][k].as_py(),
+                        }
+                    )
+                )
         elif a.cmd == "search":
             from ocr_suite_ray.pipelines.search import search_extracted
 

@@ -160,3 +160,43 @@ def test_cli_watch_incremental(ray_session, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_bm25_rank_over_final_store(ray_session, final_store):
+    """BM25 over the extracted store: ranked hits, oracle-checked against
+    a driver-side exact BM25 on the same rows."""
+    import math
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import bm25_rank
+
+    final, _ = final_store
+    terms = ["capture", "render"]
+    got = bm25_rank(
+        rd.read_parquet(final, columns=["url", "text"]),
+        terms, id_col="url", text_col="text", top_k=5,
+    )
+    t = pads.dataset(final).to_table()
+    urls = t["url"].to_pylist()
+    texts = t["text"].to_pylist()
+    toks = [x.split(" ") for x in texts]
+    n = float(len(toks))
+    avgdl = sum(len(w) for w in toks) / n
+    df = {q: float(sum(q in w for w in toks)) for q in terms}
+    scores = {}
+    for u, w in zip(urls, toks):
+        s = 0.0
+        for q in terms:
+            tf = float(w.count(q))
+            if not tf or not df[q]:
+                continue
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * len(w) / avgdl))
+        if s > 0:
+            scores[u] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    want_e4 = [(u, math.floor(s * 10000 + 0.5)) for u, s in want]
+    got_pairs = list(zip(got["url"].to_pylist(), got["bm25_e4"].to_pylist()))
+    assert got_pairs == want_e4
