@@ -922,34 +922,88 @@ def q_curation_v2(sf_dir: str):
     doc_id per distinct text) → unigram-LM score annotation (LM trained on
     the FULL raw corpus).
 
-    Scale shape: the eval gram table and the unigram count table are each
-    built once (tree-reduced, vocab/benchmark-sized) and broadcast; the
-    corpus then makes ONE enrichment pass computing quality + lang +
-    contamination + LM score per batch (no joins — both lookups are
-    worker-cached broadcasts), one vectorized gate, one keyed top-1
-    reduce for the dedup. The multi-ref per-batch resolution is why
+    Scale shape: the eval gram table and the unigram count table are built
+    from ONE fused corpus pass (per-block partials tagged by kind, one tree
+    reduce, a worker-side split into the two broadcast refs — at sf0.1/32
+    every extra Dataset execution costs ~2-3 s of fixed ramp, so artifact
+    builds fuse); the corpus then makes ONE enrichment pass computing
+    quality + lang + contamination + LM score per batch (no joins — both
+    lookups are worker-cached broadcasts), one vectorized gate, one keyed
+    top-1 reduce for the dedup. The multi-ref per-batch resolution is why
     ``_bcast`` caches several entries."""
     import hashlib as _hl
 
+    import numpy as _np
     import pyarrow as pa_mod
     import pyarrow.compute as pc_mod
 
-    from ocr_suite_ray.stages.contamination import eval_gram_ref, ngram_hit_counts
+    from ocr_suite_ray.stages.contamination import _word_ngrams, ngram_hit_counts
     from ocr_suite_ray.stages.relational import topk_per_group
+    from ocr_suite_ray.state.dupset import coalesce_reduce
     from ocr_suite_ray.stages.text_ops import (
+        _tokens,
         lang_id_batch,
         lm_scores,
         quality_score,
-        unigram_count_ref,
     )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def _is_eval(t: pa_mod.Table) -> pa_mod.Table:
-        return t.filter(pa_mod.array(t["doc_id"].to_numpy() % 50 == 0))
+    # fused artifact build: kind 0 = distinct eval 5-grams, kind 1 =
+    # corpus unigram counts — one corpus read instead of two
+    def _partial(t: pa_mod.Table) -> pa_mod.Table:
+        _nt, flat, _off = _tokens(t["text"])
+        vc = pc_mod.value_counts(flat)
+        kinds = [pa_mod.array(_np.ones(len(vc), _np.int32), pa_mod.int32())]
+        ss = [vc.field("values")]
+        ns = [pc_mod.cast(vc.field("counts"), pa_mod.int64())]
+        ev = t.filter(pa_mod.array(t["doc_id"].to_numpy() % 50 == 0))
+        if ev.num_rows:
+            _rows, grams = _word_ngrams(ev["text"], 5)
+            grams = pc_mod.unique(grams)
+            kinds.append(
+                pa_mod.array(_np.zeros(len(grams), _np.int32), pa_mod.int32())
+            )
+            ss.append(grams)
+            ns.append(pa_mod.array(_np.ones(len(grams), _np.int64), pa_mod.int64()))
+        return pa_mod.table(
+            {
+                "kind": pa_mod.concat_arrays([a.combine_chunks() if isinstance(a, pa_mod.ChunkedArray) else a for a in kinds]),
+                "s": pa_mod.concat_arrays([a.combine_chunks() if isinstance(a, pa_mod.ChunkedArray) else a for a in ss]),
+                "n": pa_mod.concat_arrays([a.combine_chunks() if isinstance(a, pa_mod.ChunkedArray) else a for a in ns]),
+            }
+        )
 
-    gram_ref = eval_gram_ref(ds.map_batches(_is_eval, batch_format="pyarrow"), "text", 5)
-    counts_ref = unigram_count_ref(ds, "text")
+    def _combine(t: pa_mod.Table) -> pa_mod.Table:
+        g = t.group_by(["kind", "s"]).aggregate([("n", "sum")])
+        return g.rename_columns(["kind", "s", "n"])
+
+    combined_ref = coalesce_reduce(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        _combine,
+        None,
+        materialize=False,
+    )
+
+    import ray as _ray
+
+    @_ray.remote
+    def _split_grams(t):
+        if t is None:
+            return None
+        g = t.filter(pc_mod.equal(t["kind"], 0)).select(["s"])
+        return g.rename_columns(["gram"]) if g.num_rows else None
+
+    @_ray.remote
+    def _split_counts(t):
+        if t is None:
+            return None
+        return t.filter(pc_mod.equal(t["kind"], 1)).select(["s", "n"]).rename_columns(
+            ["tok", "n"]
+        )
+
+    gram_ref = _split_grams.remote(combined_ref)
+    counts_ref = _split_counts.remote(combined_ref)
 
     def _enrich(t: pa_mod.Table) -> pa_mod.Table:
         t = t.filter(pa_mod.array(t["doc_id"].to_numpy() % 50 != 0))
