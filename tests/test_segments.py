@@ -154,3 +154,59 @@ def test_term_postings_empty_band(ray_session):
 
     ds = rd.from_items([{"doc_id": 1, "text": "a b"}])
     assert term_postings(ds, df_lo=5, df_hi=9).take_all() == []
+
+
+# --- property-based hardening (hypothesis) ---------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_token = st.text(
+    alphabet=st.characters(blacklist_characters=" ", blacklist_categories=("Cs",)),
+    min_size=0, max_size=5,
+)
+_text = st.lists(_token, min_size=0, max_size=30).map(lambda ws: " ".join(ws))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=8), st.integers(2, 5))
+def test_segment_roundtrip_property(texts, w):
+    """Segments tile the token list, so rejoining every segment with a
+    single space reconstructs the input byte-for-byte — for ANY text,
+    including empty tokens from runs of spaces and non-ASCII tokens."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = pa.array(texts, pa.string())
+    row_of, _within, segs = segment_table(arr, w)
+    keep = np.ones(len(row_of), dtype=bool)
+    joined, dropped = rejoin_segments(segs, row_of, keep, len(texts))
+    assert joined.to_pylist() == texts
+    assert dropped.sum() == 0
+
+
+def _dedup_within_ref(text, w):
+    toks = text.split(" ")
+    segs = [" ".join(toks[i : i + w]) for i in range(0, len(toks), w)]
+    seen, kept, dropped = set(), [], 0
+    for s in segs:
+        if s in seen:
+            dropped += 1
+        else:
+            seen.add(s)
+            kept.append(s)
+    return " ".join(kept), dropped
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=6), st.integers(2, 4))
+def test_segment_dedup_within_matches_pure_python(ray_session, texts, w):
+    import ray.data as rd
+
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    got = {r["doc_id"]: r for r in segment_dedup_within(ds, w=w).take_all()}
+    for i, t in enumerate(texts):
+        want_text, want_drop = _dedup_within_ref(t, w)
+        assert got[i]["text_dedup"] == want_text, (t, w)
+        assert got[i]["n_dropped"] == want_drop, (t, w)
