@@ -48,7 +48,12 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--out", required=True)
     pe.add_argument("--pool", type=int, default=8)
     pe.add_argument("--batch-size", type=int, default=64)
-    pe.add_argument("--wave-size", type=int, default=8)
+    pe.add_argument(
+        "--wave-size",
+        type=lambda s: s if s == "auto" else int(s),
+        default=8,
+        help="files committed per wave; 'auto' bounds wave count (~4)",
+    )
     pe.add_argument(
         "--debug-dump", action="store_true",
         help="side-dump raw payloads of error rows to OUT/debug/ for triage",

@@ -79,7 +79,14 @@ class ExtractConfig:
     # high core counts than sub-batch slicing (see BASELINE.md ablation).
     batch_size: int | None = None
     pool_size: int | tuple = 8       # extractor actor pool (concurrency)
-    wave_size: int = 8               # input partitions committed per wave
+    # input partitions (files) committed per wave. "auto" bounds the wave
+    # COUNT instead of the wave size (see _resolve_wave_size): every wave
+    # barrier pays a fixed pipeline-ramp cost (~2.5 s at 32 cpus, measured),
+    # so a fixed size that is right for 16 files is 16x too small for 256
+    # and 6000x too small for a 100 TB corpus. Resume granularity does NOT
+    # depend on wave size — unit completion markers checkpoint each
+    # (file, row_group) unit inside the running wave.
+    wave_size: int | str = 8
     dedup_strategy: str = "partial"
     split_pdf_pool: bool = False     # dedicated PDF pool (second input pass)
     pdf_pool_size: int = 2
@@ -366,6 +373,21 @@ def run_extract_phase(pages_dir: str, out_dir: str, cfg: ExtractConfig | None = 
         return _run_extract_phase_locked(pages_dir, out_dir, cfg)
 
 
+def _resolve_wave_size(wave_size: int | str, n_pending: int) -> int:
+    """``"auto"`` sizes waves to bound the wave COUNT at ~4 regardless of
+    corpus size (10M-page A/B in BASELINE.md: 16 waves → 4 waves cut wall
+    274 → 146 s; each barrier pays a fixed pipeline-ramp cost). The commit
+    barrier exists for atomic per-wave promotion, not resume granularity —
+    unit markers checkpoint (file, row_group) units inside a running wave —
+    so fewer, bigger waves lose nothing. Floor 32 keeps bench-sized corpora
+    (<= 32 files) single-wave."""
+    if wave_size == "auto":
+        return max(32, -(-n_pending // 4))
+    if not isinstance(wave_size, int) or wave_size < 1:
+        raise ValueError(f"wave_size must be a positive int or 'auto': {wave_size!r}")
+    return wave_size
+
+
 def _run_extract_phase_locked(
     pages_dir: str, out_dir: str, cfg: ExtractConfig | None = None
 ) -> dict:
@@ -410,8 +432,9 @@ def _run_extract_phase_locked(
         "commit_s": 0.0,
     }
     first_wave = True
-    for w0 in range(0, len(pending), cfg.wave_size):
-        wave = pending[w0 : w0 + cfg.wave_size]
+    wave_size = _resolve_wave_size(cfg.wave_size, len(pending))
+    for w0 in range(0, len(pending), wave_size):
+        wave = pending[w0 : w0 + wave_size]
         tmp_dir = os.path.join(out_dir, "_wave_tmp")
         done_units: dict = {}
         if os.path.isdir(tmp_dir):

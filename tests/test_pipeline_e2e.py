@@ -64,3 +64,25 @@ def test_final_has_no_duplicate_urls(ray_session, small_corpus, tmp_path):
     run_pipeline(pages_dir, out, ExtractConfig(wave_size=4, pool_size=2))
     urls = _load_final(out).column("url").to_pylist()
     assert len(urls) == len(set(urls))
+
+
+def test_pipeline_auto_wave_size(ray_session, small_corpus, golden, tmp_path):
+    """wave_size='auto' (bounded wave count) -> same bytes, one wave here."""
+    pages_dir, _ = small_corpus
+    out = str(tmp_path / "out4")
+    s = run_pipeline(pages_dir, out, ExtractConfig(wave_size="auto", pool_size=2))
+    assert s["waves"] == 1  # 4 files, floor 32 -> single wave
+    _assert_matches_golden(_load_final(out), golden)
+
+
+def test_resolve_wave_size():
+    from ocr_suite_ray.pipelines.extract import _resolve_wave_size
+
+    assert _resolve_wave_size(8, 256) == 8           # explicit int passes through
+    assert _resolve_wave_size("auto", 16) == 32      # small corpus: one wave
+    assert _resolve_wave_size("auto", 256) == 64     # 4 waves
+    assert _resolve_wave_size("auto", 100_000) == 25_000
+    with pytest.raises(ValueError):
+        _resolve_wave_size("huge", 10)
+    with pytest.raises(ValueError):
+        _resolve_wave_size(0, 10)
