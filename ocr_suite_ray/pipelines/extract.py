@@ -81,11 +81,13 @@ class ExtractConfig:
     pool_size: int | tuple = 8       # extractor actor pool (concurrency)
     # input partitions (files) committed per wave. "auto" bounds the wave
     # COUNT instead of the wave size (see _resolve_wave_size): every wave
-    # barrier pays a fixed pipeline-ramp cost (~2.5 s at 32 cpus, measured),
-    # so a fixed size that is right for 16 files is 16x too small for 256
-    # and 6000x too small for a 100 TB corpus. Resume granularity does NOT
-    # depend on wave size — unit completion markers checkpoint each
-    # (file, row_group) unit inside the running wave.
+    # barrier pays a fixed pipeline-ramp cost (~1.8 s at 32 cpus — warm
+    # 10M-page A/B in BASELINE.md: 16 waves 167.4 s vs 4 waves 145.6 s,
+    # identical output fingerprint), so a fixed size that is right for 16
+    # files is 16x too small for 256 and 6000x too small for a 100 TB
+    # corpus. Resume granularity does NOT depend on wave size — unit
+    # completion markers checkpoint each (file, row_group) unit inside the
+    # running wave.
     wave_size: int | str = 8
     dedup_strategy: str = "partial"
     split_pdf_pool: bool = False     # dedicated PDF pool (second input pass)
@@ -375,8 +377,8 @@ def run_extract_phase(pages_dir: str, out_dir: str, cfg: ExtractConfig | None = 
 
 def _resolve_wave_size(wave_size: int | str, n_pending: int) -> int:
     """``"auto"`` sizes waves to bound the wave COUNT at ~4 regardless of
-    corpus size (10M-page A/B in BASELINE.md: 16 waves → 4 waves cut wall
-    274 → 146 s; each barrier pays a fixed pipeline-ramp cost). The commit
+    corpus size (warm 10M-page A/B in BASELINE.md: 16 waves → 4 waves cut
+    wall 167.4 → 145.6 s; each barrier pays a fixed pipeline-ramp cost). The commit
     barrier exists for atomic per-wave promotion, not resume granularity —
     unit markers checkpoint (file, row_group) units inside a running wave —
     so fewer, bigger waves lose nothing. Floor 32 keeps bench-sized corpora
