@@ -123,7 +123,7 @@ def run_bench() -> dict:
     # ramps too slowly and leaves the cluster half idle (measured)
     cfg = ExtractConfig(
         pool_size=max(2, NUM_CPUS - max(1, NUM_CPUS // 8)),
-        wave_size=16,
+        wave_size="auto",
         num_partitions=max(16, NUM_CPUS),
     )
     t0 = time.monotonic()

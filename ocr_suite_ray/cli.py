@@ -51,7 +51,7 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument(
         "--wave-size",
         type=lambda s: s if s == "auto" else int(s),
-        default=8,
+        default="auto",
         help="files committed per wave; 'auto' bounds wave count (~4)",
     )
     pe.add_argument(

@@ -88,7 +88,7 @@ class ExtractConfig:
     # corpus. Resume granularity does NOT depend on wave size — unit
     # completion markers checkpoint each (file, row_group) unit inside the
     # running wave.
-    wave_size: int | str = 8
+    wave_size: int | str = "auto"
     dedup_strategy: str = "partial"
     split_pdf_pool: bool = False     # dedicated PDF pool (second input pass)
     pdf_pool_size: int = 2
