@@ -621,6 +621,24 @@ def q_approx_quantiles(sf_dir: str):
     )
 
 
+def q_count_distinct(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type — the exact twin of the
+    HLL sketch above, bounded by the dedup-before-shuffle combiner (the
+    exchange carries distinct (type,user) pairs, never raw events)."""
+    from ocr_suite_ray.stages.relational import count_distinct_by_group
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = count_distinct_by_group(ds, "event_type", "user_id", out_col="n_users")
+    return out.select_columns(["event_type", "n_users"])
+
+
+SQL_COUNT_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
 def q_region_revenue(sf_dir: str):
     """Four-table dimension chain (lineitem ⋈ supplier ⋈ nation ⋈ region):
     the dimension side is pre-joined driver-side and broadcast once;
@@ -868,6 +886,7 @@ RELATIONAL_QUERIES = {
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "approx_distinct_users": (q_approx_distinct, None),
     "approx_quantiles": (q_approx_quantiles, None),
+    "count_distinct_by_group": (q_count_distinct, SQL_COUNT_DISTINCT),
     "anti_join_blocklist": (q_anti_join_blocklist, SQL_ANTI_JOIN),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),

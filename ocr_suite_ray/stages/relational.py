@@ -380,3 +380,55 @@ def narrow_grouped_sum(
             return rd.from_arrow(empty_schema.empty_table())
         return rd.from_items([])
     return rd.from_arrow_refs([ref])
+
+
+def count_distinct_by_group(
+    ds,
+    group_col: str,
+    key_col: str,
+    out_col: str = "n_distinct",
+    num_buckets: int = 64,
+):
+    """Exact COUNT(DISTINCT key) per group — the dedup-before-shuffle shape.
+
+    1. Per-block combiner: collapse each block to its distinct
+       ``(group, key)`` pairs (one Arrow C hash-agg) — at web scale most
+       repetition is local (a user's events cluster in time), so the
+       exchange carries distinct-pairs-per-block, not raw rows.
+    2. ONE shuffle on ``hash(group) % num_buckets``: every group's surviving
+       pairs land in one task, which re-dedups across blocks and counts with
+       pandas' C ``nunique`` — per-group Python dispatch never happens, and
+       a bucket holds only its groups' DISTINCT pairs (size num_buckets so a
+       bucket's pair set fits a worker's heap; hot groups can additionally
+       salt on ``hash(key)`` and sum partial counts, not needed until a
+       single group's distinct-key set outgrows one worker).
+
+    Reference analogue: texts-per-frame grouped count
+    (src/viewer/results.cpp) generalized to distinct-count semantics.
+    """
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, key_col]).group_by([group_col, key_col]).aggregate([])
+        return t.rename_columns([group_col, key_col])
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["__gbucket"] = (
+            pd.util.hash_array(df[group_col].to_numpy()) % num_buckets
+        ).astype("int64")
+        return df
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates([group_col, key_col])
+            .groupby(group_col, sort=False)[key_col]
+            .size()
+            .reset_index(name=out_col)
+        )
+        return out
+
+    return (
+        ds.map_batches(_pairs, batch_format="pyarrow")
+        .map_batches(_tag, batch_format="pandas")
+        .groupby("__gbucket")
+        .map_groups(_count, batch_format="pandas")
+    )

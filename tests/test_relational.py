@@ -1,0 +1,73 @@
+"""count_distinct_by_group vs a pandas oracle, at several partitionings and
+group cardinalities (the bucket shuffle must be invariant to block layout)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_suite_ray.stages.relational import count_distinct_by_group
+
+
+def _oracle(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df.groupby("g")["k"].nunique().reset_index(name="n").sort_values("g").reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("nparts", [1, 4, 17])
+def test_count_distinct_partition_invariant(ray_session, nparts):
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], size=3000),
+            "k": rng.randint(0, 80, size=3000).astype("int64"),
+        }
+    )
+    got = (
+        count_distinct_by_group(rd.from_pandas(df).repartition(nparts), "g", "k", out_col="n")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _oracle(df))
+
+
+def test_count_distinct_many_groups_few_buckets(ray_session):
+    """More groups than buckets: buckets carry several groups each and the
+    within-bucket C groupby must still separate them."""
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "g": [f"g{i}" for i in rng.randint(0, 500, size=5000)],
+            "k": rng.randint(0, 40, size=5000).astype("int64"),
+        }
+    )
+    got = (
+        count_distinct_by_group(
+            rd.from_pandas(df).repartition(6), "g", "k", out_col="n", num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _oracle(df))
+
+
+def test_count_distinct_int_group_key(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"g": [1, 1, 2, 2, 2], "k": [9, 9, 9, 8, 7]})
+    got = (
+        count_distinct_by_group(rd.from_pandas(df), "g", "k", out_col="n")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got["n"].tolist() == [1, 3]
+    assert str(got["n"].dtype) == "int64"
