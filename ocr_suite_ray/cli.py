@@ -58,6 +58,11 @@ def main(argv: list[str] | None = None) -> int:
         "--debug-dump", action="store_true",
         help="side-dump raw payloads of error rows to OUT/debug/ for triage",
     )
+    pe.add_argument(
+        "--quarantine-bad-inputs", action="store_true",
+        help="skip unreadable input shards (footer probe) instead of failing; "
+        "paths land in OUT/quarantine.jsonl",
+    )
 
     ps = sub.add_parser("search", help="substring search over the final store")
     ps.add_argument("--out", required=True)
@@ -163,6 +168,7 @@ def main(argv: list[str] | None = None) -> int:
             cfg = ExtractConfig(
                 batch_size=a.batch_size, pool_size=a.pool, wave_size=a.wave_size,
                 debug_dump=a.debug_dump,
+                on_bad_input="quarantine" if a.quarantine_bad_inputs else "raise",
             )
             print(json.dumps(run_pipeline(a.pages, a.out, cfg)))
         elif a.cmd == "curate":

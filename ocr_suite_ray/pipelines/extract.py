@@ -103,6 +103,15 @@ class ExtractConfig:
     debug_dump: bool = False         # side-dump raw payloads of error rows
                                      # to out_dir/debug/ (bmp.cpp triage
                                      # analogue); fused waves only
+    # "raise" (default): a corrupt/unreadable input parquet fails the run
+    # fast. "quarantine": probe every file's footer + schema up front
+    # (parallel remote tasks) and EXCLUDE unreadable shards — at 100 TB a
+    # truncated upload must not kill a multi-hour job. Quarantined paths
+    # land in summary["quarantined"] and out_dir/quarantine.jsonl; they
+    # never enter lineage, so a later run picks up the fixed file
+    # automatically. Payload-level decode errors inside readable files are
+    # already per-row status="error:..." records either way.
+    on_bad_input: str = "raise"
 
 
 def list_pages_files(pages_dir: str) -> list[str]:
@@ -111,6 +120,44 @@ def list_pages_files(pages_dir: str) -> list[str]:
         for f in os.listdir(pages_dir)
         if f.endswith(".parquet")
     )
+
+
+def _probe_inputs(files: list[str], out_dir: str) -> tuple[list[str], list[dict]]:
+    """Parallel footer/schema probe: returns (readable files, quarantined
+    [{path, error}]). One metadata read per file, chunked into remote tasks
+    (64 files/task) so 100k-shard inputs stay one short scheduling round;
+    the probe reads only the parquet footer, never payload bytes."""
+    import ray
+
+    @ray.remote
+    def _probe_chunk(chunk: list[str]) -> list:
+        out = []
+        for path in chunk:
+            try:
+                md = pq.read_metadata(path)
+                names = set(md.schema.to_arrow_schema().names)
+                missing = [c for c in PAGES_COLUMNS if c not in names]
+                if missing:
+                    raise ValueError(f"missing columns {missing}")
+                out.append((path, None))
+            except Exception as exc:  # corrupt footer, truncation, schema
+                out.append((path, f"{type(exc).__name__}: {exc}"))
+        return out
+
+    chunks = [files[i : i + 64] for i in range(0, len(files), 64)]
+    results = [r for rs in ray.get([_probe_chunk.remote(c) for c in chunks]) for r in rs]
+    good = [p for p, err in results if err is None]
+    bad = [{"path": p, "error": err} for p, err in results if err is not None]
+    qpath = os.path.join(out_dir, "quarantine.jsonl")
+    if bad:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(qpath + ".tmp", "w") as fh:
+            for rec in bad:
+                fh.write(json.dumps(rec) + "\n")
+        os.replace(qpath + ".tmp", qpath)
+    elif os.path.exists(qpath):
+        os.remove(qpath)  # all previously-bad files fixed
+    return good, bad
 
 
 def _sniff_and_cluster(batch: pa.Table) -> pa.Table:
@@ -397,6 +444,16 @@ def _run_extract_phase_locked(
     files = list_pages_files(pages_dir)
     if not files:
         raise FileNotFoundError(f"no pages parquet under {pages_dir}")
+    quarantined: list[dict] = []
+    if cfg.on_bad_input == "quarantine":
+        files, quarantined = _probe_inputs(files, out_dir)
+        if not files:
+            raise FileNotFoundError(
+                f"all pages parquet under {pages_dir} quarantined: "
+                f"{[q['path'] for q in quarantined]}"
+            )
+    elif cfg.on_bad_input != "raise":
+        raise ValueError(f"on_bad_input must be 'raise' or 'quarantine': {cfg.on_bad_input!r}")
     extracted_dir = os.path.join(out_dir, "extracted")
     os.makedirs(extracted_dir, exist_ok=True)
     # global dup-url set first (url-column-only scan of the whole input);
@@ -433,6 +490,8 @@ def _run_extract_phase_locked(
         "waves_s": 0.0,
         "commit_s": 0.0,
     }
+    if quarantined:
+        summary["quarantined"] = quarantined
     first_wave = True
     wave_size = _resolve_wave_size(cfg.wave_size, len(pending))
     for w0 in range(0, len(pending), wave_size):
