@@ -1245,6 +1245,29 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 10
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Sample 50 documents with probability proportional to n_chars
+    (Efraimidis-Spirakis exponential race, md5-keyed so the draw is
+    reproducible at any parallelism) — the quality-weighted subsampling
+    primitive of curation recipes."""
+    from ocr_suite_ray.stages.contamination import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, "doc_id", "n_chars", k=50, seed="ws")
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id,
+       CAST(n_chars AS DOUBLE) AS n_chars,
+       -LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-ws'), 1, 8)) AS UBIGINT) + 0.5)
+           / 4294967296.0) / n_chars AS score
+FROM documents
+WHERE n_chars > 0
+ORDER BY score ASC, doc_id ASC
+LIMIT 50
+"""
+
+
 def q_group_quota(sf_dir: str):
     """Per-language running-character budget cap (keep docs in doc_id
     order while the language's cumulative n_chars stays <= 20000) — the
@@ -1520,6 +1543,7 @@ ML_QUERIES = {
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "term_postings": (q_term_postings, SQL_TERM_POSTINGS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "group_quota": (q_group_quota, SQL_GROUP_QUOTA),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "simhash_table": (q_simhash, SQL_SIMHASH),

@@ -211,3 +211,70 @@ def group_quota(
         return out
 
     return ds.groupby(group_col).map_groups(_cap, batch_format="pandas")
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, k: int, seed: str = "ws"):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, public): each row draws an exponential arrival time
+    ``score = -ln(u) / w`` with ``u`` derived from ``md5(id||seed)``, and
+    the k SMALLEST scores win — inclusion probability proportional to
+    weight, reproducible at any parallelism (no RNG state, the id hash IS
+    the randomness). Rows with ``w <= 0`` or null never sample.
+
+    Scale shape: per-block top-k combiner then a remote TREE merge
+    (``coalesce_reduce``) — the exchange never exceeds k rows per block and
+    the driver sees only the final k. The md5 is the one per-row Python
+    (DuckDB hash parity, same contract as ``stratified_sample``).
+
+    Returns a k-row Arrow table (id, weight, score ascending).
+    """
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    def _score(t: pa.Table) -> pa.Table:
+        w = t[weight_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        ok = np.isfinite(w) & (w > 0)
+        ids = t[id_col].to_pylist()
+        u = (
+            np.array(
+                [
+                    int(hashlib.md5(f"{d}-{seed}".encode()).hexdigest()[:8], 16)
+                    for d in ids
+                ],
+                dtype=np.float64,
+            )
+            + 0.5
+        ) / 4294967296.0
+        score = np.where(ok, -np.log(u) / np.where(ok, w, 1.0), np.inf)
+        keep = np.flatnonzero(ok)
+        t = pa.table(
+            {
+                id_col: t[id_col].combine_chunks().take(pa.array(keep, pa.int64())),
+                weight_col: pa.array(w[keep], pa.float64()),
+                "score": pa.array(score[keep], pa.float64()),
+            }
+        )
+        return _ksmallest(t)
+
+    def _ksmallest(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("score", "ascending"), (id_col, "ascending")]
+        )
+        return t.take(idx[:k])
+
+    out = coalesce_reduce(
+        ds.map_batches(_score, batch_format="pyarrow"),
+        _ksmallest,
+        lambda t: _ksmallest(t),
+        materialize=True,
+    )
+    if out is None:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                weight_col: pa.array([], pa.float64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    return out

@@ -335,3 +335,65 @@ def test_chunk_documents_matches_python_oracle(ray_session):
     c0 = got[(got.doc_id == 0) & (got.chunk_id == 0)].chunk_text.iloc[0].split(" ")
     c1 = got[(got.doc_id == 0) & (got.chunk_id == 1)].chunk_text.iloc[0].split(" ")
     assert c0[-1:] == c1[:1]
+
+
+def _ws_oracle(df: pd.DataFrame, id_col, w_col, k, seed="ws"):
+    import math
+
+    rows = []
+    for d, w in zip(df[id_col], df[w_col]):
+        if w is None or not (w > 0):
+            continue
+        h = int(hashlib.md5(f"{d}-{seed}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        rows.append((d, float(w), -math.log(u) / w))
+    rows.sort(key=lambda r: (r[2], r[0]))
+    return pd.DataFrame(rows[:k], columns=[id_col, w_col, "score"])
+
+
+@pytest.mark.parametrize("nparts", [1, 5, 13])
+def test_weighted_sample_matches_oracle_any_partitioning(ray_session, nparts):
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.contamination import weighted_sample
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(2000, dtype="int64"), "w": rng.randint(1, 1000, 2000).astype("int64")}
+    )
+    got = weighted_sample(
+        rd.from_pandas(df).repartition(nparts), "doc_id", "w", k=40
+    ).to_pandas()
+    want = _ws_oracle(df, "doc_id", "w", 40)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_weighted_sample_skips_nonpositive_and_prefers_heavy(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.contamination import weighted_sample
+
+    n = 1000
+    # 20 heavy rows (weight 10000) among 980 light ones (weight 1)
+    w = np.ones(n, dtype="int64")
+    w[:20] = 10_000
+    w[500] = 0
+    w[501] = -3
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"), "w": w})
+    got = weighted_sample(rd.from_pandas(df).repartition(4), "doc_id", "w", k=25).to_pandas()
+    assert not set(got["doc_id"]) & {500, 501}
+    # all 20 heavy rows should land in the top 25 with overwhelming probability
+    assert len(set(got["doc_id"]) & set(range(20))) >= 18
+    pd.testing.assert_frame_equal(got, _ws_oracle(df, "doc_id", "w", 25))
+
+
+def test_weighted_sample_k_exceeds_rows(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.contamination import weighted_sample
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "w": [5, 5, 5]})
+    got = weighted_sample(rd.from_pandas(df), "doc_id", "w", k=10).to_pandas()
+    assert len(got) == 3
