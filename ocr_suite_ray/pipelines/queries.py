@@ -531,6 +531,24 @@ FROM events
 """
 
 
+def q_group_zscore(sf_dir: str):
+    """Per-event-type standardization of value (sample std) — the
+    feature-normalization primitive; group stats tree-reduced then
+    broadcast, the value pass streams."""
+    from ocr_suite_ray.stages.windows import group_zscore
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return group_zscore(ds, "event_type", "value", out_col="z")
+
+
+SQL_GROUP_ZSCORE = """
+SELECT event_id, event_type, value,
+       (value - AVG(value) OVER (PARTITION BY event_type))
+         / STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS z
+FROM events
+"""
+
+
 def q_group_quantiles(sf_dir: str):
     """Exact p50/p95 of value per event_type (quantile_cont semantics)."""
     from ocr_suite_ray.stages.windows import group_quantiles
@@ -881,6 +899,7 @@ RELATIONAL_QUERIES = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "rolling_mean": (q_rolling_mean, SQL_ROLLING_MEAN),
+    "group_zscore": (q_group_zscore, SQL_GROUP_ZSCORE),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     "json_props": (q_json_props, SQL_JSON_PROPS),

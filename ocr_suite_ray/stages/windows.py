@@ -159,3 +159,78 @@ def sessionize(ds, key_col: str, ts_col: str, gap_s: float = 1800.0):
         ]
 
     return ds.groupby(key_col).map_groups(_sessions, batch_format="pandas")
+
+
+def group_zscore(ds, key_col: str, value_col: str, out_col: str = "z"):
+    """Per-group standardization ``z = (x - mean_g) / std_g`` (sample std,
+    ddof=1) — the feature-normalization primitive (per-language quality
+    scores, per-domain lengths).
+
+    Two narrow passes, zero sort-based shuffles:
+    1. per-block (group, n, sum, sumsq) partials via one Arrow C hash
+       aggregate, merged in a remote TREE (``coalesce_reduce``) — each
+       fan-in holds at most the distinct-group table;
+    2. the group-stat table (a few rows per group) is broadcast once
+       (``ray.put`` + per-worker ``cached_get``) and a streaming
+       ``map_batches`` pass computes z with a dictionary-encode + take —
+       no join, no per-row Python. Groups with n < 2 or zero variance get
+       null z (matches SQL's NULL stddev / division-by-zero semantics).
+    """
+    import numpy as np
+    import ray
+
+    from ocr_suite_ray.stages._bcast import cached_get
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = t[value_col].cast(pa.float64())
+        t2 = pa.table(
+            {
+                key_col: t[key_col],
+                "_n": pc.if_else(pc.is_valid(x), 1, 0).cast(pa.int64()),
+                "_s": pc.coalesce(x, pa.scalar(0.0)),
+                "_s2": pc.coalesce(pc.multiply(x, x), pa.scalar(0.0)),
+            }
+        )
+        g = t2.group_by(key_col).aggregate([("_n", "sum"), ("_s", "sum"), ("_s2", "sum")])
+        return g.rename_columns([key_col, "_n", "_s", "_s2"])
+
+    def _merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(key_col).aggregate([("_n", "sum"), ("_s", "sum"), ("_s2", "sum")])
+        return g.rename_columns([key_col, "_n", "_s", "_s2"])
+
+    stats_ref = coalesce_reduce(
+        ds.map_batches(_partial, batch_format="pyarrow"), _merge, None, materialize=False
+    )
+
+    def _z(t: pa.Table) -> pa.Table:
+        stats = cached_get(stats_ref)
+        n = stats["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = stats["_s"].to_numpy(zero_copy_only=False)
+        s2 = stats["_s2"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s / n
+            # sample variance: (sumsq - n*mean^2) / (n-1)
+            var = (s2 - n * mean * mean) / (n - 1.0)
+            var = np.where(var < 0, 0.0, var)  # fp cancellation guard
+            std = np.sqrt(var)
+        mean_by, std_by = {}, {}
+        for i, kv in enumerate(stats[key_col].to_pylist()):
+            mean_by[kv] = mean[i]
+            std_by[kv] = std[i] if n[i] >= 2 else np.nan
+        enc = t[key_col].combine_chunks().dictionary_encode()
+        m = np.array([mean_by.get(kv, np.nan) for kv in enc.dictionary.to_pylist()])
+        sd = np.array([std_by.get(kv, np.nan) for kv in enc.dictionary.to_pylist()])
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (x - m[codes]) / sd[codes]
+        z = np.where(sd[codes] == 0, np.nan, z)
+        return t.append_column(out_col, pa.array(z, pa.float64()))
+
+    if stats_ref is None:
+        return ds.map_batches(
+            lambda t: t.append_column(out_col, pa.nulls(t.num_rows, pa.float64())),
+            batch_format="pyarrow",
+        )
+    return ds.map_batches(_z, batch_format="pyarrow")

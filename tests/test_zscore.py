@@ -1,0 +1,74 @@
+"""group_zscore vs a pandas oracle: partition invariance + the null/degenerate
+semantics (singleton group, zero variance, null values)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ocr_suite_ray.stages.windows import group_zscore
+
+
+def _oracle(df: pd.DataFrame) -> pd.Series:
+    g = df.groupby("g")["x"]
+    return (df["x"] - g.transform("mean")) / g.transform("std")  # ddof=1
+
+
+@pytest.mark.parametrize("nparts", [1, 4, 11])
+def test_zscore_matches_pandas(ray_session, nparts):
+    import ray.data as rd
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {
+            "i": np.arange(3000, dtype="int64"),
+            "g": rng.choice(["a", "b", "c"], 3000),
+            "x": rng.uniform(0, 100, 3000),
+        }
+    )
+    got = (
+        group_zscore(rd.from_pandas(df).repartition(nparts), "g", "x")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(got["z"].to_numpy(), _oracle(df).to_numpy(), atol=1e-9)
+
+
+def test_zscore_degenerate_groups(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "i": [0, 1, 2, 3, 4, 5],
+            "g": ["solo", "flat", "flat", "ok", "ok", "ok"],
+            "x": [7.0, 5.0, 5.0, 1.0, 2.0, 3.0],
+        }
+    )
+    got = (
+        group_zscore(rd.from_pandas(df).repartition(2), "g", "x")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    assert np.isnan(got.loc[0, "z"])          # singleton group: std undefined
+    assert got.loc[1:2, "z"].isna().all()     # zero variance: division by zero -> null
+    np.testing.assert_allclose(got.loc[3:5, "z"].to_numpy(), [-1.0, 0.0, 1.0])
+
+
+def test_zscore_null_values_pass_through(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"i": [0, 1, 2], "g": ["a"] * 3, "x": [1.0, None, 3.0]})
+    got = (
+        group_zscore(rd.from_pandas(df), "g", "x")
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    assert np.isnan(got.loc[1, "z"])
+    # stats computed over the 2 non-null values
+    np.testing.assert_allclose(
+        got.loc[[0, 2], "z"].to_numpy(), [-0.7071067811865475, 0.7071067811865475]
+    )
