@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "dsir_weights",
     "shuffle_shards",
     "bm25_rank",
+    "count_distinct_by_group",
+    "weighted_sample",
+    "group_zscore",
 ]
 
 
