@@ -657,6 +657,51 @@ GROUP BY event_type
 """
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Two crawl snapshots derived deterministically from documents
+    (old = doc_id % 7 != 0, new = doc_id % 5 != 0, with every doc_id % 3
+    == 0 doc 'edited' in the new crawl) diffed by content fingerprint —
+    emits only the added/removed/changed keys."""
+    import numpy as np
+
+    from ocr_suite_ray.stages.relational import snapshot_diff
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    # numpy % (no pc.mod kernel in this pyarrow; doc_id is non-negative)
+
+    def _old(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 7 != 0))
+        return pa.table({"doc_id": t["doc_id"], "h": t["n_chars"]})
+
+    def _new(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 5 != 0))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = t["n_chars"].to_numpy(zero_copy_only=False) + (ids % 3 == 0)
+        return pa.table({"doc_id": t["doc_id"], "h": pa.array(h, pa.int64())})
+
+    old_ds = ds.map_batches(_old, batch_format="pyarrow")
+    new_ds = ds.map_batches(_new, batch_format="pyarrow")
+    return snapshot_diff(old_ds, new_ds, "doc_id", "h")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, n_chars AS h FROM documents WHERE doc_id % 7 <> 0
+), new AS (
+  SELECT doc_id, n_chars + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS h
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+"""
+
+
 def q_region_revenue(sf_dir: str):
     """Four-table dimension chain (lineitem ⋈ supplier ⋈ nation ⋈ region):
     the dimension side is pre-joined driver-side and broadcast once;
@@ -906,6 +951,7 @@ RELATIONAL_QUERIES = {
     "approx_distinct_users": (q_approx_distinct, None),
     "approx_quantiles": (q_approx_quantiles, None),
     "count_distinct_by_group": (q_count_distinct, SQL_COUNT_DISTINCT),
+    "snapshot_diff": (q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "anti_join_blocklist": (q_anti_join_blocklist, SQL_ANTI_JOIN),
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),

@@ -432,3 +432,69 @@ def count_distinct_by_group(
         .groupby("__gbucket")
         .map_groups(_count, batch_format="pandas")
     )
+
+
+def snapshot_diff(old_ds, new_ds, key_col: str, hash_col: str, num_buckets: int = 64):
+    """Diff two crawl snapshots by key: emit ``(key, change)`` with change in
+    ``added`` (key only in new), ``removed`` (only in old), ``changed`` (in
+    both, content fingerprint differs) — unchanged keys are filtered out, so
+    the result is incremental-crawl sized, not corpus sized.
+
+    Keys are assumed unique within each snapshot (one row per url — the
+    flagship's final-store invariant). The caller supplies the content
+    fingerprint column (``fingerprint_md5``/``n_chars``/etc.).
+
+    Scale shape: both sides narrow to ``(key, hash, side)`` at the read
+    (columns pruned, payloads never move), then ONE shuffle on
+    ``hash(key) % num_buckets`` co-locates each key's <= 2 rows; within a
+    bucket a pandas index join classifies in C. The exchange carries two
+    thin columns per row, never document bodies.
+
+    Reference analogue: the watcher's changed-file re-trigger
+    (``tools/ocs-watcher/src/ocsw/watcher.py:10-29``) lifted from file
+    granularity to per-document content diffs.
+    """
+    import numpy as np
+
+    def _narrow(side: int):
+        def _m(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    hash_col: t[hash_col],
+                    "_side": pa.array(np.full(t.num_rows, side, dtype=np.int64)),
+                }
+            )
+
+        return _m
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["__dbucket"] = (
+            pd.util.hash_array(df[key_col].to_numpy()) % num_buckets
+        ).astype("int64")
+        return df
+
+    def _classify(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["_side"] == 0].set_index(key_col)[hash_col].rename("h_old")
+        new = g[g["_side"] == 1].set_index(key_col)[hash_col].rename("h_new")
+        j = old.to_frame().join(new.to_frame(), how="outer")
+        change = np.where(
+            j["h_old"].isna(),
+            "added",
+            np.where(
+                j["h_new"].isna(),
+                "removed",
+                np.where(j["h_old"] != j["h_new"], "changed", "same"),
+            ),
+        )
+        out = pd.DataFrame({key_col: j.index.to_numpy(), "change": change})
+        return out[out["change"] != "same"]
+
+    both = old_ds.map_batches(_narrow(0), batch_format="pyarrow").union(
+        new_ds.map_batches(_narrow(1), batch_format="pyarrow")
+    )
+    return (
+        both.map_batches(_tag, batch_format="pandas")
+        .groupby("__dbucket")
+        .map_groups(_classify, batch_format="pandas")
+    )

@@ -71,3 +71,53 @@ def test_count_distinct_int_group_key(ray_session):
     )
     assert got["n"].tolist() == [1, 3]
     assert str(got["n"].dtype) == "int64"
+
+
+def _sd_oracle(old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+    j = (
+        old.set_index("k")["h"].rename("h_old").to_frame()
+        .join(new.set_index("k")["h"].rename("h_new").to_frame(), how="outer")
+    )
+    rows = []
+    for k, r in j.iterrows():
+        if pd.isna(r["h_old"]):
+            rows.append((k, "added"))
+        elif pd.isna(r["h_new"]):
+            rows.append((k, "removed"))
+        elif r["h_old"] != r["h_new"]:
+            rows.append((k, "changed"))
+    return pd.DataFrame(rows, columns=["k", "change"]).sort_values("k").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_snapshot_diff_matches_oracle(ray_session, nparts):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.relational import snapshot_diff
+
+    rng = np.random.RandomState(3)
+    old = pd.DataFrame({"k": np.arange(0, 900, dtype="int64"), "h": rng.randint(0, 5, 900).astype("int64")})
+    new = pd.DataFrame({"k": np.arange(300, 1200, dtype="int64"), "h": rng.randint(0, 5, 900).astype("int64")})
+    got = (
+        snapshot_diff(
+            rd.from_pandas(old).repartition(nparts),
+            rd.from_pandas(new).repartition(max(1, nparts - 2)),
+            "k",
+            "h",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+        .astype({"k": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, _sd_oracle(old, new))
+
+
+def test_snapshot_diff_identical_snapshots_empty(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.relational import snapshot_diff
+
+    df = pd.DataFrame({"k": [1, 2, 3], "h": ["a", "b", "c"]})
+    got = snapshot_diff(rd.from_pandas(df), rd.from_pandas(df.copy()), "k", "h").to_pandas()
+    assert len(got) == 0
