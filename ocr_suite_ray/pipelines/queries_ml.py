@@ -1268,6 +1268,32 @@ LIMIT 50
 """
 
 
+def q_temperature_resample(sf_dir: str):
+    """Rebalance the documents corpus across languages with alpha=0.5
+    temperature sampling (mT5/XLM-R rule): high-resource languages are
+    downsampled toward sqrt-proportional shares, target 4000 docs."""
+    from ocr_suite_ray.stages.contamination import temperature_resample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return temperature_resample(ds, "lang", "doc_id", target_total=4000)
+
+
+SQL_TEMPERATURE_RESAMPLE = """
+WITH n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+     z AS (SELECT SUM(SQRT(cnt)) AS s FROM n),
+     thr AS (
+       SELECT lang,
+              CAST(FLOOR(10000 * LEAST(4000 * SQRT(cnt) / z.s, cnt) / cnt)
+                   AS BIGINT) AS t
+       FROM n, z
+     )
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      % 10000 < thr.t
+"""
+
+
 def q_group_quota(sf_dir: str):
     """Per-language running-character budget cap (keep docs in doc_id
     order while the language's cumulative n_chars stays <= 20000) — the
@@ -1544,6 +1570,7 @@ ML_QUERIES = {
     "term_postings": (q_term_postings, SQL_TERM_POSTINGS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "temperature_resample": (q_temperature_resample, SQL_TEMPERATURE_RESAMPLE),
     "group_quota": (q_group_quota, SQL_GROUP_QUOTA),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "simhash_table": (q_simhash, SQL_SIMHASH),

@@ -278,3 +278,58 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int, seed: str = "ws"):
             }
         )
     return out
+
+
+def temperature_resample(
+    ds,
+    group_col: str,
+    id_col: str,
+    target_total: int,
+    mod: int = 10000,
+):
+    """Temperature-based corpus rebalancing (the multilingual sampling rule
+    of mT5/XLM-R, public: sample group i with probability proportional to
+    ``n_i^alpha``) at alpha = 0.5. sqrt (not a general pow) is used because
+    IEEE 754 requires it correctly rounded — the engine's numpy and the SQL
+    oracle's DuckDB compute bit-identical thresholds from the same counts.
+
+    Two narrow steps, no shuffle:
+    1. per-group counts: per-block Arrow hash-agg partials merged in a
+       remote tree — the driver receives one (group, n) row per group;
+    2. per-group keep fractions ``floor(mod * min(target*sqrt(n_i)/Z, n_i)
+       / n_i)`` feed the deterministic md5-mod filter of
+       ``stratified_sample`` — one streaming pass, reproducible at any
+       parallelism. Groups can only be downsampled (never upsampled), so
+       the realized total is <= target_total.
+    """
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([group_col])
+            .append_column("_n", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+            .group_by(group_col)
+            .aggregate([("_n", "sum")])
+        )
+        return g.rename_columns([group_col, "_n"])
+
+    def _merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(group_col).aggregate([("_n", "sum")])
+        return g.rename_columns([group_col, "_n"])
+
+    counts = coalesce_reduce(
+        ds.map_batches(_cnt, batch_format="pyarrow"), _merge, None, materialize=True
+    )
+    if counts is None or counts.num_rows == 0:
+        return ds.filter(lambda row: False)
+    # sort by group so the float sum below is independent of tree-merge order
+    import pyarrow.compute as pc
+
+    counts = counts.take(pc.sort_indices(counts, sort_keys=[(group_col, "ascending")]))
+    groups = counts[group_col].to_pylist()
+    n = counts["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    z = float(np.sqrt(n).sum())
+    keep = np.minimum(target_total * np.sqrt(n) / z, n)
+    frac = np.floor(mod * keep / n).astype(np.int64)
+    fractions = {g: int(f) for g, f in zip(groups, frac)}
+    return stratified_sample(ds, group_col, id_col, fractions, default_e4=0, mod=mod)

@@ -397,3 +397,54 @@ def test_weighted_sample_k_exceeds_rows(ray_session):
     df = pd.DataFrame({"doc_id": [1, 2, 3], "w": [5, 5, 5]})
     got = weighted_sample(rd.from_pandas(df), "doc_id", "w", k=10).to_pandas()
     assert len(got) == 3
+
+
+@pytest.mark.parametrize("nparts", [1, 6])
+def test_temperature_resample_matches_python(ray_session, nparts):
+    """Exact python twin of the alpha=0.5 rule + the md5 filter, any
+    partitioning; realized per-group shares track sqrt-proportional targets."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.contamination import temperature_resample
+
+    rng = np.random.RandomState(13)
+    langs = ["en"] * 6000 + ["de"] * 2000 + ["fr"] * 500 + ["sw"] * 100
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(langs), dtype="int64"), "lang": langs}
+    ).sample(frac=1.0, random_state=rng).reset_index(drop=True)
+    target = 3000
+    got = (
+        temperature_resample(
+            rd.from_pandas(df).repartition(nparts), "lang", "doc_id", target_total=target
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # python twin
+    n = df.groupby("lang").size()
+    order = sorted(n.index)
+    z = float(np.sum([math.sqrt(n[g]) for g in order]))
+    thr = {g: int(math.floor(10000 * min(target * math.sqrt(n[g]) / z, n[g]) / n[g])) for g in order}
+    keep = [
+        int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 10000 < thr[g]
+        for d, g in zip(df["doc_id"], df["lang"])
+    ]
+    want = df[keep].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # direction: the rare language keeps a larger FRACTION than the big one
+    got_n = got.groupby("lang").size()
+    assert got_n["sw"] / n["sw"] > got_n["en"] / n["en"]
+    # groups are never upsampled and the realized total respects the target
+    assert len(got) <= target
+
+
+def test_temperature_resample_empty(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.contamination import temperature_resample
+
+    df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "lang": pd.Series([], dtype="object")})
+    got = temperature_resample(rd.from_pandas(df), "lang", "doc_id", 100)
+    assert got.count() == 0
