@@ -549,6 +549,26 @@ FROM events
 """
 
 
+def q_percentile_gate(sf_dir: str):
+    """Keep documents whose n_chars sits inside the corpus's [p5, p95]
+    discrete-percentile band — the extreme-length outlier gate."""
+    from ocr_suite_ray.stages.windows import percentile_gate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return percentile_gate(ds, "n_chars", 0.05, 0.95)
+
+
+SQL_PERCENTILE_GATE = """
+WITH q AS (
+  SELECT quantile_disc(n_chars, 0.05) AS lo, quantile_disc(n_chars, 0.95) AS hi
+  FROM documents
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d, q
+WHERE d.n_chars BETWEEN q.lo AND q.hi
+"""
+
+
 def q_group_quantiles(sf_dir: str):
     """Exact p50/p95 of value per event_type (quantile_cont semantics)."""
     from ocr_suite_ray.stages.windows import group_quantiles
@@ -945,6 +965,7 @@ RELATIONAL_QUERIES = {
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "rolling_mean": (q_rolling_mean, SQL_ROLLING_MEAN),
     "group_zscore": (q_group_zscore, SQL_GROUP_ZSCORE),
+    "percentile_gate": (q_percentile_gate, SQL_PERCENTILE_GATE),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     "json_props": (q_json_props, SQL_JSON_PROPS),

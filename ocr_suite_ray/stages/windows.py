@@ -234,3 +234,61 @@ def group_zscore(ds, key_col: str, value_col: str, out_col: str = "z"):
             batch_format="pyarrow",
         )
     return ds.map_batches(_z, batch_format="pyarrow")
+
+
+def percentile_gate(ds, col: str, lo_p: float = 0.05, hi_p: float = 0.95):
+    """Drop rows outside the corpus's [lo_p, hi_p] percentile band of
+    ``col`` — the extreme-length outlier gate of quality pipelines.
+
+    Thresholds use DISCRETE percentiles (actual data values, DuckDB
+    ``quantile_disc`` rank rule: 1-based rank ``ceil(p*n)``), so the gate
+    comparisons are exact — no float-interpolation boundary ambiguity.
+
+    Exact without a global sort: per-block ``(value, count)`` partials via
+    one Arrow hash aggregate merge in a remote TREE; the driver receives
+    only the distinct-value histogram (bounded by the column's distinct
+    cardinality — lengths/scores, not keys; corpus-cardinality columns
+    should gate on a bucketized proxy instead). The filter pass streams.
+    """
+    import math
+
+    import numpy as np
+
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    def _hist(t: pa.Table) -> pa.Table:
+        x = t.select([col]).drop_null()
+        g = (
+            x.append_column("_c", pa.array(np.ones(x.num_rows, dtype=np.int64)))
+            .group_by(col)
+            .aggregate([("_c", "sum")])
+        )
+        return g.rename_columns([col, "_c"])
+
+    def _merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(col).aggregate([("_c", "sum")])
+        return g.rename_columns([col, "_c"])
+
+    hist = coalesce_reduce(
+        ds.map_batches(_hist, batch_format="pyarrow"), _merge, None, materialize=True
+    )
+    if hist is None or hist.num_rows == 0:
+        return ds.filter(lambda row: False)
+    hist = hist.take(pc.sort_indices(hist, sort_keys=[(col, "ascending")]))
+    cnt = hist["_c"].to_numpy(zero_copy_only=False)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+
+    def _disc(p: float):
+        rank = max(1, math.ceil(p * n))  # 1-based, DuckDB quantile_disc
+        i = int(np.searchsorted(cum, rank, side="left"))
+        return hist[col][i].as_py()
+
+    lo_v, hi_v = _disc(lo_p), _disc(hi_p)
+
+    def _gate(t: pa.Table) -> pa.Table:
+        x = t[col]
+        keep = pc.and_(pc.greater_equal(x, lo_v), pc.less_equal(x, hi_v))
+        return t.filter(keep)
+
+    return ds.map_batches(_gate, batch_format="pyarrow")

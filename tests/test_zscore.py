@@ -72,3 +72,38 @@ def test_zscore_null_values_pass_through(ray_session):
     np.testing.assert_allclose(
         got.loc[[0, 2], "z"].to_numpy(), [-0.7071067811865475, 0.7071067811865475]
     )
+
+
+@pytest.mark.parametrize("nparts", [1, 5])
+def test_percentile_gate_matches_duckdb_rule(ray_session, nparts):
+    import duckdb
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.windows import percentile_gate
+
+    rng = np.random.RandomState(21)
+    df = pd.DataFrame(
+        {"i": np.arange(4000, dtype="int64"), "x": rng.randint(0, 300, 4000).astype("int64")}
+    )
+    got = (
+        percentile_gate(rd.from_pandas(df).repartition(nparts), "x", 0.05, 0.95)
+        .to_pandas().sort_values("i").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "WITH q AS (SELECT quantile_disc(x,0.05) lo, quantile_disc(x,0.95) hi FROM t) "
+        "SELECT i, x FROM t, q WHERE x BETWEEN q.lo AND q.hi ORDER BY i"
+    ).fetchdf().astype({"i": "int64", "x": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_percentile_gate_nulls_dropped(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.windows import percentile_gate
+
+    df = pd.DataFrame({"i": range(6), "x": pd.array([1, 2, None, 3, 4, 100], dtype="Int64")})
+    got = percentile_gate(rd.from_pandas(df), "x", 0.2, 0.8).to_pandas()
+    assert not got["x"].isna().any()
+    assert 100 not in got["x"].tolist()
