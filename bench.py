@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "count_distinct_by_group",
     "weighted_sample",
     "group_zscore",
+    "snapshot_diff",
+    "temperature_resample",
+    "percentile_gate",
 ]
 
 
