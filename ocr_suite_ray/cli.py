@@ -111,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--src", required=True, help="directory of *.jsonl dumps")
     pi.add_argument("--pages", required=True)
 
+    px = sub.add_parser("export", help="export a parquet store to JSONL shards")
+    px.add_argument("--src", required=True, help="directory of *.parquet")
+    px.add_argument("--dst", required=True, help="output directory for *.jsonl")
+    px.add_argument("--gzip", action="store_true", help="write .jsonl.gz")
+
     pg = sub.add_parser("gen", help="generate a synthetic pages corpus")
     pg.add_argument("--pages", required=True)
     pg.add_argument("--n-pages", type=int, default=10_000)
@@ -157,6 +162,11 @@ def main(argv: list[str] | None = None) -> int:
 
             written = ingest_jsonl(a.src, a.pages)
             print(json.dumps({"files": len(written), "dir": a.pages}))
+        elif a.cmd == "export":
+            from ocr_suite_ray.sources.ingest import export_jsonl
+
+            written = export_jsonl(a.src, a.dst, gzip_output=a.gzip)
+            print(json.dumps({"files": len(written), "dir": a.dst}))
         elif a.cmd == "gen":
             from ocr_suite_ray.sources.synthetic import generate_corpus
 

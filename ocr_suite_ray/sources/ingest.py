@@ -86,3 +86,73 @@ def ingest_jsonl(src_dir: str, pages_dir: str, row_group_size: int = 4096) -> li
             _one.remote(s, d, row_group_size) for s, d in zip(src_files, outs)
         ])
     )
+
+
+def export_jsonl(src_dir: str, dst_dir: str, gzip_output: bool = False) -> list[str]:
+    """Inverse of :func:`ingest_jsonl`: every ``*.parquet`` under ``src_dir``
+    becomes one ``.jsonl`` (optionally ``.jsonl.gz``) under ``dst_dir`` —
+    the interchange export for training stacks that consume JSONL.
+
+    Encoding rules (chosen so ``export → ingest`` roundtrips byte-identical
+    pages): ``binary`` columns serialize as base64 under ``<name>_b64``;
+    ``timestamp`` columns as epoch microseconds (int); nested list/struct
+    columns as plain JSON. One remote task per input file (1:1 mapping,
+    deterministic names, tmp+rename idempotency), same contract as ingest.
+    The JSON serialization is per-row Python — export, like ingest, is a
+    one-time I/O-bound landing pass, never on the query hot path.
+    """
+    import ray
+
+    src_files = sorted(
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+    if not src_files:
+        raise FileNotFoundError(f"no .parquet files under {src_dir}")
+    os.makedirs(dst_dir, exist_ok=True)
+
+    @ray.remote
+    def _one(src: str, dst: str, gz: bool) -> str:
+        import gzip as gzip_mod
+        import json
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src)
+        cols = {}
+        for name in t.column_names:
+            col = t[name]
+            if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+                cols[name + "_b64"] = [
+                    base64.b64encode(v).decode() if v is not None else None
+                    for v in col.to_pylist()
+                ]
+            elif pa.types.is_timestamp(col.type):
+                # normalize to us first: epoch micros regardless of unit
+                cols[name] = pc.cast(
+                    pc.cast(col, pa.timestamp("us")), pa.int64()
+                ).to_pylist()
+            else:
+                cols[name] = col.to_pylist()
+        names = list(cols)
+        tmp = dst + f".tmp{os.getpid()}"
+        opener = (lambda p: gzip_mod.open(p, "wt")) if gz else (lambda p: open(p, "w"))
+        with opener(tmp) as fh:
+            for row in zip(*cols.values()):
+                fh.write(json.dumps(dict(zip(names, row)), separators=(",", ":")) + "\n")
+        os.replace(tmp, dst)
+        return dst
+
+    ext = ".jsonl.gz" if gzip_output else ".jsonl"
+    outs = [
+        os.path.join(
+            dst_dir, os.path.splitext(os.path.basename(s))[0] + ext
+        )
+        for s in src_files
+    ]
+    return list(
+        ray.get([_one.remote(s, d, gzip_output) for s, d in zip(src_files, outs)])
+    )

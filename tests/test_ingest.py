@@ -7,6 +7,7 @@ import json
 import os
 
 import pyarrow.dataset as pads
+import pytest
 import pyarrow.parquet as pq
 
 from ocr_suite_ray.pipelines.extract import ExtractConfig, run_pipeline
@@ -53,3 +54,58 @@ def test_ingest_jsonl_roundtrip_and_pipeline_parity(
     # warc_ts differs by sub-second truncation; text/urls/spans must match
     for col in ("url", "text", "spans", "n_blocks_kept", "status"):
         assert a[col].to_pylist() == b[col].to_pylist(), col
+
+
+def test_export_then_ingest_roundtrips_pages(ray_session, tmp_path):
+    """pages -> export_jsonl -> ingest_jsonl -> byte-identical pages."""
+    import pyarrow.parquet as pq
+
+    from ocr_suite_ray.sources.ingest import export_jsonl, ingest_jsonl
+    from ocr_suite_ray.sources.synthetic import generate_corpus
+
+    pages = str(tmp_path / "pages")
+    files = generate_corpus(pages, 200, seed=7, n_files=3)
+    out = export_jsonl(pages, str(tmp_path / "jsonl"))
+    assert len(out) == 3 and all(p.endswith(".jsonl") for p in out)
+    back = ingest_jsonl(str(tmp_path / "jsonl"), str(tmp_path / "pages2"))
+    # ingest lands the engine's pages schema (url, warc_ts, html); the
+    # synthetic corpus carries extra input_hint columns (text, lang) that
+    # export preserves but ingest intentionally drops
+    for orig, rt in zip(files, back):
+        a, b = pq.read_table(orig, columns=["url", "warc_ts", "html"]), pq.read_table(rt)
+        assert b.select(a.column_names).equals(a)
+
+
+def test_export_jsonl_gzip_and_final_store(ray_session, small_corpus, tmp_path):
+    """gzip output; nested/list + timestamp columns of the FINAL store
+    serialize to valid JSON lines."""
+    import gzip
+    import json as json_mod
+
+    from ocr_suite_ray.pipelines.extract import ExtractConfig, run_pipeline
+    from ocr_suite_ray.sources.ingest import export_jsonl
+
+    pages_dir, _ = small_corpus
+    out = str(tmp_path / "out")
+    run_pipeline(pages_dir, out, ExtractConfig(pool_size=2))
+    shards = export_jsonl(out + "/final", str(tmp_path / "jd"), gzip_output=True)
+    assert shards and all(p.endswith(".jsonl.gz") for p in shards)
+    n = 0
+    for p in shards:
+        with gzip.open(p, "rt") as fh:
+            for line in fh:
+                rec = json_mod.loads(line)
+                assert rec["url"].startswith("https://")
+                assert isinstance(rec["warc_ts"], int)
+                assert isinstance(rec["spans"], list)
+                n += 1
+    assert n == 300  # one record per distinct url
+
+
+def test_export_jsonl_empty_dir_raises(ray_session, tmp_path):
+    from ocr_suite_ray.sources.ingest import export_jsonl
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(FileNotFoundError):
+        export_jsonl(str(d), str(tmp_path / "o"))
