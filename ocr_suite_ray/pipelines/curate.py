@@ -22,6 +22,7 @@ import hashlib
 import os
 
 
+
 def run_curation(
     final_dir: str,
     out_dir: str,
@@ -29,20 +30,42 @@ def run_curation(
     sample_e4: int | None = None,
     n_buckets: int = 16,
 ) -> dict:
-    """Returns a summary dict: rows in/out per gate. Streaming end-to-end:
-    one enrichment pass (broadcast vocab table), one keyed top-1 reduce,
-    one partitioned write."""
+    """Returns a summary dict: rows out + output dir.
+
+    100-TB shape — ZERO corpus shuffles (rewritten after a 10M-doc run
+    showed the previous keyed top-1 reduce pushing the full text corpus
+    through a sort exchange, BASELINE.md round-3 section):
+
+    1. ONE fused narrow pass over the ok rows builds BOTH broadcast
+       artifacts (the curation_v2 fusion pattern): per-block partials
+       tagged by kind — kind 1 = unigram counts for the LM, kind 0 = per
+       text-hash (count, min url) — merge in a remote TREE, and a worker
+       task splits the root into (a) the dup-winner table (hashes with
+       count > 1 only, so it is DUP-RATE bound, the flagship dup-set
+       contract) and (b) the vocab count table. Text payloads never leave
+       their read tasks.
+    2. ONE enrichment + filter + write pass: quality, LM score, text hash
+       per batch; keep a row iff quality passes AND (its text is unique OR
+       this url IS the winner). Exact dedup (keep lexicographically-first
+       url per distinct text) holds because quality is a pure function of
+       text — every copy of a text gates identically. The optional
+       ``sample_e4`` url-hash subsample applies after dedup.
+
+    The write lands in a staging directory renamed over the previous
+    output (atomic re-run).
+    """
+    import hashlib as _hl
+
     import numpy as np
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray
     import ray.data as rd
 
-    from ocr_suite_ray.stages.relational import topk_per_group
-    from ocr_suite_ray.stages.text_ops import (
-        lm_scores,
-        quality_score,
-        unigram_count_ref,
-    )
+    from ocr_suite_ray.stages._bcast import cached_get
+    from ocr_suite_ray.stages.text_ops import _tokens, lm_scores, quality_score
+    from ocr_suite_ray.state.dupset import coalesce_reduce
 
     ds = rd.read_parquet(final_dir, columns=["url", "text", "status"])
 
@@ -50,61 +73,140 @@ def run_curation(
         return t.filter(pc.equal(t["status"], "ok"))
 
     ok = ds.map_batches(_ok, batch_format="pyarrow")
-    counts_ref = unigram_count_ref(ok, "text")
 
-    def _enrich(t: pa.Table) -> pa.Table:
+    # ---- pass 1 (fused artifacts): kind 0 = (text_hash, n, min url),
+    # kind 1 = (token, count, "") ------------------------------------
+    def _partial(t: pa.Table) -> pa.Table:
         if not len(t):
             return pa.table(
                 {
-                    "url": pa.array([], pa.string()),
-                    "text": pa.array([], pa.large_string()),
-                    "quality": pa.array([], pa.int64()),
-                    "lm_score_e4": pa.array([], pa.int64()),
-                    "text_hash": pa.array([], pa.string()),
-                    "bucket": pa.array([], pa.int32()),
+                    "kind": pa.array([], pa.int32()),
+                    "s": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "u": pa.array([], pa.string()),
                 }
             )
-        # quality_score expects a doc_id column; feed a dummy (it is only
-        # echoed through, we keep our own keys)
+        _nt, flat, _off = _tokens(t["text"])
+        vc = pc.value_counts(flat)
+        texts = t["text"].to_pylist()
+        th = [_hl.md5(x.encode()).hexdigest() for x in texts]
+        g = (
+            pd.DataFrame({"s": th, "u": t["url"].to_pylist()})
+            .groupby("s", as_index=False)
+            .agg(n=("u", "size"), u=("u", "min"))
+        )
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(g), np.int32), np.ones(len(vc), np.int32)]
+                    ),
+                    pa.int32(),
+                ),
+                "s": pa.concat_arrays(
+                    [
+                        pa.array(g["s"], pa.string()),
+                        vc.field("values").cast(pa.string()),
+                    ]
+                ),
+                "n": pa.concat_arrays(
+                    [
+                        pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+                        vc.field("counts").cast(pa.int64()),
+                    ]
+                ),
+                "u": pa.concat_arrays(
+                    [pa.array(g["u"], pa.string()), pa.array([""] * len(vc))]
+                ),
+            }
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["kind", "s"]).aggregate([("n", "sum"), ("u", "min")])
+        return g.rename_columns(["kind", "s", "n", "u"])
+
+    combined_ref = coalesce_reduce(
+        ok.map_batches(_partial, batch_format="pyarrow"),
+        _merge,
+        None,
+        materialize=False,
+    )
+
+    @ray.remote
+    def _split_dups(t):
+        if t is None:
+            return None
+        d = t.filter(pc.and_(pc.equal(t["kind"], 0), pc.greater(t["n"], 1)))
+        return d.select(["s", "u"]) if d.num_rows else None
+
+    @ray.remote
+    def _split_counts(t):
+        if t is None:
+            return None
+        return t.filter(pc.equal(t["kind"], 1)).select(["s", "n"]).rename_columns(
+            ["tok", "n"]
+        )
+
+    dup_ref = _split_dups.remote(combined_ref) if combined_ref is not None else None
+    counts_ref = (
+        _split_counts.remote(combined_ref) if combined_ref is not None else None
+    )
+
+    # ---- pass 2: enrich + gate + dedup-filter + write ----------------
+    def _final(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "text": pa.array([], pa.large_string()),
+                "quality": pa.array([], pa.int64()),
+                "lm_score_e4": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32()),
+            }
+        )
+        if not len(t):
+            return empty
         q = quality_score(
             t.append_column("doc_id", pa.array(np.arange(len(t)), pa.int64()))
         )
         lm = lm_scores(t["text"], counts_ref)
         texts = t["text"].to_pylist()
-        th = [hashlib.md5(x.encode()).hexdigest() for x in texts]
-        bucket = np.array(
-            [int(h[:8], 16) % n_buckets for h in th], dtype=np.int32
-        )
+        th = [_hl.md5(x.encode()).hexdigest() for x in texts]
+        urls = np.asarray(t["url"].to_pylist(), dtype=object)
+        dup = cached_get(dup_ref) if dup_ref is not None else None
+        if dup is not None:
+            w = pd.Series(dup["u"].to_pylist(), index=dup["s"].to_pylist())
+            wu = w.reindex(th).to_numpy()
+            keep_dup = pd.isna(wu) | (wu == urls)
+        else:
+            keep_dup = np.ones(len(t), dtype=bool)
+        bucket = np.array([int(h[:8], 16) % n_buckets for h in th], dtype=np.int32)
         out = pa.table(
             {
                 "url": pc.cast(t["url"], pa.string()),
                 "text": t["text"],
                 "quality": q["quality"],
                 "lm_score_e4": pa.array(lm, pa.int64()),
-                "text_hash": pa.array(th, pa.string()),
                 "bucket": pa.array(bucket, pa.int32()),
             }
         )
-        mask = pc.greater_equal(out["quality"], quality_min)
+        mask = pc.and_(
+            pc.greater_equal(out["quality"], quality_min), pa.array(keep_dup)
+        )
         if sample_e4 is not None:
             keep = pa.array(
                 np.array(
                     [
-                        int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % 10000
+                        int(_hl.md5(u.encode()).hexdigest()[:8], 16) % 10000
                         < sample_e4
-                        for u in out["url"].to_pylist()
+                        for u in urls
                     ]
                 )
             )
             mask = pc.and_(mask, keep)
-        return out.filter(mask)
+        out = out.filter(mask)
+        return out if out.num_rows else empty
 
-    gated = ok.map_batches(_enrich, batch_format="pyarrow")
-    # keep ONE representative per distinct text: lexicographically-first url
-    # (deterministic at any parallelism; the flagship already guarantees one
-    # row per url, so (text_hash, url) is a total order)
-    kept = topk_per_group(gated, ["text_hash"], "url", 1, descending=False)
-    kept = kept.drop_columns(["text_hash"])
+    kept = ok.map_batches(_final, batch_format="pyarrow")
 
     import shutil
 

@@ -1,0 +1,43 @@
+"""run_curation vs a sequential python oracle: the shuffle-free dedup-filter
+must keep exactly (quality-gated, min-url-per-distinct-text) rows."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow.dataset as pads
+
+from ocr_suite_ray.pipelines.curate import run_curation
+from ocr_suite_ray.pipelines.extract import ExtractConfig, run_pipeline
+
+
+def test_curation_matches_sequential_oracle(ray_session, small_corpus, tmp_path):
+    import pyarrow as pa
+
+    from ocr_suite_ray.stages.text_ops import quality_score
+
+    pages_dir, _ = small_corpus
+    out = str(tmp_path / "out")
+    run_pipeline(pages_dir, out, ExtractConfig(pool_size=2))
+    final = pads.dataset(out + "/final").to_table()
+
+    cur = str(tmp_path / "curated")
+    s = run_curation(out + "/final", cur, quality_min=70)
+    got = pads.dataset(cur, partitioning="hive").to_table().to_pandas()
+
+    # sequential oracle over the same final store
+    df = final.select(["url", "text", "status"]).to_pandas()
+    df = df[df.status == "ok"]
+    q = quality_score(
+        pa.table({"doc_id": list(range(len(df))), "text": df.text.tolist()})
+    )["quality"].to_pylist()
+    df = df.assign(quality=q)
+    df = df[df.quality >= 70]
+    df["h"] = [hashlib.md5(t.encode()).hexdigest() for t in df.text]
+    winner = df.groupby("h")["url"].min()
+    df = df[df.url.values == winner.reindex(df.h).values]
+
+    assert set(got.url) == set(df.url)
+    assert got.text.nunique() == len(got)
+    assert (got.quality >= 70).all()
+    assert s["rows_out"] == len(df)
