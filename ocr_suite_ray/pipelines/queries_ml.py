@@ -459,7 +459,14 @@ def q_curation(sf_dir: str):
     """Composite training-data curation: quality gate → exact dedup
     (keep min doc_id per distinct text) → language profile. One enrichment
     pass (actor pool), one vectorized filter, one keyed top-1 reduce —
-    the chained shape of a real corpus-curation job."""
+    the chained shape of a real corpus-curation job.
+
+    Scale note: ``_enrich`` DROPS the text column, so the top-1 exchange
+    moves only (hash, doc_id, features) ≈ 100 B/row — payload-free, unlike
+    the corpus-shuffle bug the 10x drive exposed in ``pipelines/curate.py``
+    (see BASELINE.md round-3 curation section). The dup-rate-bound winner
+    alternative used there applies here too if row-metadata volume ever
+    dominates."""
     import hashlib
 
     import pyarrow as pa_mod
@@ -930,7 +937,9 @@ def q_curation_v2(sf_dir: str):
     quality + lang + contamination + LM score per batch (no joins — both
     lookups are worker-cached broadcasts), one vectorized gate, one keyed
     top-1 reduce for the dedup. The multi-ref per-batch resolution is why
-    ``_bcast`` caches several entries."""
+    ``_bcast`` caches several entries. The top-1 exchange is payload-free
+    (text dropped in ``_enrich``; ~100 B/row) — cf. the curate-pipeline
+    corpus-shuffle fix in BASELINE.md round 3."""
     import hashlib as _hl
 
     import numpy as _np
