@@ -375,8 +375,13 @@ SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
 
 
 def q_union(sf_dir: str):
-    """Union of two filtered event streams → counts by type."""
-    from ray.data.aggregate import Count
+    """Union of two filtered event streams → counts by type. Per-block
+    count partials + narrow tree merge: the raw event rows never enter an
+    aggregate reduce (Ray's AggregateFn reduce walks rows in Python —
+    BASELINE.md round-3 C-reduce audit)."""
+    import numpy as np
+
+    from ocr_suite_ray.stages.relational import narrow_grouped_sum
 
     ev = _read(sf_dir, "events", ["event_type", "value"])
     hi = ev.map_batches(
@@ -387,7 +392,23 @@ def q_union(sf_dir: str):
         lambda t: t.filter(pc.less(t["value"], pa.scalar(10.0))),
         batch_format="pyarrow",
     )
-    return hi.union(lo).groupby("event_type").aggregate(Count(alias_name="n"))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["event_type"])
+            .append_column("n", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+            .group_by("event_type")
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["event_type", "n"])
+
+    partials = hi.union(lo).map_batches(_partial, batch_format="pyarrow")
+    return narrow_grouped_sum(
+        partials,
+        ["event_type"],
+        ["n"],
+        empty_schema=pa.schema([("event_type", pa.string()), ("n", pa.int64())]),
+    )
 
 
 SQL_UNION = """
@@ -614,10 +635,34 @@ def q_json_props(sf_dir: str):
         b = pc.cast(pc.divide(t["k"], 10), pa.int64())
         return t.append_column("k_bucket", b)
 
-    return (
-        parsed.map_batches(_bucket, batch_format="pyarrow")
-        .groupby(["event_type", "k_bucket"])
-        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    import numpy as np
+
+    from ocr_suite_ray.stages.relational import narrow_grouped_sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        # per-block combiner: raw parsed rows never enter an aggregate
+        # reduce (Python-row reduce — BASELINE.md round-3 C-reduce audit)
+        t = t.append_column("n", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+        g = t.group_by(["event_type", "k_bucket"]).aggregate(
+            [("n", "sum"), ("k", "sum")]
+        )
+        return g.rename_columns(["event_type", "k_bucket", "n", "sum_k"])
+
+    partials = parsed.map_batches(_bucket, batch_format="pyarrow").map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    return narrow_grouped_sum(
+        partials,
+        ["event_type", "k_bucket"],
+        ["n", "sum_k"],
+        empty_schema=pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("k_bucket", pa.int64()),
+                ("n", pa.int64()),
+                ("sum_k", pa.int64()),
+            ]
+        ),
     )
 
 

@@ -185,8 +185,6 @@ def connected_components_distributed(
     import pyarrow as pa
     import ray.data as rd
 
-    from ray.data.aggregate import Count, Min
-
     edges = pairs_ds.select_columns(["id_a", "id_b"])
     oriented = (
         edges.map_batches(
@@ -219,47 +217,85 @@ def connected_components_distributed(
             {"node": t["node"], "lab": t["node"], "peer": t["peer"]}
         )
 
-    labels = (
+    NB = max(16, num_partitions)
+    _I64MAX = np.iinfo(np.int64).max
+
+    # Every per-round reduce below runs as ONE bucket shuffle + a
+    # within-bucket C kernel (grouped_reduce_c shape) — NOT
+    # Dataset.aggregate / per-node map_groups, whose reduce walks rows (or
+    # dispatches a UDF) in Python per node: the 10M-row drive measured that
+    # path at 46x slower (BASELINE.md round-3 C-reduce audit). All kernels
+    # are arrow/numpy int64 end-to-end — ids never pass through pandas
+    # object/float columns (the 2^53 decay hazard).
+
+    def _tag_node(t: pa.Table) -> pa.Table:
+        b = pc.bit_wise_and(t["node"], pa.scalar(NB - 1, pa.int64()))
+        return t.append_column("__b", pc.cast(b, pa.int64()))
+
+    import pyarrow.compute as pc
+
+    def _min_label(g: pa.Table) -> pa.Table:
+        nodes = g["node"].to_numpy(zero_copy_only=False)
+        labs = g["lab"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(nodes, return_inverse=True)
+        best = np.full(len(uniq), _I64MAX, dtype=np.int64)
+        np.minimum.at(best, inv, labs)
+        return pa.table(
+            {"node": pa.array(uniq, pa.int64()), "lab": pa.array(best, pa.int64())}
+        )
+
+    def _min_per_node(ds):
+        return (
+            ds.map_batches(_tag_node, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(_min_label, batch_format="pyarrow")
+        )
+
+    labels = _min_per_node(
         oriented.map_batches(_init, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("lab", alias_name="lab"))
-        .materialize()
-    )
+    ).materialize()
     n_nodes = labels.count()
 
     def _propagate(g: pa.Table) -> pa.Table:
-        # arrow in AND out: ids never pass through pandas, where nullable
-        # int64 columns decay to float64 and ids above 2^53 silently corrupt
-        import pyarrow.compute as pc
-
-        lab = pc.min(g["lab"]).as_py()  # exactly the label rows carry non-null lab
-        peers = g["peer"].drop_null()
-        nodes = pa.chunked_array(
-            [pa.array([g["node"][0].as_py()], pa.int64())] + list(peers.chunks)
-        )
+        # one bucket's label rows (lab non-null, peer null) + edge rows
+        # (peer non-null): per-node min label via np.minimum.at, then emit
+        # (node, lab) and (peer, node's lab) — all C, no per-node dispatch
+        nodes = g["node"].to_numpy(zero_copy_only=False)
+        labs = pc.fill_null(g["lab"], _I64MAX).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(nodes, return_inverse=True)
+        best = np.full(len(uniq), _I64MAX, dtype=np.int64)
+        np.minimum.at(best, inv, labs)
+        peer_valid = pc.is_valid(g["peer"]).to_numpy(zero_copy_only=False)
+        peers = pc.fill_null(g["peer"], 0).to_numpy(zero_copy_only=False)[peer_valid]
+        out_nodes = np.concatenate([uniq, peers])
+        out_labs = np.concatenate([best, best[inv[peer_valid]]])
         return pa.table(
             {
-                "node": nodes,
-                "lab": pa.array(np.full(len(nodes), lab, "int64"), pa.int64()),
+                "node": pa.array(out_nodes, pa.int64()),
+                "lab": pa.array(out_labs, pa.int64()),
             }
         )
+
+    def _distinct_pairs(g: pa.Table) -> pa.Table:
+        gg = g.select(["node", "lab"]).group_by(["node", "lab"]).aggregate([])
+        return gg.rename_columns(["node", "lab"])
 
     for _ in range(max_rounds):
         msgs = (
             labels.map_batches(_as_label_rows, batch_format="pyarrow")
             .union(oriented)
-            .groupby("node")
+            .map_batches(_tag_node, batch_format="pyarrow")
+            .groupby("__b")
             .map_groups(_propagate, batch_format="pyarrow")
         )
-        new_labels = (
-            msgs.groupby("node").aggregate(Min("lab", alias_name="lab")).materialize()
-        )
+        new_labels = _min_per_node(msgs).materialize()
         # convergence: every (node, lab) pair identical on both sides <=>
         # distinct pairs over old ∪ new == node count
         distinct_pairs = (
             labels.union(new_labels)
-            .groupby(["node", "lab"])
-            .aggregate(Count(alias_name="__n"))
+            .map_batches(_tag_node, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(_distinct_pairs, batch_format="pyarrow")
             .count()
         )
         labels = new_labels

@@ -77,21 +77,34 @@ def _minhash_sig(sh: set) -> np.ndarray:
 # exact
 # ---------------------------------------------------------------------------
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text", num_buckets: int = 64):
     """One row per distinct text, keeper = min id. Two-level: per-block
-    min-per-hash combiner, then one vectorized hash aggregate."""
-    from ray.data.aggregate import Min
+    min-per-hash combiner (C), then ONE bucket shuffle + a within-bucket C
+    groupby-min.
+
+    The reduce deliberately avoids ``Dataset.aggregate(Min)``: Ray's
+    built-in AggregateFn reduce walks rows in Python, which a 10M-doc drive
+    measured at 1309 s for this exact op (BASELINE.md round-3 section); the
+    bucket ``map_groups`` keeps the whole reduce in pandas C kernels. The
+    exchange carries only (32-char hash, id) pairs — never text."""
 
     def _hash(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame()
         out["text_hash"] = [hashlib.md5(t.encode()).hexdigest() for t in df[text_col]]
         out[id_col] = df[id_col].values
-        return out.groupby("text_hash", as_index=False)[id_col].min()
+        out = out.groupby("text_hash", as_index=False)[id_col].min()
+        out["__hbucket"] = (
+            pd.util.hash_array(out["text_hash"].to_numpy()) % num_buckets
+        ).astype("int64")
+        return out
+
+    def _min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("text_hash", as_index=False)[id_col].min()
 
     return (
         ds.map_batches(_hash, batch_format="pandas")
-        .groupby("text_hash")
-        .aggregate(Min(id_col, alias_name=id_col))
+        .groupby("__hbucket")
+        .map_groups(_min, batch_format="pandas")
     )
 
 

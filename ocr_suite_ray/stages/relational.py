@@ -187,15 +187,15 @@ def asof_join_by_key(left, right, key: str, ts: str, left_cols: list, right_cols
 
 def distinct(ds, cols: list):
     """Distinct tuples of ``cols``: per-block drop_duplicates combiner, then
-    one vectorized hash-aggregate (no per-group Python)."""
-    from ray.data.aggregate import Count
+    one bucket shuffle + within-bucket C drop_duplicates (the
+    ``grouped_reduce_c`` shape — the key set can be corpus-cardinality, so
+    the reduce must stay out of Python rows)."""
 
     def _local(df: pd.DataFrame) -> pd.DataFrame:
         return df[cols].drop_duplicates()
 
     reduced = ds.map_batches(_local, batch_format="pandas")
-    agg = reduced.groupby(cols).aggregate(Count(alias_name="__n"))
-    return agg.drop_columns(["__n"])
+    return grouped_reduce_c(reduced, cols, _local)
 
 
 def range_join(
@@ -497,4 +497,34 @@ def snapshot_diff(old_ds, new_ds, key_col: str, hash_col: str, num_buckets: int 
         both.map_batches(_tag, batch_format="pandas")
         .groupby("__dbucket")
         .map_groups(_classify, batch_format="pandas")
+    )
+
+
+def grouped_reduce_c(ds, keys: list, fold, num_buckets: int = 64):
+    """ONE bucket shuffle + a within-bucket C-kernel fold — the
+    high-cardinality replacement for ``Dataset.aggregate(...)``.
+
+    Ray's built-in AggregateFn reduce walks rows in PYTHON during the sort
+    merge; a 10M-row drive measured 1309 s for a single groupby-min that the
+    bucket+map_groups form does in 28 s (BASELINE.md round 3). ``fold(df) ->
+    df`` must be associative over row concatenation (it sees each bucket's
+    rows exactly once, after any per-block combiners upstream) and runs in
+    pandas C kernels. Low-cardinality aggregates over PRE-COMBINED partials
+    don't need this — their reduce input is tiny; use it whenever the
+    groupby key cardinality scales with the corpus."""
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df["__rbucket"] = (
+            pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+            % num_buckets
+        ).astype("int64")
+        return df
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        return fold(g.drop(columns="__rbucket"))
+
+    return (
+        ds.map_batches(_tag, batch_format="pandas")
+        .groupby("__rbucket")
+        .map_groups(_fold, batch_format="pandas")
     )

@@ -340,6 +340,21 @@ def repetition_stats(ds, id_col: str, text_col: str):
     return ds.map_batches(_rep, batch_format="pyarrow")
 
 
+def _tree_keyed_sum(partials_ds, key: str, val: str):
+    """Remote tree merge of (key, val) partial tables — the vocab-table
+    reduce. Replaces ``groupby(key).aggregate(Sum)``: Ray's AggregateFn
+    reduce walks rows in Python (1309 s vs 28 s on a 10M-row drive,
+    BASELINE.md round-3 C-reduce audit); each tree fan-in here is one Arrow
+    C hash aggregate, and the root holds the vocabulary-sized table."""
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    def _merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(key).aggregate([(val, "sum")])
+        return g.rename_columns([key, val])
+
+    return coalesce_reduce(partials_ds, _merge, None, materialize=False)
+
+
 def token_frequencies(ds, text_col: str, top_k: int = 100):
     """Corpus-wide token frequency table, top-k by count (vocabulary
     building — the first step of tokenizer training). Combine-before-
@@ -362,16 +377,22 @@ def token_frequencies(ds, text_col: str, top_k: int = 100):
             }
         )
 
-    agg = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Sum("n", alias_name="n"))
+    import ray.data as rd
+
+    ref = _tree_keyed_sum(
+        ds.map_batches(_partial, batch_format="pyarrow"), "tok", "n"
     )
+    if ref is None:
+        agg = rd.from_arrow(
+            pa.table({"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        )
+    else:
+        agg = rd.from_arrow_refs([ref])
 
     def _order(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.sort_values(["n", "tok"], ascending=[False, True])
 
-    # the aggregate is vocabulary-sized (small vs corpus); one final sort
+    # the merged table is vocabulary-sized (small vs corpus); one final sort
     return agg.map_batches(_order, batch_format="pandas").limit(top_k)
 
 
@@ -439,12 +460,9 @@ def unigram_count_ref(ds, text_col: str = "text"):
             }
         )
 
-    counts = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Sum("n", alias_name="n"))
+    return _tree_keyed_sum(
+        ds.map_batches(_partial, batch_format="pyarrow"), "tok", "n"
     )
-    return coalesce_reduce(counts, lambda t: t, None, materialize=False)
 
 
 def _logp_series(tbl) -> "pd.Series":
@@ -797,12 +815,9 @@ def tfidf_top_terms(
             }
         )
 
-    dfreq = (
-        ds.map_batches(_df_partial, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Sum("df", alias_name="df"))
+    ref = _tree_keyed_sum(
+        ds.map_batches(_df_partial, batch_format="pyarrow"), "tok", "df"
     )
-    ref = coalesce_reduce(dfreq, lambda t: t, None, materialize=False)
 
     def _build(tbl):
         toks = tbl["tok"].to_pandas()
@@ -876,12 +891,9 @@ def bpe_train_ref(ds, text_col: str = "text", n_merges: int = 64):
             }
         )
 
-    counts = (
-        ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Sum("n", alias_name="n"))
+    counts_ref = _tree_keyed_sum(
+        ds.map_batches(_partial, batch_format="pyarrow"), "tok", "n"
     )
-    counts_ref = coalesce_reduce(counts, lambda t: t, None, materialize=False)
 
     @ray.remote
     def _learn(tbl):

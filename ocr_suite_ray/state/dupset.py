@@ -178,12 +178,20 @@ def dup_key_table_ref(ds, key_col: str = "url", key_exchange: str = "narrow"):
         return t.take(pc.sort_indices(t, sort_keys=[(key_col, "ascending")]))
 
     if key_exchange == "shuffle":
-        from ray.data.aggregate import Count
+        # bucket shuffle + within-bucket C sum, not Dataset.aggregate —
+        # the AggregateFn reduce walks corpus-cardinality keys in Python
+        # (BASELINE.md round-3 C-reduce audit)
+        from ocr_suite_ray.stages.relational import grouped_reduce_c
 
-        counts = (
-            ds.select_columns([key_col])
-            .groupby(key_col)
-            .aggregate(Count(alias_name="__n"))
+        def _vc(t: pa.Table) -> pa.Table:
+            g = t.select([key_col]).group_by(key_col).aggregate([(key_col, "count")])
+            return g.rename_columns([key_col, "__n"])
+
+        def _fold(df):
+            return df.groupby(key_col, as_index=False)["__n"].sum()
+
+        counts = grouped_reduce_c(
+            ds.map_batches(_vc, batch_format="pyarrow"), [key_col], _fold
         )
         dups = counts.map_batches(
             lambda t: (
