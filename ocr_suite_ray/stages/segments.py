@@ -50,6 +50,13 @@ def segment_table(texts, w: int):
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type):
+        # the extracted store carries large_string text; one per-block cast
+        # keeps every downstream array (flat tokens, seg join separator,
+        # partial-table schemas across blocks) uniformly `string`. Valid
+        # because the int32 re-window offsets below already require a
+        # block's flat text < 2^31 chars (Ray blocks are ~128 MB).
+        texts = texts.cast(pa.string())
     lst = pc.split_pattern(texts, " ")
     flat = pc.list_flatten(lst)
     off = lst.offsets.to_numpy().astype(np.int64)
@@ -177,22 +184,28 @@ def paragraph_dedup(
     delete unique text, so the Bloom variant needs a confirm pass and is
     deliberately not wired); (2) one streaming ``is_in`` + reassembly pass.
     """
-    import pyarrow.compute as pc
-
-    from ocr_suite_ray.stages._bcast import cached_get
+    from ocr_suite_ray.stages._bcast import cached_build
 
     ref = dup_segment_ref(ds, text_col, w)
 
+    def _dup_index(tbl):
+        # prebuilt per-worker hash index: pc.is_in rebuilds its value_set
+        # hash table on EVERY call, which at 10M docs (corpus-scale dup
+        # set) cost ~74 s/block — the pd.Index builds once per worker and
+        # each block pays only the C get_indexer probes
+        import pandas as pd
+
+        if tbl is None or tbl.num_rows == 0:
+            return None
+        return pd.Index(tbl["seg"].to_pandas())
+
     def _clean(t: pa.Table) -> pa.Table:
         row_of, _within, segs = segment_table(t[text_col], w)
-        dup = cached_get(ref) if ref is not None else None
-        if dup is None or dup.num_rows == 0:
+        idx = cached_build(ref, _dup_index) if ref is not None else None
+        if idx is None:
             keep = np.ones(len(row_of), dtype=bool)
         else:
-            value_set = dup["seg"].combine_chunks()
-            keep = ~pc.is_in(segs, value_set=value_set).to_numpy(
-                zero_copy_only=False
-            )
+            keep = idx.get_indexer(segs.to_pandas()) < 0
         texts, n_removed = rejoin_segments(segs, row_of, keep, t.num_rows)
         return pa.table(
             {

@@ -1023,7 +1023,11 @@ def chunk_documents(
                 break
             sub = lst.take(pa.array(sel, pa.int64()))
             sliced = pc.list_slice(sub, start=start, stop=start + size)
-            out_text.append(pc.binary_join(sliced, " "))
+            # separator typed to the item type: binary_join has no kernel
+            # for (list<large_string>, string) — large_string text (the
+            # extracted store) needs a large_string separator
+            sep = pa.scalar(" ", type=sliced.type.value_type)
+            out_text.append(pc.binary_join(sliced, sep))
             out_ids.append(ids_np[sel])
             out_cidx.append(np.full(len(sel), k, dtype=np.int64))
             out_nw.append(np.minimum(size, n[sel] - start))

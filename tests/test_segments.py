@@ -210,3 +210,32 @@ def test_segment_dedup_within_matches_pure_python(ray_session, texts, w):
         want_text, want_drop = _dedup_within_ref(t, w)
         assert got[i]["text_dedup"] == want_text, (t, w)
         assert got[i]["n_dropped"] == want_drop, (t, w)
+
+
+def test_segment_ops_accept_large_string_text(ray_session):
+    """The extracted store carries large_string text; the segment/chunk
+    kernels must not assume plain string (binary_join has no
+    (list<large_string>, string) kernel — found by the 10M-store drive)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.segments import paragraph_dedup, segment_dedup_within
+    from ocr_suite_ray.stages.text_ops import chunk_documents
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["a b c d a b c d", "a b c d x y z w", "p q r s"],
+                pa.large_string(),
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    got = paragraph_dedup(ds, w=4).to_pandas().sort_values("doc_id")
+    assert len(got) == 3
+    got2 = segment_dedup_within(ds, w=4).to_pandas().sort_values("doc_id")
+    assert list(got2.doc_id) == [0, 1, 2]
+    got3 = chunk_documents(ds, size=4, overlap=1).to_pandas()
+    assert (got3.groupby("doc_id").size() > 0).all()
