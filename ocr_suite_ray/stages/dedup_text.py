@@ -161,6 +161,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_partitions: int = 16,
     narrow_verify_limit: int = 200_000,
+    max_bucket: int | None = None,
 ):
     """Candidate pairs via LSH banding, verified with exact shingle Jaccard.
 
@@ -237,6 +238,15 @@ def minhash_lsh_pairs(
         g = g.drop_duplicates(subset=["band", "band_hash", id_col])
         sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
         multi = g[sizes.to_numpy() > 1]
+        if max_bucket is not None:
+            # pairing is quadratic per bucket; a band bucket holding
+            # thousands of docs means mass near-identical duplicates (run
+            # exact/cluster dedup first) and would explode the candidate
+            # set — the standard LSH cap (cf. Spark MinHashLSH) skips such
+            # buckets. Opt-in: the sf-scale SQL oracle uses None so engine
+            # and DuckDB enumerate identical pair sets.
+            sz = multi.groupby(["band", "band_hash"])[id_col].transform("size")
+            multi = multi[sz.to_numpy() <= max_bucket]
         if multi.empty:
             return _empty_pairs
         rows_a: list = []

@@ -491,3 +491,27 @@ def test_substring_dup_pairs_unicode_parity(ray_session):
         (a, b): n for a, b, n in con.execute(SQL_SUBSTRING_DUP).fetchall()
     }
     assert sql_rows == want
+
+
+def test_minhash_max_bucket_skips_mega_buckets(ray_session):
+    """max_bucket skips quadratic pairing inside pathological LSH buckets
+    (mass near-identical docs); distinct pairs elsewhere still surface."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import minhash_lsh_pairs
+
+    # 40 identical docs (one mega-bucket) + 2 near-dup docs
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [base] * 40 + [
+        "red green blue cyan magenta yellow black white gray pink",
+        "red green blue cyan magenta yellow black white gray purple",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    capped = minhash_lsh_pairs(
+        rd.from_pandas(df).repartition(3), max_bucket=8
+    )
+    cp = capped.to_pandas()
+    pairs = set(zip(cp["id_a"], cp["id_b"]))
+    assert (40, 41) in pairs                    # small bucket still pairs
+    assert not any(a < 40 and b < 40 for a, b in pairs)  # mega-bucket skipped
