@@ -515,3 +515,56 @@ def test_minhash_max_bucket_skips_mega_buckets(ray_session):
     pairs = set(zip(cp["id_a"], cp["id_b"]))
     assert (40, 41) in pairs                    # small bucket still pairs
     assert not any(a < 40 and b < 40 for a, b in pairs)  # mega-bucket skipped
+
+
+def test_batched_band_rows_match_scalar_signatures(ray_session):
+    """The batched MinHash kernel must reproduce the scalar
+    _minhash_sig(_shingles(t)) banding bit-for-bit, including short docs
+    (< k words), empty string, unicode, and heavy gram repetition."""
+    import hashlib as hl
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import (
+        LSH_BANDS,
+        ROWS_PER_BAND,
+        _minhash_sig,
+        _shingles,
+        minhash_lsh_pairs,
+    )
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "short",
+        "two words",
+        "",
+        "naïve café déjà vu naïve café déjà vu naïve café",
+        "naïve café déjà vu naïve café déjà vu naïve cafe",
+        "a a a a a a a a a a a a",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+    # scalar reference: bucket by exact band tuples, verify with exact jaccard
+    sigs = {i: _minhash_sig(_shingles(t, 3)) for i, t in zip(df.doc_id, df.text)}
+    buckets: dict = {}
+    for i, sig in sigs.items():
+        for b in range(LSH_BANDS):
+            key = (b, tuple(sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]))
+            buckets.setdefault(key, []).append(i)
+    cand = set()
+    for ids in buckets.values():
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                cand.add((min(ids[x], ids[y]), max(ids[x], ids[y])))
+    want = set()
+    shs = {i: _shingles(t, 3) for i, t in zip(df.doc_id, df.text)}
+    from ocr_suite_ray.stages.dedup_text import jaccard
+
+    for a, b in cand:
+        if int(jaccard(shs[a], shs[b]) * 10000 + 0.5) >= 5000:
+            want.add((a, b))
+
+    got = minhash_lsh_pairs(rd.from_pandas(df).repartition(3)).to_pandas()
+    assert set(zip(got.id_a, got.id_b)) == want
