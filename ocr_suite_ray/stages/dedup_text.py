@@ -248,6 +248,12 @@ def minhash_lsh_pairs(
                 memo[g] = h
             hv_dict[di] = h
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-row DISTINCT grams before the perm math (signature minima are
+        # set semantics — duplicates never change a min): cuts the matrix
+        # width ~3x on repetitive text
+        comp = np.unique(row_idx * np.int64(len(dict_strs)) + codes)
+        row_idx = comp // np.int64(len(dict_strs))
+        codes = comp % np.int64(len(dict_strs))
         occ_h = hv_dict[codes]
         counts = np.bincount(row_idx, minlength=n_rows)
         offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
