@@ -214,8 +214,16 @@ def run_curation(
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging, exist_ok=True)
     kept.write_parquet(staging, partition_cols=["bucket"])
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # Atomic promote: the previous output is renamed aside FIRST, so a
+    # crash at any point leaves either the old curated dir intact (before
+    # the swap) or the new one fully in place — never a window with
+    # neither (a bare rmtree-then-replace has exactly that window).
+    old = out_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(out_dir):
+        os.replace(out_dir, old)
     os.replace(staging, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
 
     import pyarrow.dataset as pads
 

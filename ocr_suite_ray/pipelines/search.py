@@ -23,7 +23,12 @@ def search_extracted(final_dir: str, pattern: str):
     deterministic url tiebreak (the merged+sorted viewer result set)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(final_dir)
+    # project at the read: the store also carries `spans`
+    # (large_list<struct>) and full `text` blobs — dead I/O for a result
+    # set that only surfaces url/ts/status after the filter.
+    ds = rd.read_parquet(
+        final_dir, columns=["url", "warc_ts", "text", "n_blocks_kept", "status"]
+    )
     hits = find_text(ds, pattern, text_col="text").select_columns(
         ["url", "warc_ts", "n_blocks_kept", "status"]
     )
@@ -37,7 +42,7 @@ def search_hierarchy(final_dir: str, pattern: str):
 
     import ray.data as rd
 
-    ds = rd.read_parquet(final_dir)
+    ds = rd.read_parquet(final_dir, columns=["url", "warc_ts", "text"])
     hits = find_text(ds, pattern, text_col="text").select_columns(["url", "warc_ts"])
     return (
         add_time_buckets(hits, "warc_ts")
@@ -81,25 +86,24 @@ def view_document(pages_dir: str, final_dir: str, url: str) -> dict:
 
 
 def matches_per_url(final_dir: str, pattern: str):
-    """Per-document match counts for a pattern (texts-per-frame analogue)."""
-    import re
+    """Per-document match counts for a pattern (texts-per-frame analogue).
 
+    The pattern is a literal (the viewer escapes it too), so the count is
+    one vectorized ``pc.count_substring`` C kernel per batch — a stateless
+    task ``map_batches`` with no actor pool (there is no state worth
+    warming) and no per-row Python. Non-overlapping match semantics match
+    ``re.findall`` on a literal. Read is projected to the three live
+    columns so `spans` never loads."""
     import ray.data as rd
 
     if len(pattern) < MIN_QUERY_LEN:
         raise ValueError(f"query must be >= {MIN_QUERY_LEN} chars")
 
-    class _CountMatches:
-        def __init__(self) -> None:
-            self._re = re.compile(re.escape(pattern))
+    def _count(t: pa.Table) -> pa.Table:
+        counts = pc.count_substring(t["text"], pattern)
+        out = t.select(["url", "warc_ts"])
+        out = out.append_column("n_matches", pc.cast(counts, pa.int64()))
+        return out.filter(pc.greater(out["n_matches"], 0))
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            counts = [
-                len(self._re.findall(x)) for x in t["text"].to_pylist()
-            ]
-            out = t.select(["url", "warc_ts"])
-            out = out.append_column("n_matches", pa.array(counts, pa.int64()))
-            return out.filter(pc.greater(out["n_matches"], 0))
-
-    ds = rd.read_parquet(final_dir)
-    return ds.map_batches(_CountMatches, batch_format="pyarrow", concurrency=(1, 4))
+    ds = rd.read_parquet(final_dir, columns=["url", "warc_ts", "text"])
+    return ds.map_batches(_count, batch_format="pyarrow")

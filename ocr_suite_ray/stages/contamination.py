@@ -39,6 +39,11 @@ def _word_ngrams(texts, n: int):
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type) or pa.types.is_large_binary(texts.type):
+        # the extracted/final store carries large_string text, but
+        # binary_join_element_wise has no (large_string…, string) kernel;
+        # per-batch token payloads fit int32 offsets comfortably.
+        texts = texts.cast(pa.string())
     lst = pc.split_pattern(texts, " ")
     flat = pc.list_flatten(lst)
     off = lst.offsets.to_numpy().astype(np.int64)

@@ -251,6 +251,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     train_sample: int = 512,
     seed: int = 42,
+    pair_chunk: int = 4096,
+    max_pairs: int | None = None,
 ):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     method): k-means-cluster the embeddings, then within each cluster link
@@ -265,9 +267,20 @@ def semantic_dedup(
     vectorized pairwise matmul + a pair-count-bound union-find. Cross-
     cluster duplicates are missed by construction — that is the documented
     SemDeDup approximation (recall rises with fewer clusters; cost falls
-    with more). Partitioning assumption: cluster population ~ corpus/k
-    must fit one worker; scale k with the corpus (the paper uses
-    k ~ sqrt(N)), or pre-shard hot clusters.
+    with more).
+
+    Cost contract (explicit): per-cluster TIME is quadratic in the cluster
+    population n (every pair is scored — that is SemDeDup's semantics),
+    but MEMORY is linear: the cosine matrix is computed in ``pair_chunk``-
+    row slabs (O(pair_chunk × n) floats live at once, never the full
+    n×n + triu index arrays), and only the hit edges (duplicate-rate
+    bound) accumulate. Partitioning assumption: the cluster's VECTORS
+    (O(n·d), i.e. corpus/k rows) must fit one worker; scale k with the
+    corpus (the paper uses k ~ sqrt(N)), or pre-shard hot clusters.
+    ``max_pairs`` is the runaway guard analogous to minhash's
+    ``max_bucket``: when set, a cluster whose scored-pair count would
+    exceed it raises with the remedy (raise n_clusters) named, instead of
+    silently burning a worker-week on one mega-cluster.
 
     Output: ``(id_col, cluster, rep_id, is_dup)`` — one row per input row;
     ``is_dup=1`` iff the row is dropped by dedup (``rep_id`` kept).
@@ -296,13 +309,31 @@ def semantic_dedup(
     def _dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
         ids = g[id_col].to_numpy()
+        n = len(ids)
+        if max_pairs is not None and n * (n - 1) // 2 > max_pairs:
+            raise ValueError(
+                f"semantic_dedup cluster of {n} rows would score "
+                f"{n * (n - 1) // 2} pairs > max_pairs={max_pairs}; "
+                "raise n_clusters (SemDeDup uses k ~ sqrt(N)) or raise "
+                "the cap"
+            )
         m = np.stack([np.asarray(v) for v in g["vec"]])
-        e4 = np.floor((m @ m.T) * 10000 + 0.5).astype(np.int64)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = e4[iu, ju] >= threshold_e4
+        # pair scan in row slabs: O(pair_chunk * n) floats live, never the
+        # full n*n matrix; only hit edges (dup-rate bound) accumulate
+        edges_a, edges_b = [], []
+        for i0 in range(0, n, pair_chunk):
+            i1 = min(i0 + pair_chunk, n)
+            e4 = np.floor((m[i0:i1] @ m.T) * 10000 + 0.5).astype(np.int64)
+            hi, hj = np.nonzero(e4 >= threshold_e4)
+            hi = hi + i0
+            keep = hj > hi  # upper triangle only
+            edges_a.append(hi[keep])
+            edges_b.append(hj[keep])
+        iu = np.concatenate(edges_a) if edges_a else np.empty(0, np.int64)
+        ju = np.concatenate(edges_b) if edges_b else np.empty(0, np.int64)
         # union-find over the (pair-count-bound) hit edges; ids sorted, so
         # path roots are the component minima
-        parent = np.arange(len(ids))
+        parent = np.arange(n)
 
         def _find(x: int) -> int:
             while parent[x] != x:
@@ -310,11 +341,11 @@ def semantic_dedup(
                 x = parent[x]
             return x
 
-        for a, b in zip(iu[hit], ju[hit]):
+        for a, b in zip(iu, ju):
             ra, rb = _find(int(a)), _find(int(b))
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        roots = np.array([_find(int(i)) for i in range(len(ids))])
+        roots = np.array([_find(int(i)) for i in range(n)])
         rep = ids[roots]
         return pd.DataFrame(
             {

@@ -465,24 +465,32 @@ def unigram_count_ref(ds, text_col: str = "text"):
     )
 
 
-def _logp_series(tbl) -> "pd.Series":
-    """token -> add-one-smoothed ln probability, from a unigram count
-    table (the cached_build derivation for the broadcast ref)."""
+def _logp_series(tbl):
+    """(token -> add-one-smoothed ln probability, OOV fallback) from a
+    unigram count table (the cached_build derivation for the broadcast
+    ref). The fallback is the smoothing floor ln(1/(total+vocab)) — the
+    probability the model assigns an unseen token, same back-off
+    :func:`_dsir_series` uses."""
     n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
     total, vocab = n.sum(), float(len(n))
     logp = np.log((n + 1.0) / (total + vocab))
-    return pd.Series(logp, index=tbl["tok"].to_pandas())
+    fallback = np.log(1.0 / (total + vocab))
+    return pd.Series(logp, index=tbl["tok"].to_pandas()), fallback
 
 
 def lm_scores(texts, counts_ref) -> "np.ndarray":
     """Per-row negative mean log-likelihood, fixed-point e4 (the reusable
     per-batch kernel): one ``reindex`` hash-join against the cached logp
-    Series + a float segment mean."""
+    Series + a float segment mean. Tokens absent from the unigram table
+    score at the smoothing floor rather than poisoning the cumsum with
+    NaN — the kernel is exported for cross-corpus use (score corpus B
+    under corpus A's model), where OOV is the norm."""
     from ocr_suite_ray.stages._bcast import cached_build
 
-    series = cached_build(counts_ref, _logp_series)
+    series, fallback = cached_build(counts_ref, _logp_series)
     n_tokens, flat, off = _tokens(texts)
     vals = series.reindex(flat.to_pandas()).to_numpy()
+    vals = np.where(np.isnan(vals), fallback, vals)
     cs = np.concatenate([[0.0], np.cumsum(vals)])
     sums = cs[off[1:]] - cs[off[:-1]]
     mean = sums / np.maximum(n_tokens, 1)

@@ -226,7 +226,12 @@ def group_zscore(ds, key_col: str, value_col: str, out_col: str = "z"):
         with np.errstate(invalid="ignore", divide="ignore"):
             z = (x - m[codes]) / sd[codes]
         z = np.where(sd[codes] == 0, np.nan, z)
-        return t.append_column(out_col, pa.array(z, pa.float64()))
+        # NaN (n<2 / zero-variance groups) must surface as Arrow NULL, not
+        # a valid NaN value — downstream is_null checks and the SQL
+        # oracle's strict null comparison both diverge otherwise.
+        return t.append_column(
+            out_col, pa.array(z, pa.float64(), from_pandas=True)
+        )
 
     if stats_ref is None:
         return ds.map_batches(

@@ -448,3 +448,45 @@ def test_temperature_resample_empty(ray_session):
     df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "lang": pd.Series([], dtype="object")})
     got = temperature_resample(rd.from_pandas(df), "lang", "doc_id", 100)
     assert got.count() == 0
+
+
+def test_word_ngrams_large_string_input():
+    """The extracted/final store carries large_string text; the kernel must
+    cast rather than die in binary_join_element_wise (which has no
+    (large_string…, string) variant)."""
+    import pyarrow as pa
+
+    texts = ["a b c d e f", "x y z"]
+    rows_s, grams_s = _word_ngrams(pa.array(texts, pa.string()), 3)
+    rows_l, grams_l = _word_ngrams(pa.array(texts, pa.large_string()), 3)
+    assert rows_s.tolist() == rows_l.tolist()
+    assert grams_s.to_pylist() == grams_l.to_pylist()
+
+
+def test_lm_scores_oov_uses_smoothing_floor(ray_session):
+    """Cross-corpus scoring: tokens absent from the model's unigram table
+    must score at the add-one smoothing floor ln(1/(total+vocab)), not
+    poison the cumsum with NaN -> INT64_MIN garbage."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import lm_scores, unigram_count_ref
+
+    model_corpus = pd.DataFrame({"text": ["aa bb aa", "bb cc"]})
+    ref = unigram_count_ref(rd.from_pandas(model_corpus))
+    # model stats: counts aa=2 bb=2 cc=1, total=5, vocab=3
+    total, vocab = 5.0, 3.0
+    floor = math.log(1.0 / (total + vocab))
+    lp = {
+        "aa": math.log(3.0 / 8.0),
+        "bb": math.log(3.0 / 8.0),
+        "cc": math.log(2.0 / 8.0),
+    }
+    got = lm_scores(pa.array(["aa zz", "zz zz zz"]), ref)
+    want0 = int(np.floor(-(lp["aa"] + floor) / 2 * 10000 + 0.5))
+    want1 = int(np.floor(-floor * 10000 + 0.5))
+    assert got.tolist() == [want0, want1]
+    assert (got > 0).all() and (got < 10**9).all()  # sane magnitudes, no INT64_MIN

@@ -568,3 +568,26 @@ def test_batched_band_rows_match_scalar_signatures(ray_session):
 
     got = minhash_lsh_pairs(rd.from_pandas(df).repartition(3)).to_pandas()
     assert set(zip(got.id_a, got.id_b)) == want
+
+
+def test_semantic_dedup_slab_equivalence_and_pair_cap(ray_session):
+    """The chunked pair scan (pair_chunk smaller than the cluster) must be
+    bit-identical to the one-shot matmul, and max_pairs must raise on a
+    mega-cluster instead of silently going quadratic."""
+    import pytest
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.similarity import semantic_dedup
+
+    df = _semdedup_corpus()
+    kw = dict(threshold_e4=9900, n_clusters=6, train_sample=len(df))
+    a = (semantic_dedup(rd.from_pandas(df), **kw)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    b = (semantic_dedup(rd.from_pandas(df), pair_chunk=2, **kw)
+         .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert a.equals(b)
+
+    with pytest.raises(Exception, match="max_pairs"):
+        semantic_dedup(
+            rd.from_pandas(df), n_clusters=1, max_pairs=3, train_sample=len(df)
+        ).materialize()

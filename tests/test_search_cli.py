@@ -200,3 +200,28 @@ def test_bm25_rank_over_final_store(ray_session, final_store):
     want_e4 = [(u, math.floor(s * 10000 + 0.5)) for u, s in want]
     got_pairs = list(zip(got["url"].to_pylist(), got["bm25_e4"].to_pylist()))
     assert got_pairs == want_e4
+
+
+def test_matches_per_url_counts_match_re_oracle(ray_session, final_store):
+    """pc.count_substring (non-overlapping, left-to-right) must agree with
+    re.findall on the escaped literal — the semantics the per-row loop it
+    replaced had."""
+    import re
+
+    import pyarrow.dataset as pads
+
+    final, _ = final_store
+    got = {
+        (r["url"], r["warc_ts"]): r["n_matches"]
+        for r in matches_per_url(final, "capture").take_all()
+    }
+    t = pads.dataset(final).to_table(columns=["url", "warc_ts", "text"])
+    pat = re.compile(re.escape("capture"))
+    want = {}
+    for u, ts, x in zip(
+        t["url"].to_pylist(), t["warc_ts"].to_pylist(), t["text"].to_pylist()
+    ):
+        n = len(pat.findall(x))
+        if n > 0:
+            want[(u, ts)] = n
+    assert got == want and want

@@ -107,3 +107,25 @@ def test_percentile_gate_nulls_dropped(ray_session):
     got = percentile_gate(rd.from_pandas(df), "x", 0.2, 0.8).to_pandas()
     assert not got["x"].isna().any()
     assert 100 not in got["x"].tolist()
+
+
+def test_zscore_degenerate_is_arrow_null(ray_session):
+    """Degenerate z must be an Arrow NULL, not a valid NaN value — the SQL
+    oracle's strict null comparison and downstream is_null checks both
+    see the difference (to_pandas masks it)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {"i": [0, 1, 2], "g": ["solo", "flat", "flat"], "x": [7.0, 5.0, 5.0]}
+    )
+    tbl = (
+        group_zscore(rd.from_pandas(df), "g", "x")
+        .to_arrow_refs()
+    )
+    import ray
+
+    import pyarrow as pa
+
+    t = pa.concat_tables([ray.get(r) for r in tbl])
+    assert pc.sum(pc.cast(pc.is_null(t["z"]), pa.int64())).as_py() == 3
