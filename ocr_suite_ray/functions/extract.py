@@ -25,8 +25,14 @@ def sniff_kind(payload: bytes | None) -> str:
     return KIND_HTML
 
 
-def extract_payload(payload: bytes | None, kind: str | None = None) -> dict:
+def extract_payload(
+    payload: bytes | None, kind: str | None = None, ocr=None
+) -> dict:
     """One page payload → extraction dict with ``payload_kind`` + ``status``.
+
+    ``ocr`` is an optional ``image bytes → text`` callable handed to the
+    PDF lane for image-only (scanned) payloads; with none supplied those
+    payloads stay deterministic ``error:NotImplementedError`` rows.
 
     Total function: never raises. Deterministic error classes:
     EmptyPayload, ValueError, NotImplementedError, ...
@@ -36,7 +42,7 @@ def extract_payload(payload: bytes | None, kind: str | None = None) -> dict:
     kind = kind or sniff_kind(payload)
     try:
         if kind == KIND_PDF:
-            out = extract_pdf(payload)
+            out = extract_pdf(payload, ocr=ocr)
         else:
             out = extract_html(payload)
         out["payload_kind"] = kind

@@ -10,11 +10,20 @@ operators (the synthetic subset of ``sources/synthetic.py:_page_pdf``, PLUS
 the real-world stream encodings stdlib can decode: ``/FlateDecode`` (zlib —
 the filter virtually every real PDF uses), ``/ASCIIHexDecode`` and
 ``/LZWDecode`` (pure-Python, public ISO 32000-1 spec), applied in
-filter-array order). Filters that genuinely need codec libraries
-(DCTDecode, JPXDecode, crypt) raise ``NotImplementedError`` (the remaining
-clearly-marked stub);
-structurally broken PDFs raise ``ValueError`` and become deterministic
-``error:`` rows upstream.
+filter-array order).
+
+Image XObject streams (``/Subtype /Image`` — the DCTDecode/JPXDecode
+carriers) are classified, not decoded: a text PDF with JPEG figures
+extracts its text streams and skips the images (pre-round-4 these PDFs
+errored whole-document on the image filter), while an image-ONLY payload —
+a scanned PDF, the reference's core OCR case
+(``src/recognition/provider/tesseract.cpp:59-120``) — routes to the OCR
+engine (``functions/ocr.py``: guarded-import pytesseract, byte-
+deterministic stub in this container) when one is supplied, else raises
+``NotImplementedError``. Codec filters on NON-image streams (crypt,
+DCT-compressed text — degenerate producers) still raise
+``NotImplementedError``; structurally broken PDFs raise ``ValueError``.
+Both become deterministic ``error:`` rows upstream.
 """
 
 from __future__ import annotations
@@ -35,6 +44,7 @@ _TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _EARLY_RE = re.compile(rb"/EarlyChange\s+(\d+)")
+_IMAGE_RE = re.compile(rb"/Subtype\s*/Image\b")
 
 
 def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
@@ -158,13 +168,23 @@ def _stream_dict(payload: bytes, stream_kw_start: int) -> bytes:
     return payload[start:stream_kw_start] if start >= 0 else b""
 
 
-def extract_pdf(payload: bytes) -> dict:
+def extract_pdf(payload: bytes, ocr=None) -> dict:
     """bytes → {text, spans, n_blocks_kept, n_blocks_dropped}.
 
     One span of kind ``pdf_block`` per content stream (the page analogue).
+    Image XObject streams contribute no text; when the document is
+    image-ONLY (a scanned PDF) and ``ocr`` (an ``image bytes → text``
+    callable, see ``functions/ocr.py``) is supplied, each image yields one
+    ``ocr_block`` span instead — the raw stream body is handed to the
+    engine (for DCTDecode images that body IS a JPEG file, which real
+    OCR stacks open directly; pdfium-style raster decode of
+    Flate-packed pixel buffers is out of scope here).
     Raises ValueError for structurally broken files (unterminated stream),
-    NotImplementedError for compressed/encrypted streams.
+    NotImplementedError for codec/encrypted TEXT streams or for a scanned
+    PDF with no OCR engine supplied.
     """
+    from ocr_suite_ray.schemas import KIND_OCR_BLOCK
+
     if not payload.startswith(PDF_MAGIC):
         raise ValueError("not a PDF payload")
     if b"stream" in payload and b"endstream" not in payload:
@@ -174,8 +194,12 @@ def extract_pdf(payload: bytes) -> dict:
     spans: list[tuple[int, int, str]] = []
     pos = 0
     dropped = 0
+    images: list[bytes] = []
     for m in _STREAM_RE.finditer(payload):
         dict_bytes = _stream_dict(payload, m.start())
+        if _IMAGE_RE.search(dict_bytes):
+            images.append(m.group(1))
+            continue
         body = _decode_stream(dict_bytes, m.group(1))
         texts = [_unescape(lit) for lit in _TJ_RE.findall(body)]
         block = collapse_ws(" ".join(t.decode("latin-1") for t in texts))
@@ -187,6 +211,22 @@ def extract_pdf(payload: bytes) -> dict:
         pieces.append(block)
         spans.append((pos, pos + len(block), KIND_PDF_BLOCK))
         pos += len(block)
+    if not pieces and images:
+        # image-only payload = scanned PDF -> the OCR lane
+        if ocr is None:
+            raise NotImplementedError("scanned (image-only) PDF needs an OCR engine")
+        for img in images:
+            block = collapse_ws(ocr(img))
+            if not block:
+                dropped += 1
+                continue
+            if pieces:
+                pos += 2
+            pieces.append(block)
+            spans.append((pos, pos + len(block), KIND_OCR_BLOCK))
+            pos += len(block)
+    else:
+        dropped += len(images)  # figures in a text PDF: classified, skipped
     if not pieces and b"stream" not in payload:
         raise ValueError("PDF with no content streams")
     return {

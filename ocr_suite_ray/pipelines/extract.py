@@ -112,6 +112,12 @@ class ExtractConfig:
     # automatically. Payload-level decode errors inside readable files are
     # already per-row status="error:..." records either way.
     on_bad_input: str = "raise"
+    # OCR engine for image-only (scanned) PDFs: None (default) keeps them
+    # deterministic error:NotImplementedError rows; "stub" uses the byte-
+    # deterministic fake; "real" requires pytesseract+pillow (guarded
+    # import); "auto" picks real when installed, stub otherwise. The engine
+    # is resolved ONCE per worker (warm TessBaseAPI analogue).
+    ocr_engine: str | None = None
 
 
 def list_pages_files(pages_dir: str) -> list[str]:
@@ -305,11 +311,12 @@ def _extract_ds(ds, cfg: ExtractConfig):
     main_kw: dict = {"batch_format": "pyarrow", "concurrency": cfg.pool_size}
     if cfg.batch_size is not None:
         main_kw["batch_size"] = cfg.batch_size
+    ctor = {"fn_constructor_kwargs": {"ocr_engine": cfg.ocr_engine}}
     if cfg.split_pdf_pool:
         html = ds.map_batches(
             lambda t: t.filter(pc.not_equal(t["payload_kind"], "pdf")),
             batch_format="pyarrow",
-        ).map_batches(PageExtractor, **main_kw)
+        ).map_batches(PageExtractor, **main_kw, **ctor)
         pdf = ds.map_batches(
             lambda t: t.filter(pc.equal(t["payload_kind"], "pdf")),
             batch_format="pyarrow",
@@ -318,9 +325,10 @@ def _extract_ds(ds, cfg: ExtractConfig):
             batch_format="pyarrow",
             batch_size=max(4, (cfg.batch_size or 128) // 8),
             concurrency=cfg.pdf_pool_size,
+            **ctor,
         )
         return html.union(pdf)
-    return ds.map_batches(PageExtractor, **main_kw)
+    return ds.map_batches(PageExtractor, **main_kw, **ctor)
 
 
 def _parquet_files_under(root: str) -> list[str]:
@@ -557,6 +565,7 @@ def _run_extract_phase_locked(
                         "tmp_dir": tmp_dir,
                         "member_box": member_box,
                         "debug_dir": debug_dir,
+                        "ocr_engine": cfg.ocr_engine,
                     },
                 }
                 if isinstance(cfg.pool_size, int):
@@ -571,6 +580,7 @@ def _run_extract_phase_locked(
                         tmp_dir,
                         member_box,
                         os.path.join(out_dir, "debug") if cfg.debug_dump else None,
+                        cfg.ocr_engine,
                     ),
                 }
                 stage = FusedExtractWriter
@@ -684,6 +694,7 @@ def fused_extract_task(
     tmp_dir: str,
     member_box: list,
     debug_dir: str | None = None,
+    ocr_engine: str | None = None,
 ) -> pa.Table:
     """Task-pool form of the fused wave stage: a plain ``map_batches``
     function with the warm state cached per WORKER PROCESS (module global
@@ -692,11 +703,11 @@ def fused_extract_task(
     of actor-process spawn+import per wave at 28-actor concurrency, the
     dominant fixed cost once the extract kernel got fast. Cache holds one
     entry (waves are sequential); a new wave's key evicts the old."""
-    key = (tmp_dir, member_box[0], debug_dir)
+    key = (tmp_dir, member_box[0], debug_dir, ocr_engine)
     writer = _FUSED_CACHE.get(key)
     if writer is None:
         _FUSED_CACHE.clear()
-        writer = FusedExtractWriter(tmp_dir, member_box, debug_dir)
+        writer = FusedExtractWriter(tmp_dir, member_box, debug_dir, ocr_engine)
         _FUSED_CACHE[key] = writer
     return writer(spec)
 
@@ -717,6 +728,7 @@ class FusedExtractWriter:
         tmp_dir: str,
         member_box: list,
         debug_dir: str | None = None,
+        ocr_engine: str | None = None,
     ) -> None:
         # NB: no runtime package imports here — this body runs in the worker,
         # which may not have the repo on sys.path (classes ship by value).
@@ -725,7 +737,7 @@ class FusedExtractWriter:
         import ray
 
         self._sink = _SinkWriter(tmp_dir)
-        self._extract = PageExtractor()
+        self._extract = PageExtractor(ocr_engine)
         self._member = DupMembership(ray.get(member_box[0]))
         self._units_dir = os.path.join(tmp_dir, _UNITS_DIR)
         self._debug_dir = debug_dir

@@ -62,3 +62,4 @@ KIND_HEADING = "heading"
 KIND_PARAGRAPH = "paragraph"
 KIND_LIST = "list"
 KIND_PDF_BLOCK = "pdf_block"
+KIND_OCR_BLOCK = "ocr_block"  # text recovered from an image-only (scanned) PDF

@@ -68,6 +68,94 @@ def jaccard(a: set, b: set) -> float:
 _GRAM_HASH_MEMO: dict = {}
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public domain constant set) — full-avalanche
+    64-bit diffusion, vectorized over a uint64 array."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _band_hashes(band_flat: np.ndarray) -> np.ndarray:
+    """64-bit hash per band row from its (rows_per_band,) signature slice —
+    FNV-1a fold over SplitMix64-diffused lanes, one vectorized pass over
+    ALL band rows. Replaces a per-band-row hashlib.blake2b Python loop
+    (~0.4 s per 10M-scale block, round-3 profile). Collisions can only ADD
+    candidate pairs (equal tuples always hash equal), and every candidate
+    is exact-verified, so the band-hash function never changes the final
+    pair set — the DuckDB oracle groups by the raw minima tuple."""
+    h = np.full(band_flat.shape[0], np.uint64(0xCBF29CE484222325))
+    for c in range(band_flat.shape[1]):
+        h = (h ^ _mix64(band_flat[:, c])) * np.uint64(0x100000001B3)
+    return _mix64(h)
+
+
+def _fast_gram_hashes(texts, k: int):
+    """md5-free word-k-gram hashes: per-occurrence 64-bit hashes with row
+    ids, NO gram-string materialization. Tokens are split once (Arrow),
+    hashed per DISTINCT token (pandas' C string hasher over the dictionary
+    only), and each window hash is a rolling multiply-add combine of its k
+    token hashes + a SplitMix64 finalize — three vectorized ops for k=3,
+    versus building and md5-ing every gram string (the round-3 profile's
+    5.2 s/block irreducible cost of md5 parity). Rows with < k words
+    contribute one whole-text gram (the rolling combine over all their
+    tokens), mirroring ``_shingles``. Returns ``(row_idx, hashes)``
+    unsorted; the caller dedups per row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lst = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(lst)
+    off = lst.offsets.to_numpy().astype(np.int64)
+    off = off - off[0]
+    n_tokens = off[1:] - off[:-1]
+    n_rows = len(n_tokens)
+    total = int(off[-1]) if len(off) else 0
+    enc = flat.dictionary_encode()
+    dh = pd.util.hash_array(enc.dictionary.to_numpy(zero_copy_only=False))
+    th = dh[enc.indices.to_numpy(zero_copy_only=False)]
+    M = np.uint64(0x9E3779B97F4A7C15)
+    row_parts, h_parts = [], []
+    nw = total - k + 1
+    if nw > 0:
+        h = th[:nw].copy()
+        for j in range(1, k):
+            h = h * M + th[j : j + nw]
+        h = _mix64(h)
+        # validity: a window is invalid iff it straddles a row boundary —
+        # mark the LAST k-1 window slots of each row invalid, O(rows·k)
+        # instead of O(tokens) repeat arrays
+        valid = np.ones(nw, dtype=bool)
+        for j in range(1, k):
+            cut = off[1:] - j
+            valid[cut[(cut >= 0) & (cut < nw)]] = False
+        idx = np.nonzero(valid)[0]
+        row_of = np.repeat(np.arange(n_rows, dtype=np.int64), n_tokens)
+        row_parts.append(row_of[idx])
+        h_parts.append(h[idx])
+    short = np.flatnonzero(n_tokens < k)
+    if len(short):
+        MASK = (1 << 64) - 1
+        M_i = 0x9E3779B97F4A7C15
+        accs = np.empty(len(short), dtype=np.uint64)
+        for i, r in enumerate(short):  # rare rows only
+            acc = int(th[off[r]])
+            for j in range(off[r] + 1, off[r + 1]):
+                acc = (acc * M_i + int(th[j])) & MASK
+            accs[i] = acc
+        row_parts.append(short.astype(np.int64))
+        h_parts.append(_mix64(accs))
+    if not row_parts:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    return np.concatenate(row_parts), np.concatenate(h_parts)
+
+
 
 def _minhash_sig(sh: set) -> np.ndarray:
     """128 x 64-bit universal-hash minima over the shingle set."""
@@ -159,71 +247,49 @@ def _distinct_word_kgrams(text: str, k: int) -> set:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_lsh_pairs(
-    ds,
+def signature_band_rows(
+    df: pd.DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    threshold: float = 0.5,
     k: int = 3,
-    num_partitions: int = 16,
-    narrow_verify_limit: int = 200_000,
-    max_bucket: int | None = None,
-):
-    """Candidate pairs via LSH banding, verified with exact shingle Jaccard.
+    gram_hash: str = "md5",
+    n_shards: int = 64,
+) -> pd.DataFrame:
+    """Batched MinHash signature + LSH banding kernel: one block of docs in,
+    ``(id, band, band_hash, shard)`` rows out (LSH_BANDS rows per doc).
 
-    The exchange carries NO text: (1) per-batch signatures (numpy), exploded
-    to (band, band_hash:int64, id) rows — 20 bytes per band row, so the ONE
-    banding shuffle moves ~640 B/doc (round 1 carried the full document text
-    x32 bands: a 3,200-TB exchange at 100 TB corpus scale); (2) per-bucket
-    candidate PAIRS of ids, deduped across bands inside a narrow remote tree
-    (candidate-bound — no second shuffle); (3) exact verification on the
-    candidate subset only: the candidate doc-id set is broadcast (object
-    store, dup-rate bound) and a second streaming pass over the input
-    computes the candidate docs' shingle sets — no full-corpus shuffle.
-    Verification itself is candidate-bound: below ``narrow_verify_limit``
-    pairs, one remote task verifies all pairs against the tree-merged
-    shingle table; above it, a distributed join + per-pair groupby does the
-    same with no single-task bound. No false positives (verified exactly),
-    recall identical to the text-carrying version (same banding), results
-    independent of partitioning."""
-    import ray
-    import ray.data as rd
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    ``gram_hash="md5"`` is bit-identical to the scalar
+    ``_minhash_sig(_shingles(t))`` path (equivalence unit-tested): one
+    vectorized gram build per block, md5 only per DISTINCT gram with a
+    per-worker memo, then the (a*h+b) mod p minima via chunked uint64
+    matrix math + ``np.minimum.reduceat`` over row offsets.
+    ``gram_hash="fast"`` skips gram-string materialization entirely
+    (:func:`_fast_gram_hashes`). Band hashes are one vectorized
+    :func:`_band_hashes` pass either way. The round-3 10M-doc drive
+    measured the per-doc Python loop this kernel replaced at ~1.5-2 ms/doc
+    (~10 min of the wall)."""
+    import pyarrow as _pa
 
-    from ocr_suite_ray.state.dupset import coalesce_reduce
-
-    _empty_pairs = pd.DataFrame(
-        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
-    )
-    _empty_out = pd.DataFrame(
-        {
-            "id_a": pd.Series(dtype="int64"),
-            "id_b": pd.Series(dtype="int64"),
-            "jaccard_e4": pd.Series(dtype="int64"),
-        }
-    )
-
-    n_shards = 64
-
-    def _band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        # batched signature kernel, bit-identical to the scalar
-        # _minhash_sig(_shingles(t)) path (equivalence unit-tested): one
-        # vectorized gram build per block, md5 only per DISTINCT gram with
-        # a per-worker memo (corpus grams repeat heavily), then the
-        # (a*h+b) mod p minima via chunked uint64 matrix math +
-        # np.minimum.reduceat over row offsets. The 10M-doc drive measured
-        # the per-doc Python loop at ~1.5-2 ms/doc (~10 min of the wall);
-        # this kernel is the simhash64_batch flatten-reduceat shape.
-        import pyarrow as _pa
-
+    texts = _pa.array(df[text_col].tolist(), _pa.string())
+    n_rows = len(texts)
+    if gram_hash == "fast":
+        row_idx, occ_h = _fast_gram_hashes(texts, k)
+        # per-row DISTINCT grams before the perm math (minima are set
+        # semantics); lexsort + adjacent-dup mask, no string round-trip
+        ordc = np.lexsort((occ_h, row_idx))
+        row_idx, occ_h = row_idx[ordc], occ_h[ordc]
+        if len(row_idx):
+            keep = np.ones(len(row_idx), dtype=bool)
+            keep[1:] = (row_idx[1:] != row_idx[:-1]) | (
+                occ_h[1:] != occ_h[:-1]
+            )
+            row_idx, occ_h = row_idx[keep], occ_h[keep]
+    else:
         from ocr_suite_ray.stages.contamination import _word_ngrams
 
-        texts = _pa.array(df[text_col].tolist(), _pa.string())
-        n_rows = len(texts)
         row_idx, grams = _word_ngrams(texts, k)
-        # rows with < k words contribute their whole text as the one gram
-        # (matching _shingles)
+        # rows with < k words contribute their whole text as the one
+        # gram (matching _shingles)
         have = np.zeros(n_rows, dtype=bool)
         have[row_idx] = True
         missing = np.flatnonzero(~have)
@@ -248,51 +314,123 @@ def minhash_lsh_pairs(
                 memo[g] = h
             hv_dict[di] = h
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        # per-row DISTINCT grams before the perm math (signature minima are
-        # set semantics — duplicates never change a min): cuts the matrix
-        # width ~3x on repetitive text
+        # per-row DISTINCT grams before the perm math (signature minima
+        # are set semantics — duplicates never change a min): cuts the
+        # matrix width ~3x on repetitive text
         comp = np.unique(row_idx * np.int64(len(dict_strs)) + codes)
         row_idx = comp // np.int64(len(dict_strs))
         codes = comp % np.int64(len(dict_strs))
         occ_h = hv_dict[codes]
-        counts = np.bincount(row_idx, minlength=n_rows)
-        offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        sig = np.empty((NUM_PERM, n_rows), dtype=np.uint64)
-        CH = 16  # perm chunk: CH x occurrences stays cache-sized
-        for p0 in range(0, NUM_PERM, CH):
-            prod = (
-                occ_h[None, :] * _PERM_A[p0 : p0 + CH, None]
-                + _PERM_B[p0 : p0 + CH, None]
-            ) % np.uint64(_MERSENNE)
-            for j in range(prod.shape[0]):
-                sig[p0 + j] = np.minimum.reduceat(prod[j], offsets)
-        sig_rows = np.ascontiguousarray(sig.T)  # (n_rows, 128), scalar layout
-        band_flat = sig_rows.reshape(n_rows * LSH_BANDS, ROWS_PER_BAND)
-        hashes = [
-            int.from_bytes(
-                hashlib.blake2b(band_flat[x].tobytes(), digest_size=8).digest(),
-                "little",
-            )
-            for x in range(band_flat.shape[0])
-        ]
-        ids = np.repeat(df[id_col].to_numpy(), LSH_BANDS)
-        bands = np.tile(np.arange(LSH_BANDS, dtype=np.int64), n_rows)
-        hv = np.array(hashes, dtype=np.uint64)
-        bv = bands.astype(np.uint64)
-        # coarse co-location key: ONE map_groups call per shard, not per
-        # bucket (a per-bucket UDF call is ~0.1 ms of pandas overhead x one
-        # call per (band, band_hash) — the corpus has ~32 buckets/doc, so
-        # per-bucket dispatch dominated the round-1 wall time)
-        shard = ((hv * np.uint64(0x9E3779B97F4A7C15) + bv) % np.uint64(n_shards)).astype(
-            np.int32
-        )
-        return pd.DataFrame(
-            {
-                id_col: pd.Series(ids, dtype="int64"),
-                "band": pd.Series(bands, dtype="int32"),
-                "band_hash": pd.Series(hv.view(np.int64)),
-                "shard": shard,
-            }
+    counts = np.bincount(row_idx, minlength=n_rows)
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    # perm values per block-DISTINCT gram hash, then a gather per
+    # occurrence: real web text repeats grams heavily across (not just
+    # within) docs, so the multiply+mod runs over ~4.5x fewer elements and
+    # the per-perm temporaries stay L2-sized instead of a (16, n_occ)
+    # broadcast allocation. Round-4 profile on a real 10M-corpus block:
+    # 5.9 s -> 0.99 s, bit-identical output.
+    uh, inv = np.unique(occ_h, return_inverse=True)
+    sig = np.empty((NUM_PERM, n_rows), dtype=np.uint64)
+    pv = np.empty(len(uh), np.uint64)
+    buf = np.empty(len(inv), np.uint64)
+    for p in range(NUM_PERM):
+        np.multiply(uh, _PERM_A[p], out=pv)
+        pv += _PERM_B[p]
+        pv %= np.uint64(_MERSENNE)
+        np.take(pv, inv, out=buf)
+        sig[p] = np.minimum.reduceat(buf, offsets)
+    sig_rows = np.ascontiguousarray(sig.T)  # (n_rows, 128), scalar layout
+    band_flat = sig_rows.reshape(n_rows * LSH_BANDS, ROWS_PER_BAND)
+    hv = _band_hashes(band_flat)  # one vectorized pass, no per-row loop
+    ids = np.repeat(df[id_col].to_numpy(), LSH_BANDS)
+    bands = np.tile(np.arange(LSH_BANDS, dtype=np.int64), n_rows)
+    bv = bands.astype(np.uint64)
+    # coarse co-location key: ONE map_groups call per shard, not per
+    # bucket (a per-bucket UDF call is ~0.1 ms of pandas overhead x one
+    # call per (band, band_hash) — the corpus has ~32 buckets/doc, so
+    # per-bucket dispatch dominated the round-1 wall time)
+    shard = ((hv * np.uint64(0x9E3779B97F4A7C15) + bv) % np.uint64(n_shards)).astype(
+        np.int32
+    )
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(ids, dtype="int64"),
+            "band": pd.Series(bands, dtype="int32"),
+            "band_hash": pd.Series(hv.view(np.int64)),
+            "shard": shard,
+        }
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    num_partitions: int = 16,
+    narrow_verify_limit: int = 200_000,
+    max_bucket: int | None = None,
+    gram_hash: str = "md5",
+):
+    """Candidate pairs via LSH banding, verified with exact shingle Jaccard.
+
+    The exchange carries NO text: (1) per-batch signatures (numpy), exploded
+    to (band, band_hash:int64, id) rows — 20 bytes per band row, so the ONE
+    banding shuffle moves ~640 B/doc (round 1 carried the full document text
+    x32 bands: a 3,200-TB exchange at 100 TB corpus scale); (2) per-bucket
+    candidate PAIRS of ids, deduped across bands inside a narrow remote tree
+    (candidate-bound — no second shuffle); (3) exact verification on the
+    candidate subset only: the candidate doc-id set is broadcast (object
+    store, dup-rate bound) and a second streaming pass over the input
+    computes the candidate docs' shingle sets — no full-corpus shuffle.
+    Verification itself is candidate-bound: below ``narrow_verify_limit``
+    pairs, one remote task verifies all pairs against the tree-merged
+    shingle table; above it, a distributed join + per-pair groupby does the
+    same with no single-task bound. No false positives (verified exactly),
+    recall identical to the text-carrying version (same banding), results
+    independent of partitioning.
+
+    ``gram_hash`` selects the shingle hash family:
+
+    - ``"md5"`` (default): low-8-bytes-of-md5 per gram — DuckDB's
+      ``md5_number_lower``, so the FULL chain carries a value-hash SQL
+      oracle. Cost: every gram string must be materialized and the
+      distinct ones md5-ed (~5.2 s per 10M-scale block, the round-3
+      profile's irreducible parity cost).
+    - ``"fast"``: md5-free engine path (:func:`_fast_gram_hashes`) — no
+      gram strings exist at all; window hashes are a vectorized rolling
+      combine of per-token hashes. Same MinHash estimator (any uniform
+      64-bit family is valid), statistically identical recall, byte-
+      different candidate sets — so no SQL twin; verification stays EXACT
+      (md5 shingle Jaccard), so false positives remain impossible. This
+      is the 100 TB path: the round-4 10M-doc drive is recorded in
+      BASELINE.md.
+    """
+    import ray
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    _empty_pairs = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+    _empty_out = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "jaccard_e4": pd.Series(dtype="int64"),
+        }
+    )
+
+    n_shards = 64
+
+    def _band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return signature_band_rows(
+            df, id_col=id_col, text_col=text_col, k=k,
+            gram_hash=gram_hash, n_shards=n_shards,
         )
 
     exploded = ds.map_batches(_band_rows, batch_format="pandas")

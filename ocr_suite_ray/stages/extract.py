@@ -76,14 +76,28 @@ def _result_table(batch: pa.Table, results: list[dict]) -> pa.Table:
     return pa.table({n: cols[n] for n in names})
 
 
+def _make_ocr(ocr_engine):
+    """Resolve an ExtractConfig.ocr_engine value to a warm per-actor OCR
+    callable (None stays None — scanned PDFs become error rows)."""
+    if ocr_engine is None:
+        return None
+    from ocr_suite_ray.functions.ocr import ocr_image_text, resolve_engine
+
+    engine = resolve_engine(ocr_engine)  # pin auto-> real/stub ONCE per actor
+    return lambda img: ocr_image_text(img, engine)
+
+
 class PageExtractor:
     """Single-pool extractor: sniffs per row, dispatches html/pdf."""
 
-    def __init__(self) -> None:
+    def __init__(self, ocr_engine: str | None = None) -> None:
         # Warm state: module-level compiled regexes are imported above; the
         # interned dispatch closure lives here (one per actor, reused across
-        # batches — the one-TessBaseAPI-per-thread analogue).
+        # batches — the one-TessBaseAPI-per-thread analogue). The OCR engine
+        # (guarded-import pytesseract or the deterministic stub) is resolved
+        # once per actor, the tesseract.cpp:59-76 warm-engine shape.
         self._extract = extract_payload
+        self._ocr = _make_ocr(ocr_engine)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # slice-as-you-go over the Arrow column: one payload is materialized
@@ -91,7 +105,7 @@ class PageExtractor:
         # full-batch to_pylist() copy held alongside the Arrow buffers —
         # halves peak per-task memory traffic on payload-heavy blocks
         ext = self._extract
-        results = [ext(v.as_py()) for v in batch["html"]]
+        results = [ext(v.as_py(), ocr=self._ocr) for v in batch["html"]]
         return _result_table(batch, results)
 
 
@@ -108,14 +122,17 @@ class HtmlExtractor:
 
 
 class PdfExtractor:
-    """Slow-lane pool (high-memory analogue of the VisionKit provider)."""
+    """Slow-lane pool (high-memory analogue of the VisionKit provider).
+    With an ``ocr_engine`` this pool IS the OCR lane: scanned (image-only)
+    PDFs routed here recognize via the warm per-actor engine."""
 
-    def __init__(self) -> None:
+    def __init__(self, ocr_engine: str | None = None) -> None:
         self._extract = extract_payload
+        self._ocr = _make_ocr(ocr_engine)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ext = self._extract
-        results = [ext(v.as_py(), KIND_PDF) for v in batch["html"]]
+        results = [ext(v.as_py(), KIND_PDF, ocr=self._ocr) for v in batch["html"]]
         return _result_table(batch, results)
 
 

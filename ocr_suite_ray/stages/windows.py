@@ -105,7 +105,15 @@ def rolling_mean(ds, key_col: str, ts_col: str, value_col: str,
     order — the sliding-window analogue of the reference's 5 s speed-meter
     window (``src/recognition/speed_meter.cpp:35-58``) as a data-plane op.
     Emits fixed-point int64 (floor(x*scale+0.5), DuckDB-ROUND compatible).
-    One groupby shuffle; ordering restored inside each group."""
+    One groupby shuffle; ordering restored inside each group.
+
+    Skew contract: ONE task holds ONE key's full history (the group must be
+    sorted before the window runs), so per-worker memory is
+    O(max_key_rows x ~40 B/row) — a 10^6-row hot key is ~40 MB (unit-
+    tested), a 10^8-row key ~4 GB and the documented bound. Beyond that,
+    pre-split the key by a coarse time range (day/month) and stitch the
+    window-1 boundary rows, or re-window the data model; the op raises no
+    silent truncation either way."""
     def _roll(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, order_tiebreak], kind="mergesort")
         m = g[value_col].rolling(window, min_periods=1).mean()
@@ -123,7 +131,14 @@ def group_quantiles(ds, key_col: str, value_col: str,
     """Exact per-group quantiles (linear interpolation — matches DuckDB's
     quantile_cont). Exact quantiles need the whole group; for sketch-based
     approximate quantiles at scale, pre-aggregate mergeable digests per
-    batch instead (see SNIPPETS/aggregation notes). Fixed-point output."""
+    batch instead (see SNIPPETS/aggregation notes). Fixed-point output.
+
+    Skew contract: ONE task sees ONE group's full value column — exactness
+    requires it. Per-worker memory is O(max_group_rows x 8 B): a 10^6-row
+    hot group is ~8 MB (unit-tested), 10^9 is ~8 GB and the bound. Past
+    that, exact-is-required callers should bucketize values first
+    (percentile_gate's distinct-value histogram shape); everyone else
+    should use the mergeable-sketch route (``sketches.quantile_hist``)."""
     import numpy as np
 
     def _q(g: pd.DataFrame) -> pd.DataFrame:
@@ -141,7 +156,15 @@ def sessionize(ds, key_col: str, ts_col: str, gap_s: float = 1800.0):
     gaps > gap_s; emit one row per session with start/end/count.
 
     Ordering assumption: none on input — each group is sorted inside the
-    UDF, so the result is independent of block layout."""
+    UDF, so the result is independent of block layout.
+
+    Skew contract: ONE task holds ONE key's full event history (session
+    boundaries are a sequential scan over the sorted stream). Per-worker
+    memory is O(max_key_rows x ~24 B): a 10^6-event hot key is ~24 MB
+    (unit-tested), 10^8 events ~2.4 GB and the documented bound. A key
+    hotter than that should be pre-split on a coarse calendar bucket wider
+    than any plausible session (e.g. week) — sessions never span the cut
+    if gap_s << bucket — then sessionized per (key, bucket)."""
     def _sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, "event_id"] if "event_id" in g else [ts_col])
         ts = g[ts_col]

@@ -591,3 +591,71 @@ def test_semantic_dedup_slab_equivalence_and_pair_cap(ray_session):
         semantic_dedup(
             rd.from_pandas(df), n_clusters=1, max_pairs=3, train_sample=len(df)
         ).materialize()
+
+
+def test_minhash_fast_gram_hash_path(ray_session):
+    """gram_hash='fast' (md5-free engine path): exact verification makes
+    false positives impossible and the planted near-identical pairs must
+    still surface; the result is deterministic and partition-invariant."""
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import (
+        _distinct_word_kgrams,
+        jaccard,
+        minhash_lsh_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(40):
+        docs.append(" ".join(rng.choice(vocab, 60)))
+    for i in range(0, 40, 4):  # plant near-dups: one word changed
+        w = docs[i].split(" ")
+        w[10] = "CHANGED"
+        docs.append(" ".join(w))
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+    got = (
+        minhash_lsh_pairs(rd.from_pandas(df).repartition(3), gram_hash="fast")
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    # no false positives: every emitted pair really has jaccard >= 0.5
+    shs = {i: set(_distinct_word_kgrams(t, 3)) for i, t in zip(df.doc_id, df.text)}
+    for r in got.itertuples():
+        assert jaccard(shs[r.id_a], shs[r.id_b]) >= 0.5
+        assert r.id_a < r.id_b
+    # recall: the planted pairs have jaccard ~0.9 — banding recall there is
+    # ~1-1e-4 per pair; all 10 must surface
+    planted = {(i, 40 + i // 4) for i in range(0, 40, 4)}
+    assert planted <= set(zip(got.id_a, got.id_b))
+    # partition invariance
+    again = (
+        minhash_lsh_pairs(rd.from_pandas(df).repartition(7), gram_hash="fast")
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert got.equals(again)
+
+
+def test_fast_gram_hashes_short_and_window_rows():
+    """The md5-free gram hasher: window count/row attribution matches the
+    string-building kernel; short rows (< k words) get exactly one gram."""
+    import pyarrow as pa
+
+    from ocr_suite_ray.stages.contamination import _word_ngrams
+    from ocr_suite_ray.stages.dedup_text import _fast_gram_hashes
+
+    texts = ["a b c d e", "hi", "", "x y z", "p q"]
+    rows_f, h_f = _fast_gram_hashes(pa.array(texts), 3)
+    rows_s, grams_s = _word_ngrams(pa.array(texts), 3)
+    import collections
+
+    n_f = collections.Counter(rows_f.tolist())
+    n_s = collections.Counter(rows_s.tolist())
+    # window rows agree with the string kernel; short rows add one gram
+    for r, txt in enumerate(texts):
+        want = n_s.get(r, 0) if len(txt.split(" ")) >= 3 else 1
+        assert n_f[r] == want, (r, txt)
+    # identical short texts hash identically; distinct ones differ
+    rows2, h2 = _fast_gram_hashes(pa.array(["hi", "hi", "yo"]), 3)
+    assert h2[0] == h2[1] != h2[2]

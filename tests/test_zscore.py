@@ -129,3 +129,40 @@ def test_zscore_degenerate_is_arrow_null(ray_session):
 
     t = pa.concat_tables([ray.get(r) for r in tbl])
     assert pc.sum(pc.cast(pc.is_null(t["z"]), pa.int64())).as_py() == 3
+
+
+def test_windows_hot_key_million_rows(ray_session):
+    """Skew-contract unit: one key holding 10^6 rows flows through
+    rolling_mean, sessionize, and group_quantiles (each documents
+    O(max_key_rows) per-worker memory — this pins the tested bound)."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.windows import (
+        group_quantiles,
+        rolling_mean,
+        sessionize,
+    )
+
+    n = 1_000_000
+    df = pd.DataFrame(
+        {
+            "user_id": np.zeros(n, dtype="int64"),  # ONE hot key
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime(
+                np.arange(n, dtype="int64") * 10, unit="s", origin="2024-01-01"
+            ),
+            "v": np.arange(n, dtype="float64") % 97,
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+
+    rm = rolling_mean(ds, "user_id", "ts", "v", "event_id", window=3)
+    assert rm.count() == n
+
+    # 10s spacing, gap 1800s -> one single session holding all 10^6 events
+    se = sessionize(ds, "user_id", "ts", gap_s=1800.0).take_all()
+    assert len(se) == 1 and se[0]["n_events"] == n
+
+    gq = group_quantiles(ds, "user_id", "v").take_all()
+    assert len(gq) == 1 and gq[0]["q50_fp"] == 480000
