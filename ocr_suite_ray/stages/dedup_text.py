@@ -509,19 +509,26 @@ def minhash_lsh_pairs(
 
     docs_c = ds.map_batches(_filter_cand, batch_format="pyarrow")
 
+    # shingle sets computed ONCE per candidate doc — shared by both verify
+    # routes. Packed as sorted uint64 LE blobs (large_binary), not
+    # large_list: Arrow's hash join rejects list payload columns, and a
+    # np.frombuffer unpack is zero-copy either way.
+    def _shingle_rows(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        grams = [
+            np.fromiter(sorted(s), np.uint64, len(s)).tobytes()
+            for s in (_shingles(x, k) for x in texts)
+        ]
+        return pa.table(
+            {
+                "__doc": t["__doc"],
+                "grams": pa.array(grams, pa.binary()),
+            }
+        )
+
     if n_cand <= narrow_verify_limit:
         # narrow verify: shingle sets for candidate docs merged in the tree,
         # all pairs checked in ONE remote task — zero additional shuffles
-        def _shingle_rows(t: pa.Table) -> pa.Table:
-            texts = t[text_col].to_pylist()
-            grams = [sorted(_shingles(x, k)) for x in texts]
-            return pa.table(
-                {
-                    "__doc": t["__doc"],
-                    "grams": pa.array(grams, pa.large_list(pa.uint64())),
-                }
-            )
-
         sh_ref = coalesce_reduce(
             docs_c.map_batches(_shingle_rows, batch_format="pyarrow"),
             lambda t: t,
@@ -546,7 +553,13 @@ def minhash_lsh_pairs(
                 sa, sb = by_id.get(a), by_id.get(b)
                 if sa is None or sb is None:
                     continue
-                jac = jaccard(set(sa), set(sb))
+                va = np.frombuffer(sa, np.uint64)
+                vb = np.frombuffer(sb, np.uint64)
+                if len(va) == 0 and len(vb) == 0:
+                    jac = 1.0
+                else:
+                    inter = np.intersect1d(va, vb, assume_unique=True).size
+                    jac = inter / (len(va) + len(vb) - inter)
                 if jac >= threshold:
                     ia.append(a)
                     ib.append(b)
@@ -561,48 +574,124 @@ def minhash_lsh_pairs(
 
         return rd.from_arrow_refs([_verify_all.remote(cand_ref, sh_ref)])
 
-    def _sides(t: pa.Table) -> pa.Table:
+    # wide verify (above narrow_verify_limit): grams are computed ONCE per
+    # candidate doc, then TWO bucket-shuffled map-side joins attach each
+    # side's packed gram blob to its pairs, and one vectorized map_batches
+    # computes exact Jaccard via sorted-array intersection. Replaces the
+    # round-3 shape — a text-carrying Dataset.join followed by one pandas
+    # map_groups call PER PAIR that re-shingled each doc once per pair it
+    # appeared in — which dominated the 10M-doc drive's wall (and OOMed
+    # its 16 text-carrying join partitions). ``Dataset.join`` itself is
+    # deliberately avoided here: partitions that receive zero rows of one
+    # side emit schema-less empty blocks in Ray 2.49, which crash any
+    # downstream keyed op (sparse candidate sets make that the common
+    # case) — the bucket groupby + per-partition pandas C merge is the
+    # repo's standard grouped_reduce_c shape and handles empty partitions.
+    # Requires ``id_col`` values to be unique (duplicate ids would fan the
+    # merge out). Partition count scales with candidate volume so one
+    # partition holds ~20k pairs' gram blobs (~100 MB).
+    gram_ds = docs_c.map_batches(_shingle_rows, batch_format="pyarrow")
+    n_parts = int(min(400, max(num_partitions, n_cand // 20_000 + 1)))
+    pairs_ds = rd.from_arrow_refs([cand_ref])
+
+    def _attach(pairs, key_name: str, out_name: str, extra: list):
+        """Bucket-join ``gram_ds`` onto ``pairs`` by ``key_name``: union the
+        two sides under one schema tagged with a hash bucket of the key,
+        then ONE groupby(part) + per-partition pandas merge (C kernel)."""
+
+        def _tag_pairs(t: pa.Table) -> pa.Table:
+            keys = t[key_name].to_numpy(zero_copy_only=False)
+            cols = {
+                "part": pa.array(
+                    pd.util.hash_array(keys.astype(np.int64)) % n_parts,
+                    pa.int32(),
+                ),
+                "key": pa.array(keys, pa.int64()),
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "grams": pa.nulls(t.num_rows, pa.binary()),
+                "role": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            }
+            for nm in extra:
+                cols[nm] = pc.cast(t[nm], pa.binary())
+            return pa.table(cols)
+
+        def _tag_grams(t: pa.Table, extra: list) -> pa.Table:
+            keys = t["__doc"].to_numpy(zero_copy_only=False)
+            z = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            cols = {
+                "part": pa.array(
+                    pd.util.hash_array(keys.astype(np.int64)) % n_parts,
+                    pa.int32(),
+                ),
+                "key": pa.array(keys, pa.int64()),
+                "id_a": z,
+                "id_b": z,
+                "grams": t["grams"],
+                "role": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            }
+            for nm in extra:
+                cols[nm] = pa.nulls(t.num_rows, pa.binary())
+            return pa.table(cols)
+
+        tagged = pairs.map_batches(_tag_pairs, batch_format="pyarrow").union(
+            gram_ds.map_batches(
+                lambda t: _tag_grams(t, extra), batch_format="pyarrow"
+            )
+        )
+
+        def _merge_part(g: pd.DataFrame) -> pa.Table:
+            gr = g[g["role"].to_numpy() == 1][["key", "grams"]]
+            pr = g[g["role"].to_numpy() == 0].drop(columns=["grams", "role", "part"])
+            m = pr.merge(gr, on="key", how="inner").drop(columns=["key"])
+            m = m.rename(columns={"grams": out_name})
+            # typed Arrow out (Ray's pandas block sizing chokes on empty
+            # object columns, and explicit types keep every block's schema
+            # identical for the next shuffle)
+            return pa.table(
+                {
+                    "id_a": pa.array(m["id_a"].to_numpy(np.int64, copy=False)),
+                    "id_b": pa.array(m["id_b"].to_numpy(np.int64, copy=False)),
+                    **{
+                        nm: pa.array(m[nm].tolist(), pa.binary())
+                        for nm in m.columns
+                        if nm.startswith("grams")
+                    },
+                }
+            )
+
+        return tagged.groupby("part").map_groups(_merge_part, batch_format="pandas")
+
+    j1 = _attach(pairs_ds, "id_a", "grams_a", extra=[])
+    j2 = _attach(j1, "id_b", "grams", extra=["grams_a"])
+
+    def _verify_batch(t: pa.Table) -> pa.Table:
+        ba = t["grams_a"].to_pylist()
+        bb = t["grams"].to_pylist()
+        ids_a = t["id_a"].to_numpy(zero_copy_only=False)
+        ids_b = t["id_b"].to_numpy(zero_copy_only=False)
+        ka, kb, je = [], [], []
+        for i in range(t.num_rows):
+            a = np.frombuffer(ba[i], np.uint64)
+            b = np.frombuffer(bb[i], np.uint64)
+            if len(a) == 0 and len(b) == 0:
+                jac = 1.0
+            else:
+                inter = np.intersect1d(a, b, assume_unique=True).size
+                jac = inter / (len(a) + len(b) - inter)
+            if jac >= threshold:
+                ka.append(ids_a[i])
+                kb.append(ids_b[i])
+                je.append(int(np.floor(jac * 10000 + 0.5)))
         return pa.table(
             {
-                "__doc": pa.concat_arrays(
-                    [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()]
-                ),
-                "id_a": pa.concat_arrays(
-                    [t["id_a"].combine_chunks(), t["id_a"].combine_chunks()]
-                ),
-                "id_b": pa.concat_arrays(
-                    [t["id_b"].combine_chunks(), t["id_b"].combine_chunks()]
-                ),
+                "id_a": pa.array(ka, pa.int64()),
+                "id_b": pa.array(kb, pa.int64()),
+                "jaccard_e4": pa.array(je, pa.int64()),
             }
         )
 
-    sides = rd.from_arrow_refs([cand_ref]).map_batches(_sides, batch_format="pyarrow")
-    joined = sides.join(
-        docs_c, join_type="inner", on=("__doc",), num_partitions=num_partitions
-    )
-
-    def _verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=["__doc"])
-        if len(g) != 2:
-            return _empty_out
-        g = g.sort_values("__doc")
-        a, b = g[text_col].iloc[0], g[text_col].iloc[1]
-        jac = jaccard(_shingles(a, k), _shingles(b, k))
-        if jac < threshold:
-            return _empty_out
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series([g["id_a"].iloc[0]], dtype="int64"),
-                "id_b": pd.Series([g["id_b"].iloc[0]], dtype="int64"),
-                "jaccard_e4": pd.Series(
-                    [int(np.floor(jac * 10000 + 0.5))], dtype="int64"
-                ),
-            }
-        )
-
-    return joined.groupby(["id_a", "id_b"]).map_groups(
-        _verify, batch_format="pandas"
-    )
+    return j2.map_batches(_verify_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

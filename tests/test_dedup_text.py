@@ -78,6 +78,26 @@ def test_minhash_pairs_independent_of_partitioning(ray_session):
     assert sorted(a, key=key) == sorted(b, key=key)
 
 
+def test_minhash_wide_verify_matches_narrow(ray_session):
+    """The distributed (gram-join) verify route must emit the exact same
+    pair set AND jaccard_e4 values as the single-task narrow route —
+    ``narrow_verify_limit=0`` forces every candidate through the wide path."""
+    import ray.data as rd
+
+    df = _mk_corpus()
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard_e4"])
+    for mode in ("md5", "fast"):
+        narrow = minhash_lsh_pairs(
+            rd.from_pandas(df), threshold=0.5, gram_hash=mode
+        ).take_all()
+        wide = minhash_lsh_pairs(
+            rd.from_pandas(df).repartition(5), threshold=0.5,
+            narrow_verify_limit=0, gram_hash=mode,
+        ).take_all()
+        assert sorted(narrow, key=key) == sorted(wide, key=key)
+        assert len(narrow) > 0
+
+
 def test_ngram_jaccard_blocked_matches_exact(ray_session):
     import ray.data as rd
 
