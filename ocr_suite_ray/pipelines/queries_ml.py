@@ -405,13 +405,18 @@ WHERE CAST(ROUND(list_cosine_similarity(
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF approximate top-k cosine (k-means coarse quantizer + inverted
-    lists, nprobe-limited search) — the other scale path besides LSH.
-    Approximate → rows-only; recall vs brute force asserted in tests."""
+    """IVF top-k cosine (k-means coarse quantizer + inverted lists), run
+    with ``nprobe = n_lists`` — the oracle-mode configuration: probing
+    every list scores every vector, so the IVF machinery (assignment,
+    inverted-list search, per-query local top-k, keyed top-k merge with
+    the (score DESC, id ASC) tie-break) must reproduce the brute-force
+    answer EXACTLY, and the row carries the same DuckDB twin as
+    ``knn_cosine``. The nprobe < n_lists approximation regime keeps its
+    recall-vs-brute oracles in tests/test_similarity.py."""
     from ocr_suite_ray.stages.similarity import ivf_knn
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return ivf_knn(ds, _query_vectors(sf_dir), k=10, n_lists=16, nprobe=8)
+    return ivf_knn(ds, _query_vectors(sf_dir), k=10, n_lists=16, nprobe=16)
 
 
 def q_cluster_dedup(sf_dir: str):
@@ -922,6 +927,77 @@ def q_bpe_stats(sf_dir: str):
     return bpe_encode(ds, merges_ref)
 
 
+def q_bpe_merges(sf_dir: str):
+    """First 4 BPE merges learned from the corpus word-type table —
+    the oracle-mode window into ``bpe_train_ref``: every distributed piece
+    (per-block token partials, the vocab-keyed tree reduce, the merge
+    loop's count-then-lex-last argmax and greedy left-to-right merge
+    application) must reproduce DuckDB's unrolled 4-step recursion
+    exactly. The 64-merge production row (``bpe_stats``) keeps its
+    sequential pure-python oracle in tests."""
+    import ray
+    import pyarrow as pa_mod
+
+    from ocr_suite_ray.stages.text_ops import bpe_train_ref
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = ray.get(bpe_train_ref(ds, n_merges=4))
+    return pa_mod.table(
+        {
+            "step": pa_mod.array(range(1, len(merges) + 1), pa_mod.int64()),
+            "lhs": pa_mod.array([a for a, _ in merges], pa_mod.string()),
+            "rhs": pa_mod.array([b for _, b in merges], pa_mod.string()),
+        }
+    )
+
+
+# Each wN is the word-type table as a chr(31)-delimited symbol string
+# ('\x1f sym \x1f\x1f sym \x1f...'): double inner delimiters make one
+# SQL replace() exactly the greedy non-overlapping left-to-right merge
+# scan, and mN picks max (count, lhs, rhs) — the engine's
+# count-then-lexicographically-last tie-break.
+_BPE_STEP = """
+p{i} AS (
+  SELECT pr[1] AS a, pr[2] AS b, SUM(n) AS cnt FROM (
+    SELECT n, unnest(list_zip(syms[:-1], syms[2:])) AS pr FROM (
+      SELECT n, str_split(trim(s, chr(31)), chr(31) || chr(31)) AS syms
+      FROM w{h}
+    )
+  ) WHERE pr[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+m{i} AS (SELECT a, b FROM p{i} ORDER BY cnt DESC, a DESC, b DESC LIMIT 1),
+w{i} AS (
+  SELECT w.tok, w.n,
+         replace(w.s, chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
+                 chr(31) || m.a || m.b || chr(31)) AS s
+  FROM w{h} w, m{i} m
+)"""
+
+SQL_BPE_MERGES = (
+    """
+WITH w0 AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+         chr(31) || array_to_string(
+             list_transform(range(1, length(tok) + 1),
+                            i -> substring(tok, i, 1)),
+             chr(31) || chr(31)) || chr(31) AS s
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok
+),
+"""
+    + ",\n".join(_BPE_STEP.format(i=i, h=i - 1) for i in range(1, 5))
+    + """
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs FROM m1
+  UNION ALL SELECT 2, a, b FROM m2
+  UNION ALL SELECT 3, a, b FROM m3
+  UNION ALL SELECT 4, a, b FROM m4
+) ORDER BY step
+"""
+)
+
+
 def q_curation_v2(sf_dir: str):
     """Full-stack curation composite: quality gate (>= 70) → benchmark
     decontamination (drop docs sharing a word-5-gram with the eval slice
@@ -1169,16 +1245,42 @@ SELECT doc_id, term, score_e4 FROM ranked WHERE rn <= 3
 
 
 def q_semantic_dedup(sf_dir: str):
-    """SemDeDup: k-means clusters over the embeddings table, within-cluster
-    cosine >= 0.40 components collapsed to their min-id representative
-    (0.40 matches ``embedding_near_dup``'s threshold — the sf embeddings
-    are near-uniform, max pairwise cosine ~0.51). Approximate (k-means is
-    not SQL-expressible) — rows-only driver check; the exact-semantics
-    differential oracle lives in tests/test_dedup_text.py."""
+    """SemDeDup over the embeddings table, run at ``n_clusters=1`` — the
+    oracle-mode configuration: with ONE cluster the k-means partition has
+    no effect (every row argmaxes to the single centroid), so the result
+    is EXACTLY the connected components of the cosine >= 0.40 graph with
+    the min-id representative kept — fully SQL-expressible (recursive
+    min-label closure, same pattern as SQL_CLUSTER_DEDUP). The k > 1
+    production path (identical code, only the partition differs) keeps its
+    exact-semantics differential + partition-invariance oracles in
+    tests/test_dedup_text.py. 0.40 matches ``embedding_near_dup``'s
+    threshold — the sf embeddings are near-uniform, max pairwise cosine
+    ~0.51."""
     from ocr_suite_ray.stages.similarity import semantic_dedup
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return semantic_dedup(ds, threshold_e4=4000, n_clusters=8)
+    return semantic_dedup(ds, threshold_e4=4000, n_clusters=1)
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE CAST(ROUND(list_cosine_similarity(
+            CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000, 0)
+         AS BIGINT) >= 4000
+), edges AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+), reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS vec_id, CAST(0 AS BIGINT) AS cluster,
+       MIN(lab) AS rep_id,
+       CAST(MIN(lab) <> node AS BIGINT) AS is_dup
+FROM reach GROUP BY node
+"""
 
 
 def q_decontaminate(sf_dir: str):
@@ -1564,11 +1666,12 @@ ML_QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "substring_dup_pairs": (q_substring_dup, SQL_SUBSTRING_DUP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "semantic_dedup": (q_semantic_dedup, None),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
     "bpe_stats": (q_bpe_stats, None),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "dsir_weights": (q_dsir_weights, SQL_DSIR),
     "shuffle_shards": (q_shuffle_shards, SQL_SHUFFLE_SHARDS),
@@ -1587,7 +1690,7 @@ ML_QUERIES = {
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ann_lsh_pairs": (q_ann_lsh, None),
-    "ann_ivf_knn": (q_ann_ivf, None),
+    "ann_ivf_knn": (q_ann_ivf, SQL_KNN_COSINE),
     "cluster_dedup": (q_cluster_dedup, SQL_CLUSTER_DEDUP),
     "curation_pipeline": (q_curation, SQL_CURATION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
