@@ -3,14 +3,15 @@ actor-pool decode/feature stages.
 
 This is the direct descendant of the reference's core loop — a binary frame
 payload fed to a warm per-worker engine (``decoder.h:48-54`` frame bytes →
-``tesseract.cpp:80-120`` recognize). The container has no image/audio codecs,
-so the *decode kernel* is stubbed two ways (per the build brief):
+``tesseract.cpp:80-120`` recognize). Decode dispatches per actor
+(``ImageDecoder``, same guarded-import pattern as ``functions/ocr.py``):
 
-- ``FakeDecoder``: a deterministic stand-in (blake2b-derived pseudo pixels /
-  dimensions) so the Ray-side plumbing — schema, batch sizing, actor pool,
-  output layout — is real and testable end-to-end;
-- ``codec="real"`` raises ``NotImplementedError`` at actor construction,
-  marking exactly where pillow/ffmpeg would slot in.
+- ``codec="real"``: pillow — fails fast at actor construction when absent;
+- ``codec="fake"`` (``FakeDecoder``): a deterministic stand-in
+  (blake2b-derived pseudo pixels/dimensions) with the SAME output schema,
+  so the Ray-side plumbing — batch sizing, actor pool, output layout — is
+  real and testable end-to-end in this codec-less container;
+- ``codec="auto"``: real when pillow imports, else the stub.
 
 Batch sizing: media rows are wide — callers should pass small ``batch_size``
 (default 16) and bound ``concurrency`` so batch x pool fits worker heaps
@@ -50,20 +51,46 @@ def attach_media_meta(batch: pa.Table, payload_col: str = "payload") -> pa.Table
     return batch.append_column("media_meta", pa.array(metas, MEDIA_META_TYPE))
 
 
-class FakeDecoder:
-    """Actor-pool decode stage with a deterministic fake kernel.
+def _pil():
+    """Guarded pillow import (same pattern as functions/ocr.py): the module
+    when importable, else None. Resolved per process — a cluster where some
+    nodes carry codecs and some don't should pin decode stages with
+    resources, not rely on auto."""
+    try:
+        from PIL import Image  # type: ignore
 
-    Output columns: width, height, n_channels, feature (list<float> 16-dim
-    pseudo-histogram). Everything derives from blake2b(payload) so results
-    are reproducible at any parallelism. Replace ``_decode`` with a real
-    codec call (pillow / pyav) in production."""
+        return Image
+    except Exception:
+        return None
 
-    def __init__(self, codec: str = "fake") -> None:
-        if codec != "fake":
-            raise NotImplementedError(
-                "real media codecs are not available in this container; "
-                "use codec='fake' (deterministic stub) or install pillow/pyav"
-            )
+
+class ImageDecoder:
+    """Actor-pool decode stage with a per-actor codec dispatch.
+
+    ``codec="real"``: pillow behind a guarded import — raises ImportError
+    at ACTOR CONSTRUCTION (not mid-batch) when pillow is absent, so a
+    misconfigured pool fails fast. ``codec="fake"``: the deterministic
+    blake2b stand-in (this container has no codecs). ``codec="auto"``:
+    real when pillow imports, else fake.
+
+    Output columns either way: width, height, n_channels, feature
+    (list<float> 16-dim normalized intensity histogram for real decodes, a
+    blake2b pseudo-histogram for the stub) — same schema, so pipelines are
+    codec-agnostic. Reference analogue: the per-worker warm decode engine
+    (``decoder.h:48-54`` frame bytes in, planes out)."""
+
+    def __init__(self, codec: str = "auto") -> None:
+        if codec == "auto":
+            codec = "real" if _pil() is not None else "fake"
+        if codec == "real":
+            self._image_mod = _pil()
+            if self._image_mod is None:
+                raise ImportError(
+                    "ImageDecoder(codec='real') needs pillow; install it "
+                    "or use codec='fake' (deterministic stub)"
+                )
+        elif codec != "fake":
+            raise ValueError(f"unknown codec {codec!r}")
         self._codec = codec
 
     @staticmethod
@@ -75,14 +102,24 @@ class FakeDecoder:
         feats = feats / 65535.0
         return width, height, 3, feats
 
+    def _decode_real(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        import io
+
+        im = self._image_mod.open(io.BytesIO(payload or b""))
+        arr = np.asarray(im.convert("L"), dtype=np.float64)
+        hist, _ = np.histogram(arr, bins=16, range=(0.0, 256.0))
+        feats = hist.astype(np.float64) / max(1, arr.size)
+        return int(im.width), int(im.height), len(im.getbands()), feats
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        kernel = self._decode_real if self._codec == "real" else self._decode
         widths, heights, chans, feats = [], [], [], []
         for v in batch["payload"].to_pylist():
-            w, hgt, c, f = self._decode(v)
+            w, hgt, c, f = kernel(v)
             widths.append(w)
             heights.append(hgt)
             chans.append(c)
-            feats.append(f.tolist())
+            feats.append(np.asarray(f, dtype=np.float64).tolist())
         drop = [c for c in ("payload",) if c in batch.column_names]
         out = batch.drop_columns(drop)
         out = out.append_column("width", pa.array(widths, pa.int32()))
@@ -90,6 +127,20 @@ class FakeDecoder:
         out = out.append_column("n_channels", pa.array(chans, pa.int32()))
         out = out.append_column("feature", pa.array(feats, pa.list_(pa.float32())))
         return out
+
+
+class FakeDecoder(ImageDecoder):
+    """The deterministic stub pinned down as its own class: always the
+    blake2b kernel; asking it for a real codec is a contract error
+    (NotImplementedError) — use :class:`ImageDecoder` for dispatch."""
+
+    def __init__(self, codec: str = "fake") -> None:
+        if codec != "fake":
+            raise NotImplementedError(
+                "FakeDecoder is the deterministic stub; use "
+                "ImageDecoder(codec='real'|'auto') for pillow dispatch"
+            )
+        super().__init__(codec="fake")
 
 
 class FrameSampler:
@@ -123,10 +174,12 @@ class FrameSampler:
         )
 
 
-def decode_media(ds, batch_size: int = 16, concurrency=(1, 4)):
-    """Standard decode pipeline step: small batches, bounded actor pool."""
+def decode_media(ds, batch_size: int = 16, concurrency=(1, 4), codec: str = "auto"):
+    """Standard decode pipeline step: small batches, bounded actor pool,
+    pillow when available (``codec="auto"``), deterministic stub otherwise."""
     return ds.map_batches(
-        FakeDecoder,
+        ImageDecoder,
+        fn_constructor_kwargs={"codec": codec},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

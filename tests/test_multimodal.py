@@ -31,6 +31,46 @@ def test_real_codec_is_explicit_stub():
         FakeDecoder(codec="real")
 
 
+def test_image_decoder_dispatch(monkeypatch):
+    """ImageDecoder: 'real' fails fast without pillow, 'auto' falls back to
+    the stub, and with a (mocked) pillow present the real kernel drives the
+    same output schema — the production dispatch is exercised end-to-end
+    even in this codec-less container."""
+    import numpy as np
+
+    from ocr_suite_ray.stages import multimodal as mm
+
+    if mm._pil() is None:
+        with pytest.raises(ImportError):
+            mm.ImageDecoder(codec="real")
+        assert mm.ImageDecoder(codec="auto")._codec == "fake"
+
+    class _Img:
+        width, height = 7, 5
+
+        def convert(self, mode):
+            return np.zeros((5, 7), dtype=np.uint8)
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+    class _FakePIL:
+        @staticmethod
+        def open(fp):
+            return _Img()
+
+    monkeypatch.setattr(mm, "_pil", lambda: _FakePIL)
+    dec = mm.ImageDecoder(codec="auto")
+    assert dec._codec == "real"
+    out = dec(_media_table(4))
+    assert out.column_names[-4:] == ["width", "height", "n_channels", "feature"]
+    row = out.slice(0, 1).to_pylist()[0]
+    assert (row["width"], row["height"], row["n_channels"]) == (7, 5, 3)
+    # all-zero image -> all mass in the first histogram bin
+    assert row["feature"][0] == pytest.approx(1.0)
+    assert sum(row["feature"][1:]) == pytest.approx(0.0)
+
+
 def test_attach_media_meta_schema():
     out = attach_media_meta(_media_table())
     m = out.column("media_meta").to_pylist()[0]
