@@ -433,7 +433,13 @@ def minhash_lsh_pairs(
             gram_hash=gram_hash, n_shards=n_shards,
         )
 
-    exploded = ds.map_batches(_band_rows, batch_format="pandas")
+    # batch_size pinned at 1024: the signature kernel's perm math runs per
+    # block-DISTINCT gram hash, and its speed rests on those temporaries
+    # staying cache-sized — at ~1k docs/batch the distinct-gram array is
+    # ~400k entries (~3 MB, L3-resident; 0.58 ms/doc), while a whole 50k-row
+    # block makes it ~19M entries (~150 MB) and 2.3x slower per doc
+    # (measured on the 10M corpus — the round-4 drive's first stall)
+    exploded = ds.map_batches(_band_rows, batch_format="pandas", batch_size=1024)
 
     def _shard_cand(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized singleton elimination: only buckets holding >= 2 docs
