@@ -788,10 +788,19 @@ def simhash_table(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(_sh, batch_format="pandas")
 
 
-def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):
+def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3, max_bucket: int | None = None):
     """Near-dup pairs by SimHash: band the 64 bits into max_hamming+1 chunks
     (pigeonhole: any pair within the radius shares >= 1 exact chunk), ONE
-    groupby on (chunk_idx, chunk_value), verify Hamming inside buckets."""
+    groupby on (chunk_idx, chunk_value), verify Hamming inside buckets.
+
+    ``max_bucket`` is the standard mass-duplicate cap (same contract as
+    ``minhash_lsh_pairs``): pairing is quadratic per chunk bucket, and a
+    bucket holding thousands of docs means near-identical mass duplicates
+    (the 10M drive corpus carries a 12k-doc identical-text cluster —
+    ~74M pairs x 4 chunks from that one cluster alone; run exact/cluster
+    dedup first). Opt-in: ``None`` (the sf oracle setting) enumerates
+    every pair."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
 
@@ -831,6 +840,9 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
         g = g.drop_duplicates(subset=["chunk", "chunk_val", id_col])
         sizes = g.groupby(["chunk", "chunk_val"])[id_col].transform("size")
         multi = g[sizes.to_numpy() > 1]
+        if max_bucket is not None and not multi.empty:
+            sz = multi.groupby(["chunk", "chunk_val"])[id_col].transform("size")
+            multi = multi[sz.to_numpy() <= max_bucket]
         if multi.empty:
             return pd.DataFrame(
                 {
@@ -893,6 +905,7 @@ def substring_dup_pairs(
     text_col: str = "text",
     k: int = SUBSTR_K,
     modulus: int = SUBSTR_MOD,
+    max_gram_docs: int | None = None,
 ):
     """Pairs of documents sharing at least one exact ``k``-character
     substring, with the count of distinct shared anchor grams — the
@@ -980,6 +993,15 @@ def substring_dup_pairs(
     def _shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g.groupby("gram")[id_col].transform("size")
         multi = g[sizes.to_numpy() > 1]
+        if max_gram_docs is not None and not multi.empty:
+            # frequency cap (Lee et al. drop ultra-common substrings the
+            # same way): a gram carried by thousands of docs is template
+            # boilerplate or a mass-duplicate cluster — quadratic pairing
+            # on it would dominate the whole job while adding no signal
+            # about SPECIFIC pairs. Opt-in: None (the sf oracle setting)
+            # enumerates every pair.
+            sz = multi.groupby("gram")[id_col].transform("size")
+            multi = multi[sz.to_numpy() <= max_gram_docs]
         if multi.empty:
             return _empty
         ra, rb, rg = [], [], []

@@ -537,6 +537,57 @@ def test_minhash_max_bucket_skips_mega_buckets(ray_session):
     assert not any(a < 40 and b < 40 for a, b in pairs)  # mega-bucket skipped
 
 
+def test_simhash_max_bucket_skips_mega_buckets(ray_session):
+    """simhash_pairs(max_bucket=...) mirrors the minhash cap: quadratic
+    pairing skips chunk buckets above the cap (mass-identical docs), while
+    small-bucket pairs still surface."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import simhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [base] * 40 + [
+        "red green blue cyan magenta yellow black white gray pink",
+        "red green blue cyan magenta yellow black white gray pink",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    cp = simhash_pairs(rd.from_pandas(df).repartition(3), max_bucket=8).to_pandas()
+    pairs = set(zip(cp["id_a"], cp["id_b"]))
+    assert (40, 41) in pairs                             # small bucket pairs
+    assert not any(a < 40 and b < 40 for a, b in pairs)  # mega-bucket skipped
+    uncapped = simhash_pairs(rd.from_pandas(df)).to_pandas()
+    up = set(zip(uncapped["id_a"], uncapped["id_b"]))
+    assert any(a < 40 and b < 40 for a, b in up)  # default enumerates all
+    # whatever the capped run emits must be a subset of the uncapped truth
+    assert pairs <= up
+
+
+def test_substring_max_gram_docs_caps_boilerplate(ray_session):
+    """substring_dup_pairs(max_gram_docs=...) drops ultra-common anchor
+    grams (template boilerplate / mass dups) from quadratic pairing."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import substring_dup_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again and again forever "
+    rare = "completely unique sentinel block that only two documents carry here "
+    docs = [shared * 3 + f"tail {i}" for i in range(30)]
+    docs += [rare * 3 + " one", rare * 3 + " two"]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    capped = substring_dup_pairs(
+        rd.from_pandas(df).repartition(3), max_gram_docs=8
+    ).to_pandas()
+    pairs = set(zip(capped["id_a"], capped["id_b"]))
+    assert (30, 31) in pairs                   # rare-gram pair survives
+    assert not any(a < 30 and b < 30 for a, b in pairs)  # boilerplate capped
+    full = substring_dup_pairs(rd.from_pandas(df)).to_pandas()
+    fp = set(zip(full["id_a"], full["id_b"]))
+    assert any(a < 30 and b < 30 for a, b in fp)  # default enumerates all
+    assert pairs <= fp
+
+
 def test_batched_band_rows_match_scalar_signatures(ray_session):
     """The batched MinHash kernel must reproduce the scalar
     _minhash_sig(_shingles(t)) banding bit-for-bit, including short docs
