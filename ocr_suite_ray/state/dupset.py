@@ -48,7 +48,22 @@ def tree_reduce_refs(refs: list, combine_fn, final_fn=None, materialize: bool = 
 
     @ray.remote
     def _merge(final: bool, *tables):
-        live = [t for t in tables if t is not None and t.num_rows > 0]
+        import pandas as _pd
+
+        live = []
+        for t in tables:
+            if t is None:
+                continue
+            if isinstance(t, _pd.DataFrame):
+                # raw Dataset blocks can be pandas (map_groups output);
+                # normalize here instead of Dataset.to_arrow_refs (see
+                # coalesce_reduce for why that API is avoided)
+                if len(t) == 0:
+                    continue
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            elif t.num_rows == 0:
+                continue
+            live.append(t)
         if not live:
             return None
         t = combine_fn(pa.concat_tables(live).combine_chunks())
@@ -76,8 +91,18 @@ def coalesce_reduce(ds, combine_fn, final_fn=None, materialize: bool = True):
     combine_fn nor final_fn can be safely applied to them.
 
     ``materialize=False`` returns the root ObjectRef instead of the value —
-    the result never touches the driver."""
-    return tree_reduce_refs(ds.to_arrow_refs(), combine_fn, final_fn, materialize)
+    the result never touches the driver.
+
+    Block refs are taken RAW from ``iter_internal_ref_bundles()``, not via
+    ``Dataset.to_arrow_refs()``: that API follows its execution with
+    ``schema(fetch_if_missing=True)``, and on a post-shuffle dataset the
+    schema is not cached — the probe re-runs the ENTIRE upstream pipeline
+    (sort barrier included) as a limit-1 plan. The round-4 10M minhash
+    drive measured that as a full second 399 s candidate-generation pass.
+    Pandas blocks (map_groups output) are normalized to Arrow inside the
+    first merge task instead."""
+    refs = [r for b in ds.iter_internal_ref_bundles() for r in b.block_refs]
+    return tree_reduce_refs(refs, combine_fn, final_fn, materialize)
 
 
 def dup_key_table_ref_from_files(
