@@ -596,7 +596,16 @@ def minhash_lsh_pairs(
     # Requires ``id_col`` values to be unique (duplicate ids would fan the
     # merge out). Partition count scales with candidate volume so one
     # partition holds ~20k pairs' gram blobs (~100 MB).
-    gram_ds = docs_c.map_batches(_shingle_rows, batch_format="pyarrow")
+    #
+    # Both the gram table and the round-1 output are MATERIALIZED (object
+    # store, spillable — both are candidate-bound, never corpus-bound).
+    # Deliberate: (a) the gram table feeds both rounds, so materializing
+    # it halves the corpus reads; (b) chaining round 1's sort into round
+    # 2's union+sort in ONE streaming plan deadlocked the executor's
+    # reservation-based backpressure on the 10M drive (0 running tasks,
+    # every operator [backpressured], no progress for 7+ min) — one
+    # barrier per plan keeps the executor live.
+    gram_ds = docs_c.map_batches(_shingle_rows, batch_format="pyarrow").materialize()
     n_parts = int(min(400, max(num_partitions, n_cand // 20_000 + 1)))
     pairs_ds = rd.from_arrow_refs([cand_ref])
 
@@ -668,7 +677,7 @@ def minhash_lsh_pairs(
 
         return tagged.groupby("part").map_groups(_merge_part, batch_format="pandas")
 
-    j1 = _attach(pairs_ds, "id_a", "grams_a", extra=[])
+    j1 = _attach(pairs_ds, "id_a", "grams_a", extra=[]).materialize()
     j2 = _attach(j1, "id_b", "grams", extra=["grams_a"])
 
     def _verify_batch(t: pa.Table) -> pa.Table:
