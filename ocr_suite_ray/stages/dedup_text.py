@@ -362,6 +362,79 @@ def signature_band_rows(
     )
 
 
+def _verify_gram_blobs(ba, bb, ids_a, ids_b, threshold: float):
+    """Exact Jaccard over packed sorted-uint64 gram blobs, one row per
+    candidate pair; emits only pairs at/above threshold. Shared by both
+    wide-verify routes."""
+    import pyarrow as pa
+
+    ka, kb, je = [], [], []
+    for i in range(len(ba)):
+        a = np.frombuffer(ba[i], np.uint64)
+        b = np.frombuffer(bb[i], np.uint64)
+        if len(a) == 0 and len(b) == 0:
+            jac = 1.0
+        else:
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            jac = inter / (len(a) + len(b) - inter)
+        if jac >= threshold:
+            ka.append(ids_a[i])
+            kb.append(ids_b[i])
+            je.append(int(np.floor(jac * 10000 + 0.5)))
+    return pa.table(
+        {
+            "id_a": pa.array(ka, pa.int64()),
+            "id_b": pa.array(kb, pa.int64()),
+            "jaccard_e4": pa.array(je, pa.int64()),
+        }
+    )
+
+
+class _ProbeVerifier:
+    """Actor-pool wide-verify kernel: each pair batch joins (Arrow C hash
+    join) against every gram block — zero-copy plasma reads, the blobs
+    never shuffle. Holds only ObjectRefs; per-call memory is one pair
+    batch + one gram block + the batch's matched blobs."""
+
+    def __init__(self, refs, threshold: float) -> None:
+        self._refs = refs
+        self._threshold = threshold
+
+    def __call__(self, t):
+        import ray
+        import pyarrow as pa
+
+        pairs = pa.table(
+            {
+                "id_a": t["id_a"].combine_chunks(),
+                "id_b": t["id_b"].combine_chunks(),
+            }
+        )
+        parts_a, parts_b = [], []
+        for ref in self._refs:
+            g = ray.get(ref)
+            if g is None or g.num_rows == 0:
+                continue
+            ja = pairs.join(g, keys=["id_a"], right_keys=["__doc"], join_type="inner")
+            if ja.num_rows:
+                parts_a.append(ja)
+            jb = pairs.join(g, keys=["id_b"], right_keys=["__doc"], join_type="inner")
+            if jb.num_rows:
+                parts_b.append(jb)
+        if not parts_a or not parts_b:
+            return _verify_gram_blobs([], [], [], [], self._threshold)
+        a = pa.concat_tables(parts_a).rename_columns(["id_a", "id_b", "grams_a"])
+        b = pa.concat_tables(parts_b).rename_columns(["id_a", "id_b", "grams_b"])
+        ab = a.join(b, keys=["id_a", "id_b"], join_type="inner")
+        return _verify_gram_blobs(
+            ab["grams_a"].to_pylist(),
+            ab["grams_b"].to_pylist(),
+            ab["id_a"].to_numpy(zero_copy_only=False),
+            ab["id_b"].to_numpy(zero_copy_only=False),
+            self._threshold,
+        )
+
+
 def minhash_lsh_pairs(
     ds,
     id_col: str = "doc_id",
@@ -372,6 +445,8 @@ def minhash_lsh_pairs(
     narrow_verify_limit: int = 200_000,
     max_bucket: int | None = None,
     gram_hash: str = "md5",
+    wide_verify: str = "auto",
+    probe_budget_bytes: int = 8 << 30,
 ):
     """Candidate pairs via LSH banding, verified with exact shingle Jaccard.
 
@@ -594,20 +669,50 @@ def minhash_lsh_pairs(
     # case) — the bucket groupby + per-partition pandas C merge is the
     # repo's standard grouped_reduce_c shape and handles empty partitions.
     # Requires ``id_col`` values to be unique (duplicate ids would fan the
-    # merge out). Partition count scales with candidate volume so one
-    # partition holds ~20k pairs' gram blobs (~100 MB).
+    # merges out). The gram table is MATERIALIZED once (object store,
+    # spillable — candidate-bound, never corpus-bound): both routes read
+    # it, and materializing halves the verify phase's corpus passes.
     #
-    # Both the gram table and the round-1 output are MATERIALIZED (object
-    # store, spillable — both are candidate-bound, never corpus-bound).
-    # Deliberate: (a) the gram table feeds both rounds, so materializing
-    # it halves the corpus reads; (b) chaining round 1's sort into round
-    # 2's union+sort in ONE streaming plan deadlocked the executor's
-    # reservation-based backpressure on the 10M drive (0 running tasks,
-    # every operator [backpressured], no progress for 7+ min) — one
-    # barrier per plan keeps the executor live.
-    gram_ds = docs_c.map_batches(_shingle_rows, batch_format="pyarrow").materialize()
-    n_parts = int(min(400, max(num_partitions, n_cand // 20_000 + 1)))
+    # TWO routes, auto-selected by the gram table's byte size:
+    #
+    # - "probe" (gram table within ``probe_budget_bytes``): pair batches
+    #   stream through an actor pool whose kernel Arrow-hash-joins each
+    #   batch against every gram block — zero-copy plasma reads, the
+    #   BLOBS NEVER SHUFFLE. On a cluster this is broadcast-join traffic
+    #   (gram table fetched at most once per node); it is the right shape
+    #   while the candidate gram table is dup-rate-small. The 10M drive
+    #   measured the alternative — shuffling ~6 GB of blobs through two
+    #   sort exchanges — as an object-store + spill-disk exhaustion.
+    # - "shuffle" (beyond the budget): bucket-shuffled map-side joins
+    #   (union + groupby(part) + per-partition pandas C merge), pairs
+    #   chunk-able, each round materialized so no two barriers share one
+    #   streaming plan (chained union+sort plans deadlocked the
+    #   executor's reservation backpressure at 10M — 0 running tasks,
+    #   every operator [backpressured]).
+    gram_mat = docs_c.map_batches(_shingle_rows, batch_format="pyarrow").materialize()
+    bundles = list(gram_mat.iter_internal_ref_bundles())
+    gram_refs = [r for b in bundles for r in b.block_refs]
+    try:
+        gram_bytes = int(sum(b.size_bytes() for b in bundles))
+    except TypeError:
+        gram_bytes = int(sum(b.size_bytes for b in bundles))
     pairs_ds = rd.from_arrow_refs([cand_ref])
+    route = wide_verify
+    if route == "auto":
+        route = "probe" if gram_bytes <= probe_budget_bytes else "shuffle"
+
+    if route == "probe":
+        return pairs_ds.map_batches(
+            _ProbeVerifier,
+            fn_constructor_kwargs={"refs": gram_refs, "threshold": threshold},
+            batch_format="pyarrow",
+            batch_size=16_384,
+            concurrency=(1, 16),
+            num_cpus=2,
+        )
+
+    gram_ds = rd.from_arrow_refs(gram_refs)
+    n_parts = int(min(400, max(num_partitions, n_cand // 20_000 + 1)))
 
     def _attach(pairs, key_name: str, out_name: str, extra: list):
         """Bucket-join ``gram_ds`` onto ``pairs`` by ``key_name``: union the
@@ -681,29 +786,12 @@ def minhash_lsh_pairs(
     j2 = _attach(j1, "id_b", "grams", extra=["grams_a"])
 
     def _verify_batch(t: pa.Table) -> pa.Table:
-        ba = t["grams_a"].to_pylist()
-        bb = t["grams"].to_pylist()
-        ids_a = t["id_a"].to_numpy(zero_copy_only=False)
-        ids_b = t["id_b"].to_numpy(zero_copy_only=False)
-        ka, kb, je = [], [], []
-        for i in range(t.num_rows):
-            a = np.frombuffer(ba[i], np.uint64)
-            b = np.frombuffer(bb[i], np.uint64)
-            if len(a) == 0 and len(b) == 0:
-                jac = 1.0
-            else:
-                inter = np.intersect1d(a, b, assume_unique=True).size
-                jac = inter / (len(a) + len(b) - inter)
-            if jac >= threshold:
-                ka.append(ids_a[i])
-                kb.append(ids_b[i])
-                je.append(int(np.floor(jac * 10000 + 0.5)))
-        return pa.table(
-            {
-                "id_a": pa.array(ka, pa.int64()),
-                "id_b": pa.array(kb, pa.int64()),
-                "jaccard_e4": pa.array(je, pa.int64()),
-            }
+        return _verify_gram_blobs(
+            t["grams_a"].to_pylist(),
+            t["grams"].to_pylist(),
+            t["id_a"].to_numpy(zero_copy_only=False),
+            t["id_b"].to_numpy(zero_copy_only=False),
+            threshold,
         )
 
     return j2.map_batches(_verify_batch, batch_format="pyarrow")

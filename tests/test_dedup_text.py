@@ -79,9 +79,11 @@ def test_minhash_pairs_independent_of_partitioning(ray_session):
 
 
 def test_minhash_wide_verify_matches_narrow(ray_session):
-    """The distributed (gram-join) verify route must emit the exact same
-    pair set AND jaccard_e4 values as the single-task narrow route —
-    ``narrow_verify_limit=0`` forces every candidate through the wide path."""
+    """BOTH distributed verify routes (zero-shuffle gram-block probe and
+    bucket-shuffled gram join) must emit the exact same pair set AND
+    jaccard_e4 values as the single-task narrow route —
+    ``narrow_verify_limit=0`` forces every candidate through the wide
+    path, ``wide_verify`` pins the route."""
     import ray.data as rd
 
     df = _mk_corpus()
@@ -90,12 +92,13 @@ def test_minhash_wide_verify_matches_narrow(ray_session):
         narrow = minhash_lsh_pairs(
             rd.from_pandas(df), threshold=0.5, gram_hash=mode
         ).take_all()
-        wide = minhash_lsh_pairs(
-            rd.from_pandas(df).repartition(5), threshold=0.5,
-            narrow_verify_limit=0, gram_hash=mode,
-        ).take_all()
-        assert sorted(narrow, key=key) == sorted(wide, key=key)
         assert len(narrow) > 0
+        for route in ("probe", "shuffle"):
+            wide = minhash_lsh_pairs(
+                rd.from_pandas(df).repartition(5), threshold=0.5,
+                narrow_verify_limit=0, gram_hash=mode, wide_verify=route,
+            ).take_all()
+            assert sorted(narrow, key=key) == sorted(wide, key=key), (mode, route)
 
 
 def test_ngram_jaccard_blocked_matches_exact(ray_session):
