@@ -213,12 +213,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold_e4: int = 1000,
     k: int = 3,
+    gram_hash: str = "exact",
 ):
     """All-pairs word-k-gram Jaccard inside each blocking group; emits
     (id_a < id_b, jaccard_e4 >= threshold). The blocking column bounds the
-    quadratic term; for unblocked corpora use minhash_lsh_pairs."""
+    quadratic term; for unblocked corpora use minhash_lsh_pairs.
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+    ``gram_hash="exact"`` (default, the SQL-oracle path) builds each doc's
+    distinct gram-STRING set and intersects Python sets — exact but
+    ~1.5 ms/doc of gram building plus ~10 us per pair at 10M-doc scale.
+    ``gram_hash="fast"`` (the 100 TB path) computes 64-bit gram hashes per
+    group in one vectorized :func:`_fast_gram_hashes` pass and intersects
+    per-doc SORTED hash arrays with ``np.searchsorted`` — C kernels
+    throughout. A 64-bit collision between two distinct grams of one doc
+    pair perturbs that pair's jaccard_e4 by ~1/|union| with probability
+    ~|a||b|/2^64 (~1e-14 for 400-gram docs); equal grams always hash
+    equal, so fast-mode jaccard is never an undercount."""
+
+    def _pairs_exact(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)
         ids = g[id_col].tolist()
         shs = [set(_distinct_word_kgrams(t, k)) for t in g[text_col]]
@@ -233,7 +245,58 @@ def ngram_jaccard_pairs(
             {"id_a": "int64", "id_b": "int64", "jaccard_e4": "int64"}
         )
 
-    return ds.groupby(block_col).map_groups(_pairs, batch_format="pandas")
+    def _pairs_fast(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        n = len(ids)
+        row_idx, occ_h = _fast_gram_hashes(
+            pa.array(g[text_col].tolist(), pa.string()), k
+        )
+        # per-row distinct, hash-sorted within row: lexsort + adjacent mask
+        ordc = np.lexsort((occ_h, row_idx))
+        row_idx, occ_h = row_idx[ordc], occ_h[ordc]
+        if len(row_idx):
+            keep = np.ones(len(row_idx), dtype=bool)
+            keep[1:] = (row_idx[1:] != row_idx[:-1]) | (occ_h[1:] != occ_h[:-1])
+            row_idx, occ_h = row_idx[keep], occ_h[keep]
+        starts = np.searchsorted(row_idx, np.arange(n))
+        ends = np.searchsorted(row_idx, np.arange(n), side="right")
+        sets = [occ_h[s:e] for s, e in zip(starts, ends)]
+        ra, rb, re4 = [], [], []
+        for i in range(n):
+            a = sets[i]
+            for j in range(i + 1, n):
+                b = sets[j]
+                if len(a) == 0 and len(b) == 0:
+                    e4 = 10000
+                else:
+                    sm, lg = (a, b) if len(a) <= len(b) else (b, a)
+                    pos = np.searchsorted(lg, sm)
+                    pos[pos == len(lg)] = 0
+                    inter = int((lg[pos] == sm).sum())
+                    e4 = int(
+                        np.floor(
+                            inter / (len(a) + len(b) - inter) * 10000 + 0.5
+                        )
+                    )
+                if e4 >= threshold_e4:
+                    ra.append(ids[i])
+                    rb.append(ids[j])
+                    re4.append(e4)
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(ra, dtype="int64"),
+                "id_b": pd.Series(rb, dtype="int64"),
+                "jaccard_e4": pd.Series(re4, dtype="int64"),
+            }
+        )
+
+    if gram_hash not in ("exact", "fast"):
+        raise ValueError(f"gram_hash must be 'exact' or 'fast', got {gram_hash!r}")
+    fn = _pairs_fast if gram_hash == "fast" else _pairs_exact
+    return ds.groupby(block_col).map_groups(fn, batch_format="pandas")
 
 
 def _distinct_word_kgrams(text: str, k: int) -> set:
@@ -996,6 +1059,37 @@ def _substr_pows(k: int = SUBSTR_K) -> "np.ndarray":
     return pows
 
 
+# p^-1 mod 2^64 (p is odd, so invertible); lets the window hash telescope
+_SUBSTR_PINV = pow(_SUBSTR_P, -1, 1 << 64)
+
+
+def _rolling_win_hashes(codes: "np.ndarray", k: int) -> "np.ndarray":
+    """All ``len-k+1`` k-window polynomial hashes of ``codes`` in O(len).
+
+    Identical values to the O(len*k) sliding-window matmul
+    ``(win * _substr_pows(k)).sum(axis=1)`` (unit-tested equivalence):
+    with T[m] = sum_{j<m} c[j] * p^-j (mod 2^64), the window hash
+    h[i] = sum_{j=i..i+k-1} c[j] * p^(i+k-1-j) = p^(i+k-1) * (T[i+k]-T[i]),
+    all arithmetic wrapping mod 2^64 — three cumulative passes + two
+    elementwise ops instead of k multiply-adds per position (~k/5x fewer
+    uint64 ops; k=40 default)."""
+    n = len(codes)
+    nw = n - k + 1
+    if nw <= 0:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pinv_pows = np.full(n, np.uint64(_SUBSTR_PINV))
+        pinv_pows[0] = np.uint64(1)
+        np.cumprod(pinv_pows, out=pinv_pows)  # pinv^0 .. pinv^(n-1)
+        T = np.cumsum(codes * pinv_pows)  # T[m] for m = 1..n
+        diff = T[k - 1 :].copy()  # T[i+k], i = 0..nw-1
+        diff[1:] -= T[: nw - 1]  # T[i+k] - T[i]
+        p_pows = np.full(nw, np.uint64(_SUBSTR_P))
+        p_pows[0] = np.uint64(pow(_SUBSTR_P, k - 1, 1 << 64))
+        np.cumprod(p_pows, out=p_pows)  # p^(i+k-1), i = 0..nw-1
+        return diff * p_pows
+
+
 def substring_dup_pairs(
     ds,
     id_col: str = "doc_id",
@@ -1003,6 +1097,7 @@ def substring_dup_pairs(
     k: int = SUBSTR_K,
     modulus: int = SUBSTR_MOD,
     max_gram_docs: int | None = None,
+    gram_key: str = "exact",
 ):
     """Pairs of documents sharing at least one exact ``k``-character
     substring, with the count of distinct shared anchor grams — the
@@ -1011,16 +1106,30 @@ def substring_dup_pairs(
     method).
 
     Scale shape: computing all O(len) windows per doc stays local and
-    vectorized (one codepoint array + one sliding-window matmul per doc);
-    only WINNOWED ANCHORS leave the node — windows whose 64-bit rolling
-    hash ≡ 0 (mod ``modulus``), i.e. ~len/modulus grams of ``k`` chars, a
-    content-defined selection that is stable under edits elsewhere in the
-    document (unlike positional sampling). The exchange key is the gram
-    string itself so bucket equality is exact (no hash-collision false
-    pairs); at 100 TB swap the key to (hash, md5) with an exact verify to
-    shrink the exchange a further ~5x. One groupby shuffle on a coarse
-    shard of the gram space, pairs emitted per bucket, then a keyed count
-    — the minhash_lsh_pairs topology with grams in place of band hashes.
+    vectorized (one codepoint array + an O(len) telescoped rolling hash,
+    :func:`_rolling_win_hashes`); only WINNOWED ANCHORS leave the node —
+    windows whose 64-bit rolling hash ≡ 0 (mod ``modulus``), i.e.
+    ~len/modulus grams of ``k`` chars, a content-defined selection that is
+    stable under edits elsewhere in the document (unlike positional
+    sampling). One groupby shuffle on a coarse shard of the gram space,
+    pairs emitted per bucket, then a keyed count — the minhash_lsh_pairs
+    topology with grams in place of band hashes.
+
+    ``gram_key`` picks the exchange key:
+
+    - ``"exact"`` (default, the SQL-oracle path): the gram STRING itself —
+      bucket equality is exact, no hash-collision false pairs, but the
+      exchange carries ~(k+overhead) bytes per anchor. A 10M-doc drive
+      (avg 2.3 kB text, ~1.4e9 anchors) measured this at >60 GB of sort
+      spill on one box — use hash64 beyond sf scale.
+    - ``"hash64"`` (the 100 TB path): the anchor's 64-bit rolling hash,
+      Arrow int64 — a ~20 B/anchor exchange (~5x smaller, no Python-object
+      blocks). Equal grams always collide to the same key, so recall is
+      identical; a false pair needs two distinct grams sharing a 64-bit
+      value inside one bucket: with modulus fixing log2(modulus) hash bits
+      the expected number of colliding gram pairs corpus-wide is
+      ~n_anchors^2 / 2^(65-log2(modulus)) — ~0.6 expected FALSE PAIRS at
+      1.4e9 anchors, each inflating one pair's n_shared by 1.
 
     Reference analogue: ocr-suite's frame-level duplicate skip
     (src/ocr/service.cpp is_frame_processed) generalized to intra-corpus
@@ -1032,21 +1141,53 @@ def substring_dup_pairs(
 
     from ocr_suite_ray.state.dupset import coalesce_reduce
 
-    pows = _substr_pows(k)
+    if gram_key not in ("exact", "hash64"):
+        raise ValueError(f"gram_key must be 'exact' or 'hash64', got {gram_key!r}")
     n_shards = 64
 
-    def _anchors(df: pd.DataFrame) -> pd.DataFrame:
+    def _anchors(df: pd.DataFrame):
+        mod = np.uint64(modulus)
+        if gram_key == "hash64":
+            id_parts: list = []
+            key_parts: list = []
+            for i, t in zip(df[id_col], df[text_col]):
+                if len(t) < k:
+                    continue
+                codes = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                h = _rolling_win_hashes(codes, k)
+                sel = h[h % mod == np.uint64(0)]
+                if not len(sel):
+                    continue
+                uniq = np.unique(sel)  # per-doc distinct anchors
+                id_parts.append(np.full(len(uniq), i, dtype=np.int64))
+                key_parts.append(uniq)
+            if id_parts:
+                ids_arr = np.concatenate(id_parts)
+                keys = np.concatenate(key_parts)
+            else:
+                ids_arr = np.empty(0, np.int64)
+                keys = np.empty(0, np.uint64)
+            # shard from the mixed key: equal grams land together; _mix64
+            # de-biases the low bits that winnowing pins to zero
+            shard = (_mix64(keys) % np.uint64(n_shards)).astype(np.int32)
+            return pa.table(
+                {
+                    id_col: pa.array(ids_arr, pa.int64()),
+                    "gram": pa.array(keys.view(np.int64), pa.int64()),
+                    "shard": pa.array(shard, pa.int32()),
+                }
+            )
         ids: list = []
         grams: list = []
-        mod = np.uint64(modulus)
         for i, t in zip(df[id_col], df[text_col]):
             if len(t) < k:
                 continue
             codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
                 np.uint64
             )
-            win = np.lib.stride_tricks.sliding_window_view(codes, k)
-            h = (win * pows[None, :]).sum(axis=1, dtype=np.uint64)
+            h = _rolling_win_hashes(codes, k)
             sel = np.nonzero(h % mod == np.uint64(0))[0]
             if not len(sel):
                 continue
@@ -1077,13 +1218,17 @@ def substring_dup_pairs(
             }
         )
 
-    exploded = ds.map_batches(_anchors, batch_format="pandas")
+    exploded = ds.map_batches(
+        _anchors, batch_format="pandas", batch_size=1024
+    )
 
     _empty = pd.DataFrame(
         {
             "id_a": pd.Series(dtype="int64"),
             "id_b": pd.Series(dtype="int64"),
-            "gram": pd.Series(dtype="object"),
+            "gram": pd.Series(
+                dtype="int64" if gram_key == "hash64" else "object"
+            ),
         }
     )
 

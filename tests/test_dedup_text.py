@@ -397,6 +397,74 @@ def test_substring_dup_pairs_partition_invariant(ray_session):
     assert a == b and len(a) >= 3
 
 
+def test_ngram_jaccard_fast_parity(ray_session):
+    """gram_hash='fast' (vectorized hash-array intersections) matches the
+    exact gram-string kernel pair-for-pair, including the e4 values."""
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import ngram_jaccard_pairs
+
+    rng = np.random.RandomState(5)
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        t = " ".join(rng.choice(words, rng.randint(1, 80)))
+        rows.append((i, i % 4, t))
+        if i % 5 == 0:
+            rows.append((i + 500, i % 4, t + " extra tail"))
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    ds = rd.from_pandas(df)
+    a = (
+        ngram_jaccard_pairs(ds, threshold_e4=2000)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    b = (
+        ngram_jaccard_pairs(ds.repartition(5), threshold_e4=2000, gram_hash="fast")
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rolling_win_hashes_matches_matmul():
+    """The O(len) telescoped rolling hash is value-identical to the
+    O(len*k) sliding-window matmul it replaced (anchor selection, and
+    therefore every substring_dup_pairs result, is unchanged)."""
+    from ocr_suite_ray.stages.dedup_text import _rolling_win_hashes, _substr_pows
+
+    rng = np.random.RandomState(3)
+    for n, k in [(39, 40), (40, 40), (41, 40), (500, 40), (64, 7)]:
+        codes = rng.randint(0, 1 << 20, size=n).astype(np.uint64)
+        got = _rolling_win_hashes(codes, k)
+        if n < k:
+            assert len(got) == 0
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(codes, k)
+        with np.errstate(over="ignore"):
+            ref = (win * _substr_pows(k)[None, :]).sum(axis=1, dtype=np.uint64)
+        assert np.array_equal(ref, got)
+
+
+def test_substring_dup_pairs_hash64_parity(ray_session):
+    """gram_key='hash64' (the 100 TB exchange: int64 anchor hashes instead
+    of 40-char gram strings) produces the same pairs and counts as the
+    exact-string oracle path on a corpus with real shared blocks."""
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import substring_dup_pairs
+
+    df = _substr_corpus()
+    key = lambda r: (r["id_a"], r["id_b"], r["n_shared"])
+    a = sorted(substring_dup_pairs(rd.from_pandas(df)).take_all(), key=key)
+    b = sorted(
+        substring_dup_pairs(
+            rd.from_pandas(df).repartition(4), gram_key="hash64"
+        ).take_all(),
+        key=key,
+    )
+    assert a == b and len(a) >= 3
+
+
 # ---------------------------------------------------------------------------
 # semantic_dedup (SemDeDup: cluster -> within-cluster cosine components)
 # ---------------------------------------------------------------------------
