@@ -454,46 +454,72 @@ def _verify_gram_blobs(ba, bb, ids_a, ids_b, threshold: float):
 
 
 class _ProbeVerifier:
-    """Actor-pool wide-verify kernel: each pair batch joins (Arrow C hash
-    join) against every gram block — zero-copy plasma reads, the blobs
-    never shuffle. Holds only ObjectRefs; per-call memory is one pair
-    batch + one gram block + the batch's matched blobs."""
+    """Actor-pool wide-verify kernel: the gram table stays in the object
+    store (zero-copy plasma reads on this node; at most one fetch per node
+    on a cluster — broadcast-join traffic) and NEVER shuffles. ``__init__``
+    builds a sorted doc-id -> (block, row) index ONCE per actor; per batch
+    the lookup is two ``np.searchsorted`` probes + blob gathers, so
+    per-batch cost is O(batch), independent of gram-table size. (The
+    earlier form re-hash-joined every gram block against every batch —
+    O(batch_count x gram_bytes) scan traffic, which is what made the probe
+    budget a scan-cost bound rather than the plasma-footprint bound it is
+    now.) Heap per actor is only the index arrays (~20 B per candidate
+    doc); blob bytes are materialized per batch, for the batch."""
 
     def __init__(self, refs, threshold: float) -> None:
-        self._refs = refs
-        self._threshold = threshold
-
-    def __call__(self, t):
         import ray
-        import pyarrow as pa
 
-        pairs = pa.table(
-            {
-                "id_a": t["id_a"].combine_chunks(),
-                "id_b": t["id_b"].combine_chunks(),
-            }
-        )
-        parts_a, parts_b = [], []
-        for ref in self._refs:
+        blocks = []
+        for ref in refs:
             g = ray.get(ref)
             if g is None or g.num_rows == 0:
                 continue
-            ja = pairs.join(g, keys=["id_a"], right_keys=["__doc"], join_type="inner")
-            if ja.num_rows:
-                parts_a.append(ja)
-            jb = pairs.join(g, keys=["id_b"], right_keys=["__doc"], join_type="inner")
-            if jb.num_rows:
-                parts_b.append(jb)
-        if not parts_a or not parts_b:
+            blocks.append(g)
+        if blocks:
+            ids = np.concatenate(
+                [b["__doc"].to_numpy(zero_copy_only=False) for b in blocks]
+            )
+            blk = np.concatenate(
+                [np.full(b.num_rows, i, np.int32) for i, b in enumerate(blocks)]
+            )
+            row = np.concatenate(
+                [np.arange(b.num_rows, dtype=np.int64) for b in blocks]
+            )
+            order = np.argsort(ids, kind="stable")
+            self._ids = ids[order]
+            self._blk = blk[order]
+            self._row = row[order]
+        else:
+            self._ids = np.empty(0, np.int64)
+            self._blk = np.empty(0, np.int32)
+            self._row = np.empty(0, np.int64)
+        self._grams = [b["grams"] for b in blocks]  # ChunkedArrays, plasma-backed
+        self._threshold = threshold
+
+    def _lookup(self, keys: np.ndarray):
+        if len(self._ids) == 0:
+            return np.zeros(len(keys), bool), np.zeros(len(keys), np.int64)
+        pos = np.searchsorted(self._ids, keys)
+        pos = np.minimum(pos, len(self._ids) - 1)
+        return self._ids[pos] == keys, pos
+
+    def _gather(self, pos: np.ndarray) -> list:
+        blk, row, grams = self._blk, self._row, self._grams
+        return [grams[blk[p]][row[p]].as_py() for p in pos]
+
+    def __call__(self, t):
+        ids_a = t["id_a"].to_numpy(zero_copy_only=False)
+        ids_b = t["id_b"].to_numpy(zero_copy_only=False)
+        fa, pa_pos = self._lookup(ids_a)
+        fb, pb_pos = self._lookup(ids_b)
+        keep = fa & fb
+        if not keep.any():
             return _verify_gram_blobs([], [], [], [], self._threshold)
-        a = pa.concat_tables(parts_a).rename_columns(["id_a", "id_b", "grams_a"])
-        b = pa.concat_tables(parts_b).rename_columns(["id_a", "id_b", "grams_b"])
-        ab = a.join(b, keys=["id_a", "id_b"], join_type="inner")
         return _verify_gram_blobs(
-            ab["grams_a"].to_pylist(),
-            ab["grams_b"].to_pylist(),
-            ab["id_a"].to_numpy(zero_copy_only=False),
-            ab["id_b"].to_numpy(zero_copy_only=False),
+            self._gather(pa_pos[keep]),
+            self._gather(pb_pos[keep]),
+            ids_a[keep],
+            ids_b[keep],
             self._threshold,
         )
 
@@ -509,7 +535,7 @@ def minhash_lsh_pairs(
     max_bucket: int | None = None,
     gram_hash: str = "md5",
     wide_verify: str = "auto",
-    probe_budget_bytes: int = 8 << 30,
+    probe_budget_bytes: int = 24 << 30,
 ):
     """Candidate pairs via LSH banding, verified with exact shingle Jaccard.
 
@@ -739,13 +765,14 @@ def minhash_lsh_pairs(
     # TWO routes, auto-selected by the gram table's byte size:
     #
     # - "probe" (gram table within ``probe_budget_bytes``): pair batches
-    #   stream through an actor pool whose kernel Arrow-hash-joins each
-    #   batch against every gram block — zero-copy plasma reads, the
-    #   BLOBS NEVER SHUFFLE. On a cluster this is broadcast-join traffic
-    #   (gram table fetched at most once per node); it is the right shape
-    #   while the candidate gram table is dup-rate-small. The 10M drive
-    #   measured the alternative — shuffling ~6 GB of blobs through two
-    #   sort exchanges — as an object-store + spill-disk exhaustion.
+    #   stream through an actor pool that builds a sorted id->(block,row)
+    #   index once per actor and gathers blobs per batch — zero-copy
+    #   plasma reads, the BLOBS NEVER SHUFFLE, per-batch cost O(batch).
+    #   On a cluster this is broadcast-join traffic (gram table fetched
+    #   at most once per node), so the budget bounds PER-NODE PLASMA
+    #   FOOTPRINT, not scan cost. The 10M drive measured the alternative
+    #   — shuffling ~6-16 GB of blobs through two sort exchanges — as an
+    #   object-store + spill-disk exhaustion (raylet SEGV mid-spill).
     # - "shuffle" (beyond the budget): bucket-shuffled map-side joins
     #   (union + groupby(part) + per-partition pandas C merge), pairs
     #   chunk-able, each round materialized so no two barriers share one
@@ -771,7 +798,7 @@ def minhash_lsh_pairs(
             batch_format="pyarrow",
             batch_size=16_384,
             concurrency=(1, 16),
-            num_cpus=2,
+            num_cpus=1,
         )
 
     gram_ds = rd.from_arrow_refs(gram_refs)
