@@ -319,7 +319,13 @@ def signature_band_rows(
     n_shards: int = 64,
 ) -> pd.DataFrame:
     """Batched MinHash signature + LSH banding kernel: one block of docs in,
-    ``(id, band, band_hash, shard)`` rows out (LSH_BANDS rows per doc).
+    ``(id, key, shard)`` rows out (LSH_BANDS rows per doc). ``key`` folds
+    (band, band_hash) into one int64 — bucket identity for the downstream
+    groupby — so the ONE banding exchange carries 20 B/row instead of the
+    24 B of separate (band:int32, band_hash:int64) columns and the bucket
+    groupby is single-key. Cross-(band, hash) key collisions can only ADD
+    candidate pairs (same argument as ``_band_hashes`` collisions: equal
+    buckets always fold equal), and every candidate is exact-verified.
 
     ``gram_hash="md5"`` is bit-identical to the scalar
     ``_minhash_sig(_shingles(t))`` path (equivalence unit-tested): one
@@ -406,20 +412,17 @@ def signature_band_rows(
     band_flat = sig_rows.reshape(n_rows * LSH_BANDS, ROWS_PER_BAND)
     hv = _band_hashes(band_flat)  # one vectorized pass, no per-row loop
     ids = np.repeat(df[id_col].to_numpy(), LSH_BANDS)
-    bands = np.tile(np.arange(LSH_BANDS, dtype=np.int64), n_rows)
-    bv = bands.astype(np.uint64)
+    bv = np.tile(np.arange(LSH_BANDS, dtype=np.uint64), n_rows)
+    key = hv * np.uint64(0x9E3779B97F4A7C15) + bv
     # coarse co-location key: ONE map_groups call per shard, not per
     # bucket (a per-bucket UDF call is ~0.1 ms of pandas overhead x one
-    # call per (band, band_hash) — the corpus has ~32 buckets/doc, so
-    # per-bucket dispatch dominated the round-1 wall time)
-    shard = ((hv * np.uint64(0x9E3779B97F4A7C15) + bv) % np.uint64(n_shards)).astype(
-        np.int32
-    )
+    # call per bucket — the corpus has ~32 buckets/doc, so per-bucket
+    # dispatch dominated the round-1 wall time)
+    shard = (key % np.uint64(n_shards)).astype(np.int32)
     return pd.DataFrame(
         {
             id_col: pd.Series(ids, dtype="int64"),
-            "band": pd.Series(bands, dtype="int32"),
-            "band_hash": pd.Series(hv.view(np.int64)),
+            "key": pd.Series(key.view(np.int64)),
             "shard": shard,
         }
     )
@@ -607,9 +610,9 @@ def minhash_lsh_pairs(
 
     def _shard_cand(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized singleton elimination: only buckets holding >= 2 docs
-        # (the rare case) reach the Python pairing loop
-        g = g.drop_duplicates(subset=["band", "band_hash", id_col])
-        sizes = g.groupby(["band", "band_hash"])[id_col].transform("size")
+        # (the rare case) reach pair expansion
+        g = g.drop_duplicates(subset=["key", id_col])
+        sizes = g.groupby("key")[id_col].transform("size")
         multi = g[sizes.to_numpy() > 1]
         if max_bucket is not None:
             # pairing is quadratic per bucket; a band bucket holding
@@ -618,22 +621,30 @@ def minhash_lsh_pairs(
             # set — the standard LSH cap (cf. Spark MinHashLSH) skips such
             # buckets. Opt-in: the sf-scale SQL oracle uses None so engine
             # and DuckDB enumerate identical pair sets.
-            sz = multi.groupby(["band", "band_hash"])[id_col].transform("size")
+            sz = multi.groupby("key")[id_col].transform("size")
             multi = multi[sz.to_numpy() <= max_bucket]
         if multi.empty:
             return _empty_pairs
-        rows_a: list = []
-        rows_b: list = []
-        for _, grp in multi.groupby(["band", "band_hash"], sort=False):
-            ids = sorted(grp[id_col])
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    rows_a.append(ids[i])
-                    rows_b.append(ids[j])
+        # vectorized i<j expansion: rows sorted (key, id) so each row pairs
+        # with every LATER row of its bucket — no Python loop over pairs
+        m = multi.sort_values(["key", id_col], kind="mergesort")
+        keys = m["key"].to_numpy()
+        ids = m[id_col].to_numpy()
+        n = len(m)
+        new = np.ones(n, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        grp_start = np.flatnonzero(new)
+        grp_len = np.diff(np.append(grp_start, n))
+        starts = np.repeat(grp_start, grp_len)
+        cnt = starts + np.repeat(grp_len, grp_len) - np.arange(n) - 1
+        total = int(cnt.sum())
+        i_idx = np.repeat(np.arange(n), cnt)
+        csum = np.concatenate(([0], np.cumsum(cnt)))
+        j_idx = np.arange(total) - np.repeat(csum[:-1], cnt) + 1 + i_idx
         return pd.DataFrame(
             {
-                "id_a": pd.Series(rows_a, dtype="int64"),
-                "id_b": pd.Series(rows_b, dtype="int64"),
+                "id_a": pd.Series(ids[i_idx], dtype="int64"),
+                "id_b": pd.Series(ids[j_idx], dtype="int64"),
             }
         )
 
