@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "temperature_resample",
     "percentile_gate",
+    "ngram_jaccard_pairs",
+    "ann_ivf_knn",
+    "cluster_dedup",
+    "embedding_near_dup",
 ]
 
 

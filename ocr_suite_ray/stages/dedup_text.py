@@ -797,7 +797,20 @@ def minhash_lsh_pairs(
         gram_bytes = int(sum(b.size_bytes() for b in bundles))
     except TypeError:
         gram_bytes = int(sum(b.size_bytes for b in bundles))
-    pairs_ds = rd.from_arrow_refs([cand_ref])
+
+    # the deduped candidate table is ONE object — split it into blocks
+    # before the verify stage, else Ray Data hands the whole block to a
+    # single pool actor (block = task granularity) and the verify runs
+    # serially no matter the pool size (the first completed 10M drive
+    # spent its verify phase on one core this way)
+    @ray.remote(num_returns="dynamic")
+    def _split_blocks(t, rows_per_block: int):
+        for s in range(0, t.num_rows, rows_per_block):
+            yield t.slice(s, rows_per_block)
+
+    block_rows = max(16_384, n_cand // 128 + 1)
+    pair_refs = list(ray.get(_split_blocks.remote(cand_ref, block_rows)))
+    pairs_ds = rd.from_arrow_refs(pair_refs)
     route = wide_verify
     if route == "auto":
         route = "probe" if gram_bytes <= probe_budget_bytes else "shuffle"
