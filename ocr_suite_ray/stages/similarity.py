@@ -136,6 +136,12 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.nd
     np.add.at scatter + bincount instead of a k-pass boolean scan."""
     rng = np.random.RandomState(seed)
     sample = np.ascontiguousarray(sample, dtype=np.float64)
+    if len(sample) < k:
+        raise ValueError(
+            f"k-means needs train_sample >= k: got {len(sample)} sample rows "
+            f"for k={k} — raise train_sample (k centroids are seeded by "
+            "sampling without replacement)"
+        )
     cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
     n, d = sample.shape
     x2 = (sample * sample).sum(1)

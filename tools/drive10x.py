@@ -1,0 +1,383 @@
+#!/usr/bin/env python
+"""10x-scale drive harness: runs headline operators over a 10M-page corpus
+(10x the sf0.1 bench scale) and prints ONE JSON line per drive — the
+measurement protocol behind BASELINE.md's scale tables.
+
+Why this exists (round-3/4 lesson): operators that are green on sf-scale
+oracles can still hide O(corpus) terms — full-text shuffles, Python-row
+reduces over corpus-cardinality keys, per-call hash rebuilds against
+broadcast tables, quadratic mega-buckets. Every payload-bearing operator
+gets driven here before it is called done.
+
+Usage:
+    python tools/drive10x.py extract            # gen corpus + extract store
+    python tools/drive10x.py minhash            # fast gram hash + bucket cap
+    python tools/drive10x.py simhash substring ngram
+    python tools/drive10x.py embgen semantic knn ivf lshpairs embdup
+    python tools/drive10x.py token_stats dedup_exact paragraph
+
+Scratch lives under /tmp/ocs_10x (corpus ~9.6 GB, store ~9 GB). Corpus and
+store are cached/resumable: re-running `extract` after a kill resumes from
+lineage; ops reuse the existing store.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+BASE = os.environ.get("OCS_10X_DIR", "/tmp/ocs_10x")
+PAGES_DIR = os.path.join(BASE, "pages")
+OUT_DIR = os.path.join(BASE, "out")
+EMB_DIR = os.path.join(BASE, "emb")
+FINAL_DIR = os.path.join(OUT_DIR, "final")
+
+N_PAGES = int(os.environ.get("OCS_10X_PAGES", 10_000_000))
+N_FILES = 256
+N_EMB = int(os.environ.get("OCS_10X_EMB", 2_000_000))
+EMB_DIM = 64
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def ensure_corpus():
+    from ocr_suite_ray.sources.synthetic import generate_corpus
+
+    generate_corpus(PAGES_DIR, N_PAGES, seed=42, n_files=N_FILES)
+
+
+def ensure_store() -> str:
+    """Extract store exists (resumable: a partial run resumes from lineage)."""
+    from ocr_suite_ray.pipelines.extract import ExtractConfig, run_pipeline
+
+    ensure_corpus()
+    cfg = ExtractConfig(
+        pool_size=max(2, NUM_CPUS - max(1, NUM_CPUS // 8)),
+        wave_size="auto",
+        num_partitions=N_FILES,
+    )
+    t0 = time.monotonic()
+    summary = run_pipeline(PAGES_DIR, OUT_DIR, cfg)
+    return {
+        "sec": round(time.monotonic() - t0, 3),
+        "docs": summary["rows_extracted"],
+        "summary": {
+            k: v for k, v in summary.items() if k in ("waves", "stage_metrics")
+        },
+    }
+
+
+def store_docs():
+    """Final store as (doc_id, url, text), ok rows only. doc_id is the
+    page id parsed from the synthetic url (unique post-dedup)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def _prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["status"], "ok"))
+        ids = pc.cast(pc.replace_substring_regex(t["url"], r"^.*/", ""), pa.int64())
+        return pa.table({"doc_id": ids, "url": t["url"], "text": t["text"]})
+
+    ds = rd.read_parquet(FINAL_DIR, columns=["url", "text", "status"])
+    return ds.map_batches(_prep, batch_format="pyarrow")
+
+
+def _consume(res) -> int:
+    """Fully consume a Dataset/DataFrame result; return row count."""
+    import pandas as pd
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return int(res.count())
+
+
+def drive_minhash():
+    """The round-3 open finding: 10M-doc minhash_lsh_pairs inside 25 min.
+    gram_hash="fast" (md5-free engine path; the md5 path stays pinned to
+    the sf-scale SQL oracle), max_bucket=1000 (the synthetic corpus carries
+    a 12k-doc identical-text cluster — mass exact dups are exact-dedup's
+    job; the cap is the standard LSH mass-duplicate guard, cf. Spark
+    MinHashLSH)."""
+    from ocr_suite_ray.stages.dedup_text import minhash_lsh_pairs
+
+    ds = store_docs()
+    pairs = minhash_lsh_pairs(
+        ds, threshold=0.5, gram_hash="fast", max_bucket=1000
+    )
+    return _consume(pairs)
+
+
+def drive_simhash():
+    from ocr_suite_ray.stages.dedup_text import simhash_pairs
+
+    ds = store_docs()
+    return _consume(simhash_pairs(ds, max_hamming=3, max_bucket=1000))
+
+
+def drive_substring():
+    from ocr_suite_ray.stages.dedup_text import substring_dup_pairs
+
+    ds = store_docs()
+    return _consume(
+        substring_dup_pairs(ds, gram_key="hash64", max_gram_docs=1000)
+    )
+
+
+def drive_ngram():
+    """Blocked all-pairs Jaccard. The operator's documented contract is that
+    the blocking column bounds the quadratic term; at corpus scale the
+    natural key is (site, token-count) — near-dups at threshold 0.1 share
+    both, mass-identical clusters spread across 997 sites."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.dedup_text import ngram_jaccard_pairs
+
+    def _block(t: pa.Table) -> pa.Table:
+        site = pc.replace_substring_regex(
+            t["url"], r"^https://(site\d+)\..*$", r"\1"
+        )
+        ntok = pc.cast(pc.count_substring(t["text"], " "), pa.string())
+        blk = pc.binary_join_element_wise(site, ntok, "|")
+        return t.append_column("source", blk)
+
+    ds = store_docs().map_batches(_block, batch_format="pyarrow")
+    return _consume(
+        ngram_jaccard_pairs(ds, block_col="source", gram_hash="fast")
+    )
+
+
+def drive_token_stats():
+    from ocr_suite_ray.stages.text_ops import token_stats_batch
+
+    return _consume(
+        store_docs().map_batches(token_stats_batch, batch_format="pyarrow")
+    )
+
+
+def drive_dedup_exact():
+    from ocr_suite_ray.stages.dedup_text import exact_dedup
+
+    return _consume(exact_dedup(store_docs()))
+
+
+def drive_paragraph():
+    from ocr_suite_ray.stages.segments import paragraph_dedup
+
+    return _consume(paragraph_dedup(store_docs()))
+
+
+# ---------------------------------------------------------------- embeddings
+
+
+def ensure_embeddings():
+    """Deterministic 2M x 64 float32 embedding table with planted structure:
+    rows cluster around 256 anchors (cos-separable), and ~3% of rows are
+    near-copies of an earlier row (near-dup exercise). Pure function of the
+    row id so generation is distributed and order-independent."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    marker = os.path.join(EMB_DIR, f".complete-{N_EMB}-{EMB_DIM}")
+    if os.path.exists(marker):
+        return
+    os.makedirs(EMB_DIR, exist_ok=True)
+    for f in os.listdir(EMB_DIR):
+        os.remove(os.path.join(EMB_DIR, f))
+
+    n_anchor = 256
+    rng0 = np.random.default_rng(4242)
+    anchors = rng0.standard_normal((n_anchor, EMB_DIM)).astype(np.float32)
+    anchors /= np.linalg.norm(anchors, axis=1, keepdims=True)
+
+    def _gen(batch) -> "pa.Table":
+        ids = batch["id"].to_numpy()
+        out = np.empty((len(ids), EMB_DIM), np.float32)
+        for j, i in enumerate(ids):
+            r = np.random.default_rng(int(i) * 1_000_003 + 7)
+            src = int(i) - 1 - int(r.integers(0, 64)) if (int(i) % 33 == 0 and i > 64) else int(i)
+            rs = np.random.default_rng(src * 1_000_003 + 7)
+            v = anchors[src % n_anchor] + 0.25 * rs.standard_normal(EMB_DIM).astype(np.float32)
+            if src != int(i):  # near-copy: tiny perturbation of the source row
+                v = v + 0.01 * r.standard_normal(EMB_DIM).astype(np.float32)
+            out[j] = v / np.linalg.norm(v)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(out.ravel(), pa.float32()), EMB_DIM
+                ).cast(pa.list_(pa.float32())),
+            }
+        )
+
+    (
+        rd.range(N_EMB, override_num_blocks=64)
+        .map_batches(_gen, batch_format="pyarrow")
+        .write_parquet(EMB_DIR)
+    )
+    open(marker, "w").close()
+
+
+def emb_ds():
+    import ray.data as rd
+
+    ensure_embeddings()
+    return rd.read_parquet(EMB_DIR)
+
+
+def _queries(k: int = 64):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(99)
+    q = rng.standard_normal((k, EMB_DIM)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return pd.DataFrame({"query_id": np.arange(k), "embedding": list(q)})
+
+
+def drive_semantic():
+    """SemDeDup at 2M vectors: k scales with the corpus (paper: k ~ sqrt(N);
+    1024 keeps the mean cluster ~2k rows, well inside the one-worker
+    vector contract)."""
+    from ocr_suite_ray.stages.similarity import semantic_dedup
+
+    return _consume(
+        semantic_dedup(
+            emb_ds(), threshold_e4=9800, n_clusters=1024, train_sample=65_536
+        )
+    )
+
+
+def drive_knn():
+    from ocr_suite_ray.stages.similarity import knn_brute
+
+    return _consume(knn_brute(emb_ds(), _queries(), k=10))
+
+
+def drive_ivf():
+    from ocr_suite_ray.stages.similarity import ivf_knn
+
+    return _consume(
+        ivf_knn(emb_ds(), _queries(), k=10, n_lists=256, train_sample=16_384)
+    )
+
+
+def drive_lshpairs():
+    from ocr_suite_ray.stages.similarity import lsh_bucket_pairs
+
+    return _consume(lsh_bucket_pairs(emb_ds(), threshold_e4=9800))
+
+
+def drive_embdup():
+    """The exact broadcast tier driven at its contract boundary: 200k rows
+    (~50 MB broadcast; the op raises above its row budget by design —
+    lsh_bucket_pairs above is the scale path)."""
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.similarity import embedding_near_dup
+
+    ds = emb_ds().filter(lambda r: r["vec_id"] < 200_000)
+    sub = ds.to_pandas()
+    return _consume(
+        embedding_near_dup(ds, sub, threshold_e4=9800, max_broadcast_rows=250_000)
+    )
+
+
+DRIVES = {
+    "extract": None,  # special-cased
+    "minhash": drive_minhash,
+    "simhash": drive_simhash,
+    "substring": drive_substring,
+    "ngram": drive_ngram,
+    "token_stats": drive_token_stats,
+    "dedup_exact": drive_dedup_exact,
+    "paragraph": drive_paragraph,
+    "embgen": None,  # special-cased
+    "semantic": drive_semantic,
+    "knn": drive_knn,
+    "ivf": drive_ivf,
+    "lshpairs": drive_lshpairs,
+    "embdup": drive_embdup,
+}
+
+_TEXT_OPS = {
+    "minhash", "simhash", "substring", "ngram",
+    "token_stats", "dedup_exact", "paragraph",
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ops", nargs="+", choices=sorted(DRIVES))
+    a = ap.parse_args()
+
+    _init()
+    import ray
+
+    for op in a.ops:
+        if op == "extract":
+            r = ensure_store()
+            rec = {
+                "metric": "extract_10x_sec",
+                "value": r["sec"],
+                "unit": "sec",
+                "docs_extracted": r["docs"],
+                "docs_per_sec": round(r["docs"] / r["sec"], 1),
+                "num_cpus": NUM_CPUS,
+            }
+        elif op == "embgen":
+            t0 = time.monotonic()
+            ensure_embeddings()
+            rec = {
+                "metric": "embgen_10x_sec",
+                "value": round(time.monotonic() - t0, 3),
+                "unit": "sec",
+                "rows": N_EMB,
+                "dim": EMB_DIM,
+            }
+        else:
+            if op in _TEXT_OPS and not os.path.isdir(FINAL_DIR):
+                ensure_store()
+            t0 = time.monotonic()
+            rows = DRIVES[op]()
+            rec = {
+                "metric": f"{op}_10x_sec",
+                "value": round(time.monotonic() - t0, 3),
+                "unit": "sec",
+                "rows_out": rows,
+                "num_cpus": NUM_CPUS,
+            }
+        print(json.dumps(rec), flush=True)
+        with open(os.path.join(BASE, "drives.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
