@@ -452,12 +452,52 @@ SELECT node AS doc_id FROM reach GROUP BY node HAVING MIN(lab) = node
 
 
 def q_ann_lsh(sf_dir: str):
-    """LSH-bucketed approximate near-dup (scale path) — rows-only check;
-    recall vs the exact variant is asserted in unit tests."""
+    """LSH-bucketed approximate near-dup (scale path). Full SQL twin: the
+    hyperplanes are a pure function of the seed, so the oracle inlines them
+    as DOUBLE[] literals and replays bucket assignment (sign of the raw
+    dot — dividing by the positive norm never flips it) + within-bucket
+    exact cosine with the same e4 fixed-point rule as SQL_KNN_COSINE."""
     from ocr_suite_ray.stages.similarity import lsh_bucket_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return lsh_bucket_pairs(ds, n_planes=8, threshold_e4=4000)
+
+
+def _lsh_planes_sql(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    """The q_ann_lsh hyperplane matrix as inline SQL literals (one row per
+    plane). repr() of a Python float round-trips exactly to DOUBLE."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).normal(size=(dim, n_planes))
+    rows = []
+    for i in range(n_planes):
+        vec = ", ".join(repr(float(v)) for v in planes[:, i])
+        rows.append(f"SELECT {i} AS i, [{vec}]::DOUBLE[] AS p")
+    return "\n  UNION ALL ".join(rows)
+
+
+# Bucket key = sum of 2^i over planes with a positive raw dot product
+# (matches bits = (m @ planes) > 0: normalization divides by a positive
+# scalar, which cannot change the sign). Pair score is the same
+# float64 list_cosine_similarity e4 rule the knn twin hash-matches on.
+SQL_ANN_LSH = f"""
+WITH planes AS (
+  {_lsh_planes_sql()}
+), b AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.p) > 0
+                       THEN CAST(1 AS BIGINT) << p.i ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.embedding
+), scored AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         CAST(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) * 10000, 0)
+              AS BIGINT) AS cosine_e4
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT DISTINCT id_a, id_b, cosine_e4 FROM scored WHERE cosine_e4 >= 4000
+"""
 
 
 def q_curation(sf_dir: str):
@@ -1689,7 +1729,7 @@ ML_QUERIES = {
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    "ann_lsh_pairs": (q_ann_lsh, None),
+    "ann_lsh_pairs": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf_knn": (q_ann_ivf, SQL_KNN_COSINE),
     "cluster_dedup": (q_cluster_dedup, SQL_CLUSTER_DEDUP),
     "curation_pipeline": (q_curation, SQL_CURATION),
