@@ -253,7 +253,12 @@ def generate_corpus(
             paths.append(path)
         return {"path": np.array(paths)}
 
-    shards = rd.from_arrow(pa.table({"shard": pa.array(range(n_files), pa.int64())}))
+    # One BLOCK per shard, not one batch: a single-block shard list makes
+    # Ray run every shard inside one task (batch_size only re-batches within
+    # a task), serializing corpus generation on one core.
+    shards = rd.range(n_files, override_num_blocks=n_files).map_batches(
+        lambda b: {"shard": b["id"]}, batch_format="numpy"
+    )
     paths = [r["path"] for r in shards.map_batches(_write_shard, batch_size=1).take_all()]
     with open(marker, "w") as fh:
         fh.write("ok")
