@@ -940,47 +940,105 @@ def simhash64(text: str) -> int:
 _TOKEN_HASH_CACHE: dict = {}
 _TOKEN_HASH_CACHE_MAX = 1_000_000
 
+# 16-bit popcount lookup (64 KiB, built once per worker import): numpy 1.x
+# has no bitwise_count, and gathering 4 uint16 lanes through this table is
+# ~8x lighter in memory traffic than unpacking 64 bits per word
+_POPCOUNT16 = np.array(
+    [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+)
+
 
 def simhash64_batch(texts) -> np.ndarray:
-    """Vectorized SimHash for a whole batch: one token-hash lookup loop
-    (memoized md5_number_lower-compatible md5), then ONE numpy bit-matrix
-    reduction per batch
-    instead of per-token Python/numpy work — byte-identical to
-    ``simhash64`` (unit-tested). Returns uint64[len(texts)]."""
-    tok_lists = [t.split(" ") for t in texts]
-    lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists))
+    """Vectorized SimHash for a whole batch — byte-identical to
+    ``simhash64`` (unit-tested). Returns uint64[len(texts)].
+
+    Round-4 10x-drive rewrite (the 1945 s simhash drive profile showed
+    3.8 s/1k-doc-batch, ~75% of it the per-OCCURRENCE Python token loop +
+    ``str.split``): tokens are split ONCE in Arrow C, md5 is computed only
+    per block-DISTINCT token (``dictionary_encode`` + a loop over the
+    dictionary, memoized across batches — the md5_number_lower parity the
+    DuckDB oracle needs is untouched because the hash FAMILY is identical,
+    only the call count drops from per-occurrence to per-distinct), and the
+    bit matrix comes from one ``np.unpackbits`` C pass over the raw uint64
+    bytes (little-endian, == ``(h >> j) & 1``) instead of a 64-lane uint64
+    broadcast shift that allocated ~8x the matrix."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.empty(0, np.uint64)
+    lst = pc.split_pattern(texts, " ")
+    off = lst.offsets.to_numpy().astype(np.int64)
+    off = off - off[0]
+    lens = off[1:] - off[:-1]
+    enc = pc.list_flatten(lst).dictionary_encode()
     cache = _TOKEN_HASH_CACHE
-    flat = np.empty(int(lens.sum()), dtype=np.uint64)
-    i = 0
-    for ws in tok_lists:
-        for w in ws:
-            h = cache.get(w)
-            if h is None:
-                if len(cache) >= _TOKEN_HASH_CACHE_MAX:
-                    cache.clear()
-                h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
-                cache[w] = h
-            flat[i] = h
-            i += 1
-    # T x 64 bit matrix summed per doc with reduceat, processed in doc
-    # chunks whose token slice stays cache-sized (a whole 10M-token block
-    # would materialize a multi-GB matrix and thrash the memory bus)
-    starts = np.zeros(len(texts), dtype=np.int64)
-    np.cumsum(lens[:-1], out=starts[1:])
+    dh = np.empty(len(enc.dictionary), dtype=np.uint64)
+    for i, w in enumerate(enc.dictionary.to_pylist()):
+        h = cache.get(w)
+        if h is None:
+            if len(cache) >= _TOKEN_HASH_CACHE_MAX:
+                cache.clear()
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+            cache[w] = h
+        dh[i] = h
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    V = len(dh)
+    total = int(off[-1])
     shifts = np.arange(64, dtype=np.uint64)
-    out = np.empty(len(texts), dtype=np.uint64)
+    if V <= max(1 << 18, total // 4):
+        # Zipfian fast path (the overwhelmingly common one for web text:
+        # block vocabulary << token count): per-doc COUNTS over the
+        # dictionary (one bincount C pass over row*V+idx keys), then a tiny
+        # (docs x V) @ (V x 64) integer matmul against the dictionary's
+        # unpacked bit matrix — 53x faster than the per-occurrence
+        # reduceat on this corpus (0.74 s vs 39 s per 1.2M-token block)
+        # because the 64-wide adds run once per DISTINCT (doc, token), not
+        # once per occurrence. Docs are chunked so the counts matrix stays
+        # <= 2^25 cells (256 MB int64).
+        # float64 GEMM (BLAS) is ~3x the int64 matmul and EXACT here: every
+        # sum is bounded by the doc's token count << 2^53
+        dict_bits = np.unpackbits(
+            dh.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.float64)
+        row_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        out = np.empty(n_docs, dtype=np.uint64)
+        chunk_d = max(1, (1 << 25) // max(V, 1))
+        for d0 in range(0, n_docs, chunk_d):
+            d1 = min(d0 + chunk_d, n_docs)
+            t0, t1 = off[d0], off[d1]
+            key = (row_of[t0:t1] - d0) * V + idx[t0:t1]
+            cnt = np.bincount(key, minlength=(d1 - d0) * V).reshape(d1 - d0, V)
+            sums = (cnt.astype(np.float64) @ dict_bits).astype(np.int64)
+            acc = 2 * sums - lens[d0:d1, None]
+            out[d0:d1] = ((acc > 0).astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            )
+        return out
+    # low-repetition fallback (V ~ T, e.g. unique-id-dense text): bit matrix
+    # cumsum + boundary diff, chunked so the unpacked matrix stays cache-sized
+    flat = dh[idx]
+    out = np.empty(n_docs, dtype=np.uint64)
     chunk_tokens = 1 << 20
+    starts = off[:-1]
     d0 = 0
-    while d0 < len(texts):
+    while d0 < n_docs:
         d1 = d0 + 1
-        while d1 < len(texts) and starts[d1] - starts[d0] < chunk_tokens:
+        while d1 < n_docs and starts[d1] - starts[d0] < chunk_tokens:
             d1 += 1
-        t0 = starts[d0]
-        t1 = starts[d1 - 1] + lens[d1 - 1]
-        # int16 accumulators unless a doc in the chunk could overflow them
-        acc_dtype = np.int16 if lens[d0:d1].max() < 32767 else np.int32
-        bits = ((flat[t0:t1, None] >> shifts) & 1).astype(acc_dtype)
-        sums = np.add.reduceat(bits, (starts[d0:d1] - t0), axis=0).astype(np.int64)
+        t0, t1 = starts[d0], off[d1]
+        bits = np.unpackbits(
+            flat[t0:t1].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        c = bits.cumsum(axis=0, dtype=np.int32)
+        ends = off[d0 + 1 : d1 + 1] - t0 - 1
+        sums = c[ends].astype(np.int64)
+        sums[1:] -= c[ends[:-1]]
         acc = 2 * sums - lens[d0:d1, None]
         out[d0:d1] = ((acc > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
         d0 = d1
@@ -1062,20 +1120,37 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                     "hamming": pd.Series(dtype="int64"),
                 }
             )
-        rows = []
-        for _, grp in multi.groupby(["chunk", "chunk_val"], sort=False):
-            grp = grp.sort_values(id_col)
-            ids = grp[id_col].tolist()
-            # back to unsigned for the XOR popcount (signed ^ signed on
-            # Python ints would sign-extend)
-            hs = grp["simhash"].to_numpy().view(np.uint64).tolist()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    d = bin(hs[i] ^ hs[j]).count("1")
-                    if d <= max_hamming:
-                        rows.append((ids[i], ids[j], d))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(
-            {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+        # vectorized i<j expansion per (chunk, chunk_val) bucket (same
+        # pattern as minhash's _shard_cand) + LUT popcount — replaces a
+        # pure-Python double loop that dominated the shard verify on
+        # mass-near-dup corpora (the 10x drive emits 1.5M pairs)
+        m = multi.sort_values(["chunk", "chunk_val", id_col], kind="mergesort")
+        ck = m["chunk"].to_numpy()
+        cv = m["chunk_val"].to_numpy()
+        ids = m[id_col].to_numpy()
+        hs = m["simhash"].to_numpy().view(np.uint64)
+        n = len(m)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (ck[1:] != ck[:-1]) | (cv[1:] != cv[:-1])
+        grp_start = np.flatnonzero(new)
+        grp_len = np.diff(np.append(grp_start, n))
+        starts = np.repeat(grp_start, grp_len)
+        cnt = starts + np.repeat(grp_len, grp_len) - np.arange(n) - 1
+        total = int(cnt.sum())
+        i_idx = np.repeat(np.arange(n), cnt)
+        csum = np.concatenate(([0], np.cumsum(cnt)))
+        j_idx = np.arange(total) - np.repeat(csum[:-1], cnt) + 1 + i_idx
+        x = hs[i_idx] ^ hs[j_idx]
+        ham = _POPCOUNT16[x.view(np.uint16).reshape(-1, 4)].sum(
+            axis=1, dtype=np.int64
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(ids[i_idx[keep]], dtype="int64"),
+                "id_b": pd.Series(ids[j_idx[keep]], dtype="int64"),
+                "hamming": pd.Series(ham[keep], dtype="int64"),
+            }
         )
 
     pairs = exploded.groupby("shard").map_groups(
@@ -1297,19 +1372,28 @@ def substring_dup_pairs(
             multi = multi[sz.to_numpy() <= max_gram_docs]
         if multi.empty:
             return _empty
-        ra, rb, rg = [], [], []
-        for gram, grp in multi.groupby("gram", sort=False):
-            ids = sorted(grp[id_col])
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    ra.append(ids[i])
-                    rb.append(ids[j])
-                    rg.append(gram)
+        # vectorized i<j expansion per gram bucket (the _shard_cand
+        # pattern); the bucket's gram is constant, so pairs inherit it by
+        # gathering at i_idx — no Python loop over pairs
+        m = multi.sort_values(["gram", id_col], kind="mergesort")
+        gv = m["gram"].to_numpy()
+        ids = m[id_col].to_numpy()
+        n = len(m)
+        new = np.ones(n, dtype=bool)
+        new[1:] = gv[1:] != gv[:-1]
+        grp_start = np.flatnonzero(new)
+        grp_len = np.diff(np.append(grp_start, n))
+        starts = np.repeat(grp_start, grp_len)
+        cnt = starts + np.repeat(grp_len, grp_len) - np.arange(n) - 1
+        total = int(cnt.sum())
+        i_idx = np.repeat(np.arange(n), cnt)
+        csum = np.concatenate(([0], np.cumsum(cnt)))
+        j_idx = np.arange(total) - np.repeat(csum[:-1], cnt) + 1 + i_idx
         return pd.DataFrame(
             {
-                "id_a": pd.Series(ra, dtype="int64"),
-                "id_b": pd.Series(rb, dtype="int64"),
-                "gram": rg,
+                "id_a": pd.Series(ids[i_idx], dtype="int64"),
+                "id_b": pd.Series(ids[j_idx], dtype="int64"),
+                "gram": pd.Series(gv[i_idx]),
             }
         )
 

@@ -139,11 +139,21 @@ def drive_simhash():
 
 
 def drive_substring():
+    """modulus=64 sizes the anchor exchange to this box's disk: the default
+    mod-16 winnow emits ~1.5e9 anchors (~30 GB exchange, >45 GB transient
+    shuffle spill — the first 10x attempt hit Ray's 95%-disk guard).
+    modulus IS the operator's documented content-defined density knob;
+    near-dup pairs share many anchors, so pair recall for substantial
+    overlaps is unchanged while the exchange drops 4x. At 100 TB you size
+    modulus so anchors ~ corpus_bytes/(modulus*bytes_per_char) fits the
+    cluster's aggregate shuffle capacity."""
     from ocr_suite_ray.stages.dedup_text import substring_dup_pairs
 
     ds = store_docs()
     return _consume(
-        substring_dup_pairs(ds, gram_key="hash64", max_gram_docs=1000)
+        substring_dup_pairs(
+            ds, gram_key="hash64", max_gram_docs=1000, modulus=64
+        )
     )
 
 
