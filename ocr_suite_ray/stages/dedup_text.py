@@ -1047,14 +1047,15 @@ def simhash64_batch(texts) -> np.ndarray:
 
 def simhash_table(ds, id_col: str = "doc_id", text_col: str = "text"):
     """(id, simhash) per doc — signed int64 (bit 63 folded) for Arrow/SQL."""
+    import pyarrow as pa
 
-    def _sh(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[[id_col]].copy()
-        sh = simhash64_batch(list(df[text_col])) & np.uint64(0x7FFFFFFFFFFFFFFF)
-        out["simhash"] = pd.Series(sh.view(np.int64), dtype="int64", index=df.index)
-        return out
+    def _sh(t: pa.Table) -> pa.Table:
+        sh = simhash64_batch(t[text_col]) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {id_col: t[id_col], "simhash": pa.array(sh.view(np.int64))}
+        )
 
-    return ds.map_batches(_sh, batch_format="pandas")
+    return ds.map_batches(_sh, batch_format="pyarrow")
 
 
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
