@@ -104,21 +104,34 @@ def embedding_near_dup(ds, all_df: pd.DataFrame, threshold_e4: int = 4000,
 
     from ocr_suite_ray.stages._bcast import cached_get
 
+    # Per-task score memory is chunk_rows x n_broadcast float64; budget it to
+    # ~256 MB so concurrency x chunk never approaches the worker heap (a
+    # 1024-row batch vs a 200k-vector broadcast is 1.6 GB of scores alone,
+    # which OOMed the 10x drive at 32-way concurrency before chunking).
+    score_budget_floats = 32_000_000
+
     def _pairs(batch: pd.DataFrame) -> pd.DataFrame:
         am_l, aids_l = cached_get(ref)
         m = _norm(_mat(batch[vec_col]))
         ids = batch[id_col].to_numpy()
-        scores = m @ am_l.T
-        e4 = np.floor(scores * 10000 + 0.5).astype(np.int64)
-        bi, aj = np.nonzero(e4 >= threshold_e4)
-        rows = []
-        for x, y in zip(bi, aj):
-            a, b = int(ids[x]), int(aids_l[y])
-            if a < b:  # canonical orientation; also drops self-pairs
-                rows.append((a, b, int(e4[x, y])))
-        return pd.DataFrame(
-            rows, columns=["id_a", "id_b", "cosine_e4"]
-        ).astype("int64")
+        chunk = max(1, score_budget_floats // max(1, len(aids_l)))
+        out_a, out_b, out_e = [], [], []
+        for s in range(0, len(m), chunk):
+            scores = m[s:s + chunk] @ am_l.T
+            e4 = np.floor(scores * 10000 + 0.5).astype(np.int64)
+            bi, aj = np.nonzero(e4 >= threshold_e4)
+            a = ids[s:s + chunk][bi]
+            b = aids_l[aj]
+            keep = a < b  # canonical orientation; also drops self-pairs
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+            out_e.append(e4[bi[keep], aj[keep]])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a) if out_a else np.array([], np.int64),
+            "id_b": np.concatenate(out_b) if out_b else np.array([], np.int64),
+            "cosine_e4": np.concatenate(out_e) if out_e
+            else np.array([], np.int64),
+        }).astype("int64")
 
     return ds.map_batches(_pairs, batch_format="pandas")
 

@@ -307,11 +307,16 @@ def drive_embdup():
     """The exact broadcast tier driven at its contract boundary: 200k rows
     (~50 MB broadcast; the op raises above its row budget by design —
     lsh_bucket_pairs above is the scale path)."""
-    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
 
     from ocr_suite_ray.stages.similarity import embedding_near_dup
 
-    ds = emb_ds().filter(lambda r: r["vec_id"] < 200_000)
+    ensure_embeddings()
+    # Arrow filter pushdown at the read — a row-lambda Dataset.filter here
+    # OOMed the first drive attempt (Python-row materialization of the
+    # list<float> column across 32 concurrent tasks).
+    ds = rd.read_parquet(EMB_DIR, filter=pads.field("vec_id") < 200_000)
     sub = ds.to_pandas()
     return _consume(
         embedding_near_dup(ds, sub, threshold_e4=9800, max_broadcast_rows=250_000)
