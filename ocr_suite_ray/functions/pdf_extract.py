@@ -91,8 +91,16 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
     return bytes(out)
 
 
-def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes:
-    """Apply the stream dict's filter chain with stdlib decoders."""
+def _decode_stream(
+    dict_bytes: bytes, body: bytes, stop_at_codec: bool = False
+) -> bytes:
+    """Apply the stream dict's filter chain with stdlib decoders.
+
+    ``stop_at_codec=True`` (the image lane): stdlib-decodable PREFIX
+    filters are applied and the body is returned as soon as a codec
+    filter (DCTDecode/JPXDecode/...) is reached — e.g. a
+    ``[/FlateDecode /DCTDecode]`` image unwraps the zlib layer so the
+    OCR engine receives an actual JPEG file, not zlib bytes."""
     m = _FILTER_RE.search(dict_bytes)
     if not m:
         return body
@@ -115,6 +123,8 @@ def _decode_stream(dict_bytes: bytes, body: bytes) -> bytes:
             em = _EARLY_RE.search(dict_bytes)
             body = _lzw_decode(body, int(em.group(1)) if em else 1)
         else:
+            if stop_at_codec:
+                return body  # codec layer (DCT/JPX/...) is the payload
             raise NotImplementedError(
                 f"PDF filter {name.decode()} needs pdfium (stubbed)"
             )
@@ -175,10 +185,11 @@ def extract_pdf(payload: bytes, ocr=None) -> dict:
     Image XObject streams contribute no text; when the document is
     image-ONLY (a scanned PDF) and ``ocr`` (an ``image bytes → text``
     callable, see ``functions/ocr.py``) is supplied, each image yields one
-    ``ocr_block`` span instead — the raw stream body is handed to the
-    engine (for DCTDecode images that body IS a JPEG file, which real
-    OCR stacks open directly; pdfium-style raster decode of
-    Flate-packed pixel buffers is out of scope here).
+    ``ocr_block`` span instead — stdlib-decodable prefix filters are
+    stripped first, so a ``[/FlateDecode /DCTDecode]`` image hands the
+    engine an actual JPEG file (which real OCR stacks open directly;
+    pdfium-style raster decode of Flate-packed PIXEL buffers is out of
+    scope here).
     Raises ValueError for structurally broken files (unterminated stream),
     NotImplementedError for codec/encrypted TEXT streams or for a scanned
     PDF with no OCR engine supplied.
@@ -198,7 +209,8 @@ def extract_pdf(payload: bytes, ocr=None) -> dict:
     for m in _STREAM_RE.finditer(payload):
         dict_bytes = _stream_dict(payload, m.start())
         if _IMAGE_RE.search(dict_bytes):
-            images.append(m.group(1))
+            images.append(_decode_stream(dict_bytes, m.group(1),
+                                         stop_at_codec=True))
             continue
         body = _decode_stream(dict_bytes, m.group(1))
         texts = [_unescape(lit) for lit in _TJ_RE.findall(body)]

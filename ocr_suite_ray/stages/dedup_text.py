@@ -156,6 +156,26 @@ def _fast_gram_hashes(texts, k: int):
     return np.concatenate(row_parts), np.concatenate(h_parts)
 
 
+def _pair_indices_within_groups(new: np.ndarray) -> tuple:
+    """Vectorized i<j pair expansion over contiguous groups — shared by the
+    minhash / simhash / substring shard-pairing UDFs.
+
+    ``new``: bool array over rows PRE-SORTED by group key, True where row i
+    opens a new group. Returns ``(i_idx, j_idx)``: positional indices of
+    every within-group (earlier, later) pair, ordered by i then j. Pair
+    volume is quadratic per group — callers cap group sizes first."""
+    n = len(new)
+    grp_start = np.flatnonzero(new)
+    grp_len = np.diff(np.append(grp_start, n))
+    starts = np.repeat(grp_start, grp_len)
+    # pairs remaining for row r = (its group's end index) - r - 1
+    cnt = starts + np.repeat(grp_len, grp_len) - np.arange(n) - 1
+    total = int(cnt.sum())
+    i_idx = np.repeat(np.arange(n), cnt)
+    csum = np.concatenate(([0], np.cumsum(cnt)))
+    j_idx = np.arange(total) - np.repeat(csum[:-1], cnt) + 1 + i_idx
+    return i_idx, j_idx
+
 
 def _minhash_sig(sh: set) -> np.ndarray:
     """128 x 64-bit universal-hash minima over the shingle set."""
@@ -339,6 +359,8 @@ def signature_band_rows(
     (~10 min of the wall)."""
     import pyarrow as _pa
 
+    if gram_hash not in ("md5", "fast"):
+        raise ValueError(f"gram_hash must be 'md5' or 'fast', got {gram_hash!r}")
     texts = _pa.array(df[text_col].tolist(), _pa.string())
     n_rows = len(texts)
     if gram_hash == "fast":
@@ -472,12 +494,12 @@ class _ProbeVerifier:
     def __init__(self, refs, threshold: float) -> None:
         import ray
 
-        blocks = []
-        for ref in refs:
-            g = ray.get(ref)
-            if g is None or g.num_rows == 0:
-                continue
-            blocks.append(g)
+        # ONE batched get: on a multi-node cluster a per-ref loop is
+        # len(refs) serial round-trips per pool actor before the first
+        # batch verifies; the list form fetches blocks concurrently
+        blocks = [
+            g for g in ray.get(list(refs)) if g is not None and g.num_rows > 0
+        ]
         if blocks:
             ids = np.concatenate(
                 [b["__doc"].to_numpy(zero_copy_only=False) for b in blocks]
@@ -581,6 +603,16 @@ def minhash_lsh_pairs(
 
     from ocr_suite_ray.state.dupset import coalesce_reduce
 
+    # fail fast on typos: an unknown value would otherwise silently take the
+    # md5 / shuffle route, whose 10x failure modes (blown signature budget,
+    # object-store exhaustion) are exactly what these flags exist to avoid
+    if gram_hash not in ("md5", "fast"):
+        raise ValueError(f"gram_hash must be 'md5' or 'fast', got {gram_hash!r}")
+    if wide_verify not in ("auto", "probe", "shuffle"):
+        raise ValueError(
+            f"wide_verify must be 'auto', 'probe' or 'shuffle', got {wide_verify!r}"
+        )
+
     _empty_pairs = pd.DataFrame(
         {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
     )
@@ -633,14 +665,7 @@ def minhash_lsh_pairs(
         n = len(m)
         new = np.ones(n, dtype=bool)
         new[1:] = keys[1:] != keys[:-1]
-        grp_start = np.flatnonzero(new)
-        grp_len = np.diff(np.append(grp_start, n))
-        starts = np.repeat(grp_start, grp_len)
-        cnt = starts + np.repeat(grp_len, grp_len) - np.arange(n) - 1
-        total = int(cnt.sum())
-        i_idx = np.repeat(np.arange(n), cnt)
-        csum = np.concatenate(([0], np.cumsum(cnt)))
-        j_idx = np.arange(total) - np.repeat(csum[:-1], cnt) + 1 + i_idx
+        i_idx, j_idx = _pair_indices_within_groups(new)
         return pd.DataFrame(
             {
                 "id_a": pd.Series(ids[i_idx], dtype="int64"),
@@ -1133,14 +1158,7 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         n = len(m)
         new = np.ones(n, dtype=bool)
         new[1:] = (ck[1:] != ck[:-1]) | (cv[1:] != cv[:-1])
-        grp_start = np.flatnonzero(new)
-        grp_len = np.diff(np.append(grp_start, n))
-        starts = np.repeat(grp_start, grp_len)
-        cnt = starts + np.repeat(grp_len, grp_len) - np.arange(n) - 1
-        total = int(cnt.sum())
-        i_idx = np.repeat(np.arange(n), cnt)
-        csum = np.concatenate(([0], np.cumsum(cnt)))
-        j_idx = np.arange(total) - np.repeat(csum[:-1], cnt) + 1 + i_idx
+        i_idx, j_idx = _pair_indices_within_groups(new)
         x = hs[i_idx] ^ hs[j_idx]
         ham = _POPCOUNT16[x.view(np.uint16).reshape(-1, 4)].sum(
             axis=1, dtype=np.int64
@@ -1382,14 +1400,7 @@ def substring_dup_pairs(
         n = len(m)
         new = np.ones(n, dtype=bool)
         new[1:] = gv[1:] != gv[:-1]
-        grp_start = np.flatnonzero(new)
-        grp_len = np.diff(np.append(grp_start, n))
-        starts = np.repeat(grp_start, grp_len)
-        cnt = starts + np.repeat(grp_len, grp_len) - np.arange(n) - 1
-        total = int(cnt.sum())
-        i_idx = np.repeat(np.arange(n), cnt)
-        csum = np.concatenate(([0], np.cumsum(cnt)))
-        j_idx = np.arange(total) - np.repeat(csum[:-1], cnt) + 1 + i_idx
+        i_idx, j_idx = _pair_indices_within_groups(new)
         return pd.DataFrame(
             {
                 "id_a": pd.Series(ids[i_idx], dtype="int64"),

@@ -73,10 +73,13 @@ class ImageDecoder:
     blake2b stand-in (this container has no codecs). ``codec="auto"``:
     real when pillow imports, else fake.
 
-    Output columns either way: width, height, n_channels, feature
-    (list<float> 16-dim normalized intensity histogram for real decodes, a
-    blake2b pseudo-histogram for the stub) — same schema, so pipelines are
-    codec-agnostic. Reference analogue: the per-worker warm decode engine
+    Output columns either way: decode_status, width, height, n_channels,
+    feature (list<float> 16-dim normalized intensity histogram for real
+    decodes, a blake2b pseudo-histogram for the stub) — same schema, so
+    pipelines are codec-agnostic. Real-codec failures are contained PER ROW
+    (``decode_status="error:<Exc>"``, -1 dims, zero feature) following the
+    extract_payload convention — one corrupt payload must not fail the task,
+    let alone the job. Reference analogue: the per-worker warm decode engine
     (``decoder.h:48-54`` frame bytes in, planes out)."""
 
     def __init__(self, codec: str = "auto") -> None:
@@ -113,15 +116,21 @@ class ImageDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kernel = self._decode_real if self._codec == "real" else self._decode
-        widths, heights, chans, feats = [], [], [], []
+        status, widths, heights, chans, feats = [], [], [], [], []
         for v in batch["payload"].to_pylist():
-            w, hgt, c, f = kernel(v)
+            try:
+                w, hgt, c, f = kernel(v)
+                status.append("ok")
+            except Exception as exc:  # contain per row; stub never raises
+                status.append(f"error:{type(exc).__name__}")
+                w, hgt, c, f = -1, -1, -1, np.zeros(16)
             widths.append(w)
             heights.append(hgt)
             chans.append(c)
             feats.append(np.asarray(f, dtype=np.float64).tolist())
         drop = [c for c in ("payload",) if c in batch.column_names]
         out = batch.drop_columns(drop)
+        out = out.append_column("decode_status", pa.array(status, pa.string()))
         out = out.append_column("width", pa.array(widths, pa.int32()))
         out = out.append_column("height", pa.array(heights, pa.int32()))
         out = out.append_column("n_channels", pa.array(chans, pa.int32()))

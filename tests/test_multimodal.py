@@ -63,12 +63,53 @@ def test_image_decoder_dispatch(monkeypatch):
     dec = mm.ImageDecoder(codec="auto")
     assert dec._codec == "real"
     out = dec(_media_table(4))
-    assert out.column_names[-4:] == ["width", "height", "n_channels", "feature"]
+    assert out.column_names[-5:] == [
+        "decode_status", "width", "height", "n_channels", "feature"
+    ]
     row = out.slice(0, 1).to_pylist()[0]
+    assert row["decode_status"] == "ok"
     assert (row["width"], row["height"], row["n_channels"]) == (7, 5, 3)
     # all-zero image -> all mass in the first histogram bin
     assert row["feature"][0] == pytest.approx(1.0)
     assert sum(row["feature"][1:]) == pytest.approx(0.0)
+
+
+def test_image_decoder_contains_per_row_errors(monkeypatch):
+    """One corrupt payload must degrade to an error ROW, not fail the task:
+    the real kernel raising on a payload yields decode_status='error:...'
+    with sentinel dims while the rest of the batch decodes normally."""
+    import numpy as np
+
+    from ocr_suite_ray.stages import multimodal as mm
+
+    class _Img:
+        width, height = 7, 5
+
+        def convert(self, mode):
+            return np.zeros((5, 7), dtype=np.uint8)
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+    class _FakePIL:
+        @staticmethod
+        def open(fp):
+            if fp.read(7) == b"corrupt":
+                raise ValueError("bad image")
+            return _Img()
+
+    monkeypatch.setattr(mm, "_pil", lambda: _FakePIL)
+    dec = mm.ImageDecoder(codec="real")
+    t = _media_table(3)
+    t = t.set_column(
+        t.schema.get_field_index("payload"), "payload",
+        pa.array([t["payload"][0].as_py(), b"corrupt!!", t["payload"][2].as_py()],
+                 pa.binary()),
+    )
+    rows = dec(t).to_pylist()
+    assert [r["decode_status"] for r in rows] == ["ok", "error:ValueError", "ok"]
+    assert rows[1]["width"] == -1 and rows[1]["feature"] == [0.0] * 16
+    assert rows[0]["width"] == 7
 
 
 def test_attach_media_meta_schema():

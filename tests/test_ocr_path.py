@@ -92,6 +92,25 @@ def test_flate_wrapped_image_also_classified():
     assert out["text"] == "body text"
 
 
+def test_scanned_flate_wrapped_image_unwraps_before_ocr():
+    """A scanned PDF whose images carry [/FlateDecode /DCTDecode] must hand
+    the OCR engine the actual JPEG bytes, not the zlib wrapper — a real
+    pillow/tesseract stack would otherwise raise on every such document."""
+    payload = _pdf(
+        [(b"/Subtype /Image /Filter [/FlateDecode /DCTDecode]",
+          zlib.compress(FAKE_JPEG))]
+    )
+    seen = []
+
+    def spy_ocr(img: bytes) -> str:
+        seen.append(img)
+        return "spied text"
+
+    out = extract_pdf(payload, ocr=spy_ocr)
+    assert seen == [FAKE_JPEG]
+    assert out["text"] == "spied text"
+
+
 def test_pipeline_routes_scanned_pdf_to_ocr_pool(ray_session, tmp_path):
     """Dispatch test: a scanned-PDF payload flows read -> sniff(pdf) ->
     PDF slow-lane pool -> OCR engine, landing as an ok row with ocr_block

@@ -69,8 +69,9 @@ def ensure_corpus():
     generate_corpus(PAGES_DIR, N_PAGES, seed=42, n_files=N_FILES)
 
 
-def ensure_store() -> str:
-    """Extract store exists (resumable: a partial run resumes from lineage)."""
+def ensure_store() -> dict:
+    """Extract store exists (resumable: a partial run resumes from lineage).
+    Returns the run_pipeline summary dict; the store path is FINAL_DIR."""
     from ocr_suite_ray.pipelines.extract import ExtractConfig, run_pipeline
 
     ensure_corpus()
