@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "search_like",
     "time_hierarchy",
     "dedup_exact",
+    "cross_corpus_dedup",
     "token_stats",
     "minhash_lsh_pairs",
     "knn_cosine",

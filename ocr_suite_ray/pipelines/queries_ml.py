@@ -163,6 +163,29 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def q_cross_corpus_dedup(sf_dir: str):
+    """Dedup against an already-held corpus: corpus B = the 'src1' slice
+    (standing in for last crawl's training set), corpus A = everything
+    else; drop A-docs whose exact text appears anywhere in B. Digest-only
+    exchange, B's distinct hashes broadcast once, A never shuffled."""
+    from ocr_suite_ray.stages.dedup_text import cross_corpus_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    corpus_a = docs.filter(expr="source != 'src1'")
+    corpus_b = docs.filter(expr="source == 'src1'")
+    out = cross_corpus_dedup(corpus_a, corpus_b)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
+SQL_CROSS_CORPUS_DEDUP = """
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.source <> 'src1'
+  AND md5(d.text) NOT IN (SELECT md5(text) FROM documents WHERE source = 'src1')
+"""
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact word-3-gram Jaccard pairs (>= 0.10) blocked by source."""
     from ocr_suite_ray.stages.dedup_text import ngram_jaccard_pairs
@@ -1703,6 +1726,7 @@ ML_QUERIES = {
     "fingerprint_md5": (q_fingerprint, SQL_FINGERPRINT),
     "fingerprint_rolling": (q_fingerprint_rolling, SQL_FINGERPRINT_ROLLING),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "cross_corpus_dedup": (q_cross_corpus_dedup, SQL_CROSS_CORPUS_DEDUP),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "substring_dup_pairs": (q_substring_dup, SQL_SUBSTRING_DUP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

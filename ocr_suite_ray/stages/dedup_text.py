@@ -222,6 +222,74 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text", num_buckets:
     )
 
 
+def cross_corpus_dedup(
+    ds,
+    ref_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_broadcast_rows: int = 100_000_000,
+):
+    """Remove from ``ds`` every document whose exact text appears anywhere
+    in ``ref_ds`` — dedup against an already-trained / held-out corpus, the
+    cross-corpus complement of :func:`exact_dedup`'s within-corpus rule
+    (the standard "don't re-train on last year's crawl" pass).
+
+    Scale story: nothing but 32-char md5 digests ever leaves a worker.
+    ``ref_ds``'s DISTINCT hash set is built with per-block distinct
+    combiners and one tree reduce, broadcast ONCE (``ray.put``), then ``ds``
+    streams a single vectorized membership pass — corpus A is never
+    shuffled. Broadcast memory is O(distinct ref texts): ~50 B/hash in the
+    per-worker pd.Index, guarded by ``max_broadcast_rows`` (the
+    embedding_near_dup contract shape). Beyond the budget, hash-bucket BOTH
+    sides on the digest and anti-join within buckets (the exact_dedup
+    exchange shape) — raised, not silently attempted."""
+    import ray
+    import pyarrow as pa
+
+    from ocr_suite_ray.stages._bcast import cached_build
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    def _ref_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in df[text_col]]
+        return pd.DataFrame({"text_hash": pd.unique(pd.Series(h, dtype=object))})
+
+    def _union(t: pa.Table) -> pa.Table:
+        return t.group_by(["text_hash"]).aggregate([])
+
+    hashes_ref = coalesce_reduce(
+        ref_ds.map_batches(_ref_hashes, batch_format="pandas"),
+        _union,
+        materialize=False,
+    )
+    n_ref = ray.get(
+        ray.remote(lambda t: 0 if t is None else t.num_rows).remote(hashes_ref)
+    )
+    if n_ref > max_broadcast_rows:
+        raise ValueError(
+            f"cross_corpus_dedup is the broadcast tier: {n_ref} distinct "
+            f"reference hashes exceed the {max_broadcast_rows}-row budget. "
+            "Bucket-shuffle both sides on the digest and anti-join within "
+            "buckets (exact_dedup's exchange shape), or raise the budget."
+        )
+
+    def _index(t):
+        if t is None or t.num_rows == 0:
+            return None
+        return pd.Index(t["text_hash"].to_pandas())
+
+    def _filter(df: pd.DataFrame) -> pd.DataFrame:
+        idx = cached_build(hashes_ref, _index) if hashes_ref is not None else None
+        if idx is None:
+            return df
+        h = np.array(
+            [hashlib.md5(t.encode()).hexdigest() for t in df[text_col]],
+            dtype=object,
+        )
+        return df[idx.get_indexer(h) < 0]
+
+    return ds.map_batches(_filter, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard within a blocking key
 # ---------------------------------------------------------------------------

@@ -801,3 +801,40 @@ def test_fast_gram_hashes_short_and_window_rows():
     # identical short texts hash identically; distinct ones differ
     rows2, h2 = _fast_gram_hashes(pa.array(["hi", "hi", "yo"]), 3)
     assert h2[0] == h2[1] != h2[2]
+
+
+def test_cross_corpus_dedup_removes_ref_texts(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import cross_corpus_dedup
+
+    a = rd.from_items(
+        [
+            {"doc_id": 1, "text": "shared text one"},
+            {"doc_id": 2, "text": "unique to a"},
+            {"doc_id": 3, "text": "shared text two"},
+            {"doc_id": 4, "text": "also only in a"},
+        ]
+    )
+    b = rd.from_items(
+        [
+            {"doc_id": 100, "text": "shared text one"},
+            {"doc_id": 101, "text": "shared text two"},
+            {"doc_id": 102, "text": "only in b"},
+        ]
+    )
+    kept = sorted(r["doc_id"] for r in cross_corpus_dedup(a, b).take_all())
+    assert kept == [2, 4]
+
+    # empty reference corpus: A passes through untouched
+    empty = rd.from_items([{"doc_id": 0, "text": "x"}]).filter(
+        lambda r: False
+    )
+    kept_all = sorted(r["doc_id"] for r in cross_corpus_dedup(a, empty).take_all())
+    assert kept_all == [1, 2, 3, 4]
+
+    # broadcast budget is a raising contract, not a comment
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="broadcast tier"):
+        cross_corpus_dedup(a, b, max_broadcast_rows=2).take_all()
