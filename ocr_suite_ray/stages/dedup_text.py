@@ -228,26 +228,35 @@ def cross_corpus_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_broadcast_rows: int = 100_000_000,
+    route: str = "auto",
+    num_buckets: int = 64,
 ):
     """Remove from ``ds`` every document whose exact text appears anywhere
     in ``ref_ds`` — dedup against an already-trained / held-out corpus, the
     cross-corpus complement of :func:`exact_dedup`'s within-corpus rule
     (the standard "don't re-train on last year's crawl" pass).
 
-    Scale story: nothing but 32-char md5 digests ever leaves a worker.
-    ``ref_ds``'s DISTINCT hash set is built with per-block distinct
-    combiners and one tree reduce, broadcast ONCE (``ray.put``), then ``ds``
-    streams a single vectorized membership pass — corpus A is never
-    shuffled. Broadcast memory is O(distinct ref texts): ~50 B/hash in the
-    per-worker pd.Index, guarded by ``max_broadcast_rows`` (the
-    embedding_near_dup contract shape). Beyond the budget, hash-bucket BOTH
-    sides on the digest and anti-join within buckets (the exact_dedup
-    exchange shape) — raised, not silently attempted."""
+    Scale story: nothing but md5 digests ever leaves a worker, on either
+    route. ``route="broadcast"``: ``ref_ds``'s DISTINCT hash set is built
+    with per-block distinct combiners and one tree reduce, broadcast ONCE
+    (``ray.put``), then ``ds`` streams a single vectorized membership pass
+    — corpus A is never shuffled. Broadcast memory is O(distinct ref
+    texts), ~50 B/hash in the per-worker pd.Index. ``route="shuffle"`` (the
+    beyond-broadcast tier): both sides project to digests, ONE bucket
+    shuffle co-locates equal digests, the within-bucket intersection yields
+    the DROPPED id set — dup-rate bound, like the flagship finalize — which
+    is broadcast for one streaming id filter over A. ``route="auto"`` picks
+    by ``ref_ds``'s distinct-hash count vs ``max_broadcast_rows``."""
     import ray
     import pyarrow as pa
 
     from ocr_suite_ray.stages._bcast import cached_build
     from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    if route not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(
+            f"route must be 'auto', 'broadcast' or 'shuffle', got {route!r}"
+        )
 
     def _ref_hashes(df: pd.DataFrame) -> pd.DataFrame:
         h = [hashlib.md5(t.encode()).hexdigest() for t in df[text_col]]
@@ -256,38 +265,94 @@ def cross_corpus_dedup(
     def _union(t: pa.Table) -> pa.Table:
         return t.group_by(["text_hash"]).aggregate([])
 
-    hashes_ref = coalesce_reduce(
-        ref_ds.map_batches(_ref_hashes, batch_format="pandas"),
-        _union,
-        materialize=False,
-    )
-    n_ref = ray.get(
-        ray.remote(lambda t: 0 if t is None else t.num_rows).remote(hashes_ref)
-    )
-    if n_ref > max_broadcast_rows:
-        raise ValueError(
-            f"cross_corpus_dedup is the broadcast tier: {n_ref} distinct "
-            f"reference hashes exceed the {max_broadcast_rows}-row budget. "
-            "Bucket-shuffle both sides on the digest and anti-join within "
-            "buckets (exact_dedup's exchange shape), or raise the budget."
+    if route in ("auto", "broadcast"):
+        hashes_ref = coalesce_reduce(
+            ref_ds.map_batches(_ref_hashes, batch_format="pandas"),
+            _union,
+            materialize=False,
         )
+        n_ref = ray.get(
+            ray.remote(lambda t: 0 if t is None else t.num_rows).remote(hashes_ref)
+        )
+        if n_ref <= max_broadcast_rows:
+            def _index(t):
+                if t is None or t.num_rows == 0:
+                    return None
+                return pd.Index(t["text_hash"].to_pandas())
 
-    def _index(t):
-        if t is None or t.num_rows == 0:
-            return None
-        return pd.Index(t["text_hash"].to_pandas())
+            def _filter(df: pd.DataFrame) -> pd.DataFrame:
+                idx = (
+                    cached_build(hashes_ref, _index)
+                    if hashes_ref is not None else None
+                )
+                if idx is None:
+                    return df
+                h = np.array(
+                    [hashlib.md5(t.encode()).hexdigest() for t in df[text_col]],
+                    dtype=object,
+                )
+                return df[idx.get_indexer(h) < 0]
 
-    def _filter(df: pd.DataFrame) -> pd.DataFrame:
-        idx = cached_build(hashes_ref, _index) if hashes_ref is not None else None
-        if idx is None:
-            return df
-        h = np.array(
+            return ds.map_batches(_filter, batch_format="pandas")
+        if route == "broadcast":
+            raise ValueError(
+                f"cross_corpus_dedup broadcast tier: {n_ref} distinct "
+                f"reference hashes exceed the {max_broadcast_rows}-row "
+                "budget; use route='shuffle' (or 'auto')."
+            )
+
+    # shuffle tier: digest-only exchange, dropped-id set is dup-rate bound
+    def _a_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.Series(
             [hashlib.md5(t.encode()).hexdigest() for t in df[text_col]],
             dtype=object,
         )
-        return df[idx.get_indexer(h) < 0]
+        out = pd.DataFrame({"text_hash": h, id_col: df[id_col].values})
+        out["__hbucket"] = (
+            pd.util.hash_array(h.to_numpy()) % num_buckets
+        ).astype("int64")
+        return out
 
-    return ds.map_batches(_filter, batch_format="pandas")
+    def _b_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        out = _ref_hashes(df)
+        out[id_col] = -1  # marker: reference side
+        out["__hbucket"] = (
+            pd.util.hash_array(out["text_hash"].to_numpy()) % num_buckets
+        ).astype("int64")
+        return out
+
+    both = ds.map_batches(_a_hashes, batch_format="pandas").union(
+        ref_ds.map_batches(_b_hashes, batch_format="pandas")
+    )
+
+    def _dropped(g: pd.DataFrame) -> pd.DataFrame:
+        ref_h = g.loc[g[id_col] < 0, "text_hash"]
+        hit = g[id_col] >= 0
+        hit &= g["text_hash"].isin(pd.Index(ref_h))
+        return pd.DataFrame({id_col: g.loc[hit, id_col].astype("int64")})
+
+    dropped = both.groupby("__hbucket").map_groups(_dropped, batch_format="pandas")
+
+    def _id_union(t: pa.Table) -> pa.Table:
+        return t.group_by([id_col]).aggregate([])
+
+    dropped_ref = coalesce_reduce(dropped, _id_union, materialize=False)
+
+    def _id_index(t):
+        if t is None or t.num_rows == 0:
+            return None
+        return pd.Index(t[id_col].to_pandas())
+
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        idx = (
+            cached_build(dropped_ref, _id_index)
+            if dropped_ref is not None else None
+        )
+        if idx is None:
+            return df
+        return df[idx.get_indexer(df[id_col].to_numpy()) < 0]
+
+    return ds.map_batches(_keep, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

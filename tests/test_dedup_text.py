@@ -833,8 +833,24 @@ def test_cross_corpus_dedup_removes_ref_texts(ray_session):
     kept_all = sorted(r["doc_id"] for r in cross_corpus_dedup(a, empty).take_all())
     assert kept_all == [1, 2, 3, 4]
 
-    # broadcast budget is a raising contract, not a comment
+    # above the broadcast budget, 'auto' routes to the digest-shuffle tier
+    # and yields the identical result
+    kept_shuffle = sorted(
+        r["doc_id"]
+        for r in cross_corpus_dedup(a, b, max_broadcast_rows=2).take_all()
+    )
+    assert kept_shuffle == [2, 4]
+    kept_forced = sorted(
+        r["doc_id"] for r in cross_corpus_dedup(a, b, route="shuffle").take_all()
+    )
+    assert kept_forced == [2, 4]
+
+    # pinned broadcast route keeps the raising contract; bad route fails fast
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="broadcast tier"):
-        cross_corpus_dedup(a, b, max_broadcast_rows=2).take_all()
+        cross_corpus_dedup(
+            a, b, max_broadcast_rows=2, route="broadcast"
+        ).take_all()
+    with _pytest.raises(ValueError, match="route must be"):
+        cross_corpus_dedup(a, b, route="bogus")

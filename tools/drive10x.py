@@ -202,6 +202,39 @@ def drive_paragraph():
     return _consume(paragraph_dedup(store_docs()))
 
 
+def drive_cross_corpus():
+    """Both tiers at store scale: corpus B = docs with doc_id % 8 == 0
+    (a prior-crawl stand-in, ~1.3M docs); corpus A = the rest (~9.2M).
+    Runs the broadcast tier, then forces the digest-shuffle tier on the
+    same split and checks the row counts agree."""
+    import time as _time
+
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.dedup_text import cross_corpus_dedup
+
+    def _corpus_a(t):
+        return t.filter(pc.invert(pc.equal(pc.bit_wise_and(t["doc_id"], 7), 0)))
+
+    def _corpus_b(t):
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 7), 0))
+
+    a = store_docs().map_batches(_corpus_a, batch_format="pyarrow")
+    b = store_docs().map_batches(_corpus_b, batch_format="pyarrow")
+    t0 = _time.time()
+    n_bcast = _consume(cross_corpus_dedup(a, b))
+    t_bcast = round(_time.time() - t0, 3)
+    t0 = _time.time()
+    n_shuf = _consume(cross_corpus_dedup(a, b, route="shuffle"))
+    t_shuf = round(_time.time() - t0, 3)
+    assert n_bcast == n_shuf, (n_bcast, n_shuf)
+    print(json.dumps({
+        "metric": "cross_corpus_10x_sec", "value": t_bcast, "unit": "sec",
+        "rows_out": n_bcast, "shuffle_tier_sec": t_shuf, "num_cpus": NUM_CPUS,
+    }), flush=True)
+    return n_bcast
+
+
 # ---------------------------------------------------------------- embeddings
 
 
@@ -332,6 +365,7 @@ DRIVES = {
     "ngram": drive_ngram,
     "token_stats": drive_token_stats,
     "dedup_exact": drive_dedup_exact,
+    "cross_corpus": drive_cross_corpus,
     "paragraph": drive_paragraph,
     "embgen": None,  # special-cased
     "semantic": drive_semantic,
@@ -343,7 +377,7 @@ DRIVES = {
 
 _TEXT_OPS = {
     "minhash", "simhash", "substring", "ngram",
-    "token_stats", "dedup_exact", "paragraph",
+    "token_stats", "dedup_exact", "cross_corpus", "paragraph",
 }
 
 
