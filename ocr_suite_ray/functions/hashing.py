@@ -1,0 +1,42 @@
+"""Shared deterministic md5-prefix hash kernels.
+
+The engine's reproducible-sampling contract: a row's "randomness" is the
+top 32 bits of ``md5(str(key))`` (equal to ``int(hexdigest()[:8], 16)``),
+optionally reduced mod ``m``. Every sampling primitive — ``hash_sample``,
+``assign_split``, ``stratified_sample``, ``weighted_sample``, curation's
+``sample_e4`` — routes through here so the rule lives in exactly one
+place, stays run-to-run / parallelism independent, and remains
+DuckDB-expressible for the oracles
+(``CAST(('0x' || substr(md5(x), 1, 8)) AS UBIGINT)``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def md5_u32(values, *, suffix: str = "") -> np.ndarray:
+    """Top-32-bit md5 of ``str(v) + suffix`` per value → int64 ndarray.
+
+    The md5 loop is the engine's one sanctioned per-row Python (kept for
+    DuckDB hash parity — the SQL twins compute the same substr(md5) cast);
+    ``digest()[:4]`` big-endian equals ``int(hexdigest()[:8], 16)`` without
+    materializing the hex string.
+    """
+    sfx = suffix.encode()
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(v).encode() + sfx).digest()[:4], "big")
+            for v in values
+        ),
+        dtype=np.int64,
+        count=len(values),
+    )
+
+
+def md5_mod(values, mod: int, *, suffix: str = "") -> np.ndarray:
+    """``md5_u32(values) % mod`` — the keep-threshold form used by all
+    deterministic samplers (keep iff ``md5_mod(id, m) < threshold``)."""
+    return md5_u32(values, suffix=suffix) % mod

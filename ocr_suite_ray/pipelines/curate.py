@@ -18,7 +18,6 @@ so the CLI surface inherits their oracle-checked semantics.
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 
@@ -66,6 +65,14 @@ def run_curation(
     from ocr_suite_ray.stages._bcast import cached_get
     from ocr_suite_ray.stages.text_ops import _tokens, lm_scores, quality_score
     from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    # crash recovery: a kill inside the promote's two-rename window (below)
+    # leaves the previous output parked at .old with the published path
+    # absent — restore it first so readers see the prior curated set while
+    # this run recomputes
+    _old = out_dir.rstrip("/") + ".old"
+    if not os.path.exists(out_dir) and os.path.exists(_old):
+        os.replace(_old, out_dir)
 
     ds = rd.read_parquet(final_dir, columns=["url", "text", "status"])
 
@@ -193,16 +200,9 @@ def run_curation(
             pc.greater_equal(out["quality"], quality_min), pa.array(keep_dup)
         )
         if sample_e4 is not None:
-            keep = pa.array(
-                np.array(
-                    [
-                        int(_hl.md5(u.encode()).hexdigest()[:8], 16) % 10000
-                        < sample_e4
-                        for u in urls
-                    ]
-                )
-            )
-            mask = pc.and_(mask, keep)
+            from ocr_suite_ray.functions.hashing import md5_mod
+
+            mask = pc.and_(mask, pa.array(md5_mod(urls, 10000) < sample_e4))
         out = out.filter(mask)
         return out if out.num_rows else empty
 
@@ -214,10 +214,12 @@ def run_curation(
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging, exist_ok=True)
     kept.write_parquet(staging, partition_cols=["bucket"])
-    # Atomic promote: the previous output is renamed aside FIRST, so a
-    # crash at any point leaves either the old curated dir intact (before
-    # the swap) or the new one fully in place — never a window with
-    # neither (a bare rmtree-then-replace has exactly that window).
+    # Near-atomic promote: the previous output is renamed aside FIRST, so a
+    # crash never leaves a half-written dir at the published path and never
+    # loses data — but POSIX has no two-dir RENAME_EXCHANGE, so there IS a
+    # brief window between the two renames where out_dir is absent (old
+    # output parked at .old). A crash inside that window is healed by the
+    # restore at the top of this function on the next run.
     old = out_dir.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(out_dir):

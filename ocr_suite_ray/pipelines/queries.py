@@ -834,14 +834,10 @@ def q_hash_sample(sf_dir: str):
     md5(doc_id) mod 100 < 20 — reproducible at any parallelism (unlike
     random_sample), expressible in SQL, and uniform by hash. The standard
     corpus-subsampling primitive."""
-    import hashlib
+    from ocr_suite_ray.functions.hashing import md5_mod
 
     def _sample(t: pa.Table) -> pa.Table:
-        keep = [
-            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100 < 20
-            for d in t["doc_id"].to_pylist()
-        ]
-        return t.filter(pa.array(keep))
+        return t.filter(pa.array(md5_mod(t["doc_id"].to_pylist(), 100) < 20))
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     return ds.map_batches(_sample, batch_format="pyarrow")

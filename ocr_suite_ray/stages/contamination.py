@@ -18,7 +18,6 @@ Reference analogue: the already-processed skip filter
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -171,21 +170,30 @@ def stratified_sample(
     dictionary-encode + take.
     """
 
+    from ocr_suite_ray.functions.hashing import md5_mod
+
     def _sample(t: pa.Table) -> pa.Table:
-        h = np.array(
-            [
-                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % mod
-                for d in t[id_col].to_pylist()
-            ],
-            dtype=np.int64,
-        )
+        h = md5_mod(t[id_col].to_pylist(), mod)
         strata = t[stratum_col].combine_chunks().dictionary_encode()
         uniq = strata.dictionary.to_pylist()
         thresholds = np.array(
             [int(fractions_e4.get(s, default_e4)) for s in uniq], dtype=np.int64
         )
-        codes = strata.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.filter(pa.array(h < thresholds[codes]))
+        # null strata are "unlisted" -> default_e4. The raw indices carry
+        # null as NaN after to_numpy, and NaN.astype(int64) is INT64_MIN —
+        # mask first instead of indexing thresholds with garbage.
+        idx = strata.indices.to_numpy(zero_copy_only=False)
+        is_null = (
+            np.isnan(idx) if idx.dtype.kind == "f"
+            else np.zeros(len(idx), dtype=bool)
+        )
+        codes = np.where(is_null, 0, idx).astype(np.int64)
+        thr = (
+            thresholds[codes] if len(thresholds)
+            else np.zeros(len(codes), dtype=np.int64)
+        )
+        thr = np.where(is_null, np.int64(default_e4), thr)
+        return t.filter(pa.array(h < thr))
 
     return ds.map_batches(_sample, batch_format="pyarrow")
 
@@ -196,6 +204,7 @@ def group_quota(
     order_col: str,
     weight_col: str,
     budget: int,
+    order_tiebreak: str | None = None,
 ):
     """Per-group running-weight cap: within each ``group_col`` group, order
     by ``order_col`` and keep rows while the running sum of ``weight_col``
@@ -206,10 +215,15 @@ def group_quota(
     vectorized argsort + cumsum (no per-row Python). Emits the kept rows
     plus ``running`` (the inclusive running weight) for auditability.
     Equivalent SQL: ``SUM(w) OVER (PARTITION BY g ORDER BY o) <= budget``.
+
+    Determinism: when ``order_col`` can tie, pass ``order_tiebreak`` (a
+    unique column) — otherwise the rows kept AT the budget boundary follow
+    Ray's run-to-run block order, like SQL's unordered-tie window frames.
     """
+    sort_keys = [order_col] + ([order_tiebreak] if order_tiebreak else [])
 
     def _cap(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col, kind="mergesort")
+        g = g.sort_values(sort_keys, kind="mergesort")
         running = g[weight_col].to_numpy().cumsum()
         out = g[running <= budget].copy()
         out["running"] = running[running <= budget]
@@ -240,17 +254,10 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int, seed: str = "ws"):
     def _score(t: pa.Table) -> pa.Table:
         w = t[weight_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
         ok = np.isfinite(w) & (w > 0)
+        from ocr_suite_ray.functions.hashing import md5_u32
+
         ids = t[id_col].to_pylist()
-        u = (
-            np.array(
-                [
-                    int(hashlib.md5(f"{d}-{seed}".encode()).hexdigest()[:8], 16)
-                    for d in ids
-                ],
-                dtype=np.float64,
-            )
-            + 0.5
-        ) / 4294967296.0
+        u = (md5_u32(ids, suffix=f"-{seed}").astype(np.float64) + 0.5) / 4294967296.0
         score = np.where(ok, -np.log(u) / np.where(ok, w, 1.0), np.inf)
         keep = np.flatnonzero(ok)
         t = pa.table(
@@ -326,7 +333,9 @@ def temperature_resample(
         ds.map_batches(_cnt, batch_format="pyarrow"), _merge, None, materialize=True
     )
     if counts is None or counts.num_rows == 0:
-        return ds.filter(lambda row: False)
+        # empty/all-null grouping: empty result via per-batch slice, not a
+        # per-row Python filter over the whole corpus
+        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
     # sort by group so the float sum below is independent of tree-merge order
     import pyarrow.compute as pc
 

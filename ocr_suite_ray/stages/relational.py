@@ -379,7 +379,20 @@ def narrow_grouped_sum(
         if empty_schema is not None:
             return rd.from_arrow(empty_schema.empty_table())
         return rd.from_items([])
-    return rd.from_arrow_refs([ref])
+    # the reduce root resolves to None when EVERY input block was empty
+    # (coalesce_reduce's contract); from_arrow_refs would crash on a None
+    # block, so normalize worker-side to the declared empty schema
+    import ray
+
+    @ray.remote
+    def _or_empty(t):
+        if t is not None:
+            return t
+        if empty_schema is not None:
+            return empty_schema.empty_table()
+        return pa.table({})
+
+    return rd.from_arrow_refs([_or_empty.remote(ref)])
 
 
 def count_distinct_by_group(

@@ -277,14 +277,10 @@ def assign_split(
     everything downstream is vectorized."""
     import pyarrow as pa_mod
 
+    from ocr_suite_ray.functions.hashing import md5_mod
+
     def _split(batch: pd.DataFrame) -> pd.DataFrame:
-        h = np.array(
-            [
-                int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % mod
-                for d in batch[id_col]
-            ],
-            dtype=np.int64,
-        )
+        h = md5_mod(batch[id_col], mod)
         out = batch.copy()
         out["split"] = np.where(
             h < train_pct, "train", np.where(h < train_pct + val_pct, "val", "test")

@@ -50,13 +50,27 @@ def tumbling_window_agg(
         t = pa.table(
             {key_col: t[key_col], "window_start": w, value_col: t[value_col]}
         )
+        # n_events counts ALL rows (the op's contract and the SQL twin's
+        # COUNT(*) — Arrow's plain "count" skips nulls and would under-count
+        # a null-valued event stream); avg needs the VALID count separately
+        # so it stays SQL AVG (sum / non-null count), not sum / COUNT(*)
         g = t.group_by([key_col, "window_start"]).aggregate(
-            [(value_col, "sum"), (value_col, "count")]
+            [
+                (value_col, "sum"),
+                (value_col, "count", pc.CountOptions(mode="all")),
+                (value_col, "count", pc.CountOptions(mode="only_valid")),
+            ]
         )
-        return g.rename_columns([key_col, "window_start", "sum_value", "n_events"])
+        return g.rename_columns(
+            [key_col, "window_start", "sum_value", "n_events", "n_valid"]
+        )
 
     def _finish(t: pa.Table) -> pa.Table:
-        avg = pc.divide(t["sum_value"], pc.cast(t["n_events"], pa.float64()))
+        # null avg when every value in the window is null (SQL AVG = NULL)
+        nv = pc.cast(t["n_valid"], pa.float64())
+        avg = pc.divide(
+            t["sum_value"], pc.if_else(pc.equal(nv, 0.0), pa.scalar(None, pa.float64()), nv)
+        )
         return pa.table(
             {
                 key_col: t[key_col],
@@ -75,25 +89,38 @@ def tumbling_window_agg(
             .aggregate(
                 Sum("n_events", alias_name="n_events"),
                 Sum("sum_value", alias_name="sum_value"),
+                Sum("n_valid", alias_name="n_valid"),
             )
             .map_batches(_finish, batch_format="pyarrow")
         )
 
     from ocr_suite_ray.stages.relational import narrow_grouped_sum
 
+    # all-blocks-empty fallback schema: take the real key/value types from
+    # the input when they are already known (parquet metadata), so a string
+    # key or int value column doesn't come back int64/float64-typed; an
+    # unknown schema (mid-pipeline input) keeps the int64/float64 default
+    key_type, sum_type = pa.int64(), pa.float64()
+    known = ds.schema(fetch_if_missing=False)
+    base = getattr(known, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        if key_col in base.names:
+            key_type = base.field(key_col).type
+        if value_col in base.names:
+            sum_type = base.field(value_col).type
     empty = pa.schema(
         [
-            (key_col, pa.int64()),
+            (key_col, key_type),
             ("window_start", pa.timestamp("us")),
             ("n_events", pa.int64()),
-            ("sum_value", pa.float64()),
+            ("sum_value", sum_type),
             ("avg_value", pa.float64()),
         ]
     )
     return narrow_grouped_sum(
         partials,
         [key_col, "window_start"],
-        ["sum_value", "n_events"],
+        ["sum_value", "n_events", "n_valid"],
         finish_fn=_finish,
         empty_schema=empty,
     )
@@ -116,11 +143,15 @@ def rolling_mean(ds, key_col: str, ts_col: str, value_col: str,
     silent truncation either way."""
     def _roll(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, order_tiebreak], kind="mergesort")
-        m = g[value_col].rolling(window, min_periods=1).mean()
+        m = (g[value_col].rolling(window, min_periods=1).mean() * scale)
         out = g[[key_col, order_tiebreak]].copy()
         import numpy as np
 
-        out["rolling_avg_fp"] = np.floor(m * scale + 0.5).astype("int64")
+        # half-AWAY-FROM-ZERO like DuckDB ROUND: floor(x+0.5) alone is
+        # half-up and disagrees on negative exact halves (-2.5 -> -2 vs -3)
+        out["rolling_avg_fp"] = np.where(
+            m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)
+        ).astype("int64")
         return out
 
     return ds.groupby(key_col).map_groups(_roll, batch_format="pandas")
@@ -144,8 +175,10 @@ def group_quantiles(ds, key_col: str, value_col: str,
     def _q(g: pd.DataFrame) -> pd.DataFrame:
         row = {key_col: [g[key_col].iloc[0]]}
         for q in qs:
-            v = g[value_col].quantile(q, interpolation="linear")
-            row[f"q{int(q * 100)}_fp"] = [int(np.floor(v * scale + 0.5))]
+            v = g[value_col].quantile(q, interpolation="linear") * scale
+            # half-away-from-zero (DuckDB ROUND), not half-up
+            fp = np.floor(v + 0.5) if v >= 0 else np.ceil(v - 0.5)
+            row[f"q{int(q * 100)}_fp"] = [int(fp)]
         return pd.DataFrame(row)
 
     return ds.groupby(key_col).map_groups(_q, batch_format="pandas")
@@ -228,6 +261,10 @@ def group_zscore(ds, key_col: str, value_col: str, out_col: str = "z"):
 
     def _z(t: pa.Table) -> pa.Table:
         stats = cached_get(stats_ref)
+        if stats is None:  # every input block was empty -> no group stats
+            return t.append_column(
+                out_col, pa.nulls(t.num_rows, pa.float64())
+            )
         n = stats["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
         s = stats["_s"].to_numpy(zero_copy_only=False)
         s2 = stats["_s2"].to_numpy(zero_copy_only=False)
@@ -244,11 +281,21 @@ def group_zscore(ds, key_col: str, value_col: str, out_col: str = "z"):
         enc = t[key_col].combine_chunks().dictionary_encode()
         m = np.array([mean_by.get(kv, np.nan) for kv in enc.dictionary.to_pylist()])
         sd = np.array([std_by.get(kv, np.nan) for kv in enc.dictionary.to_pylist()])
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # a null key must yield a null z, not an INT64_MIN index crash
+        # (null indices arrive as NaN from to_numpy)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        is_null = (
+            np.isnan(idx) if idx.dtype.kind == "f"
+            else np.zeros(len(idx), dtype=bool)
+        )
+        codes = np.where(is_null, 0, idx).astype(np.int64)
+        if len(m) == 0:
+            m = np.array([np.nan])
+            sd = np.array([np.nan])
         x = t[value_col].cast(pa.float64()).to_numpy(zero_copy_only=False)
         with np.errstate(invalid="ignore", divide="ignore"):
             z = (x - m[codes]) / sd[codes]
-        z = np.where(sd[codes] == 0, np.nan, z)
+        z = np.where(is_null | (sd[codes] == 0), np.nan, z)
         # NaN (n<2 / zero-variance groups) must surface as Arrow NULL, not
         # a valid NaN value — downstream is_null checks and the SQL
         # oracle's strict null comparison both diverge otherwise.
@@ -301,7 +348,9 @@ def percentile_gate(ds, col: str, lo_p: float = 0.05, hi_p: float = 0.95):
         ds.map_batches(_hist, batch_format="pyarrow"), _merge, None, materialize=True
     )
     if hist is None or hist.num_rows == 0:
-        return ds.filter(lambda row: False)
+        # nothing to gate (all-null column): empty result, schema kept —
+        # per-batch slice(0,0), never a per-row Python filter over the corpus
+        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
     hist = hist.take(pc.sort_indices(hist, sort_keys=[(col, "ascending")]))
     cnt = hist["_c"].to_numpy(zero_copy_only=False)
     cum = np.cumsum(cnt)
