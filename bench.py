@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "time_hierarchy",
     "dedup_exact",
     "cross_corpus_dedup",
+    "cross_corpus_near_dup",
     "token_stats",
     "minhash_lsh_pairs",
     "knn_cosine",

@@ -186,6 +186,21 @@ WHERE d.source <> 'src1'
 """
 
 
+def q_cross_corpus_near_dup(sf_dir: str):
+    """NEAR-dup flags against an already-held corpus: corpus B = the
+    'src1' slice (the held training set), corpus A = everything else;
+    emit every (A doc, B doc) pair with exact 3-gram Jaccard >= 0.5,
+    candidates found by MinHash+LSH over the tagged union. Same md5
+    hash family as minhash_lsh_pairs, so the full chain carries a
+    value-hash SQL oracle."""
+    from ocr_suite_ray.stages.dedup_text import cross_corpus_near_dup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    corpus_a = docs.filter(expr="source != 'src1'")
+    corpus_b = docs.filter(expr="source == 'src1'")
+    return cross_corpus_near_dup(corpus_a, corpus_b, threshold=0.5)
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact word-3-gram Jaccard pairs (>= 0.10) blocked by source."""
     from ocr_suite_ray.stages.dedup_text import ngram_jaccard_pairs
@@ -296,6 +311,22 @@ _MINHASH_PAIR_CTES = f"""grams AS (
 SQL_MINHASH_LSH = f"""
 WITH {_MINHASH_PAIR_CTES}
 SELECT id_a, id_b, jaccard_e4 FROM pairs
+"""
+
+
+# Cross-corpus near-dup reuses the identical pair chain: signatures depend
+# only on text, so MinHash over the A∪B union equals MinHash per corpus,
+# and the cross-corpus output is exactly the cross-side subset of `pairs`
+# oriented A-first (engine: pair_scope="cross_parity" + xid decode).
+SQL_CROSS_NEAR_DUP = f"""
+WITH {_MINHASH_PAIR_CTES}
+SELECT CASE WHEN da.source <> 'src1' THEN p.id_a ELSE p.id_b END AS id_a,
+       CASE WHEN da.source <> 'src1' THEN p.id_b ELSE p.id_a END AS id_b,
+       p.jaccard_e4
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+WHERE (da.source = 'src1') <> (db.source = 'src1')
 """
 
 
@@ -1727,6 +1758,7 @@ ML_QUERIES = {
     "fingerprint_rolling": (q_fingerprint_rolling, SQL_FINGERPRINT_ROLLING),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "cross_corpus_dedup": (q_cross_corpus_dedup, SQL_CROSS_CORPUS_DEDUP),
+    "cross_corpus_near_dup": (q_cross_corpus_near_dup, SQL_CROSS_NEAR_DUP),
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "substring_dup_pairs": (q_substring_dup, SQL_SUBSTRING_DUP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),

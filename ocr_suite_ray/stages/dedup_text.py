@@ -355,6 +355,81 @@ def cross_corpus_dedup(
     return ds.map_batches(_keep, batch_format="pandas")
 
 
+def cross_corpus_near_dup(
+    ds,
+    ref_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    gram_hash: str = "md5",
+    **minhash_kw,
+):
+    """Near-duplicate pairs ACROSS two corpora: ``(id_a ∈ ds, id_b ∈
+    ref_ds, jaccard_e4)`` for every cross-corpus pair whose exact word-
+    ``k``-gram Jaccard is >= ``threshold`` — the MinHash complement of
+    :func:`cross_corpus_dedup`'s exact-text rule ("flag new-crawl docs
+    that NEAR-match the held training corpus", the standard pre-training
+    contamination/overlap pass when last year's crawl was lightly edited).
+
+    Implementation: both sides fold into ONE disjoint id space
+    (``xid = 2*id + side``) and the full :func:`minhash_lsh_pairs` chain
+    runs over the tagged union with ``pair_scope="cross_parity"`` — pair
+    expansion keeps only opposite-side bucket pairs. Signatures depend
+    only on text, so banding the union is identical to banding each corpus
+    separately, and every scale property of minhash_lsh_pairs carries
+    over unchanged: signature-only exchange (~640 B/doc), candidate-bound
+    exact verification, probe/shuffle wide-verify routing. Output ids are
+    decoded back to their original spaces (``id_a`` is ALWAYS the ``ds``
+    doc). Requires non-negative integer ids (the side bit lives in bit 0).
+
+    To DROP the flagged ds-docs, anti-join ``ds`` against the distinct
+    ``id_a`` column — dup-rate bound, the same dropped-id broadcast shape
+    as cross_corpus_dedup's shuffle tier.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _tag(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            xid = pc.add(
+                pc.multiply(pc.cast(t[id_col], pa.int64()), 2), side
+            )
+            return pa.table({id_col: xid, text_col: t[text_col]})
+
+        return _f
+
+    tagged = ds.map_batches(_tag(0), batch_format="pyarrow").union(
+        ref_ds.map_batches(_tag(1), batch_format="pyarrow")
+    )
+    pairs = minhash_lsh_pairs(
+        tagged,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        k=k,
+        gram_hash=gram_hash,
+        pair_scope="cross_parity",
+        **minhash_kw,
+    )
+
+    def _decode(t: pa.Table) -> pa.Table:
+        ia = t["id_a"].to_numpy(zero_copy_only=False)
+        ib = t["id_b"].to_numpy(zero_copy_only=False)
+        a_first = (ia & 1) == 0  # the even xid is the ds-side doc
+        ax = np.where(a_first, ia, ib)
+        bx = np.where(a_first, ib, ia)
+        return pa.table(
+            {
+                "id_a": pa.array(ax // 2, pa.int64()),
+                "id_b": pa.array(bx // 2, pa.int64()),
+                "jaccard_e4": t["jaccard_e4"],
+            }
+        )
+
+    return pairs.map_batches(_decode, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard within a blocking key
 # ---------------------------------------------------------------------------
@@ -694,6 +769,7 @@ def minhash_lsh_pairs(
     gram_hash: str = "md5",
     wide_verify: str = "auto",
     probe_budget_bytes: int = 24 << 30,
+    pair_scope: str = "all",
 ):
     """Candidate pairs via LSH banding, verified with exact shingle Jaccard.
 
@@ -744,6 +820,10 @@ def minhash_lsh_pairs(
     if wide_verify not in ("auto", "probe", "shuffle"):
         raise ValueError(
             f"wide_verify must be 'auto', 'probe' or 'shuffle', got {wide_verify!r}"
+        )
+    if pair_scope not in ("all", "cross_parity"):
+        raise ValueError(
+            f"pair_scope must be 'all' or 'cross_parity', got {pair_scope!r}"
         )
 
     _empty_pairs = pd.DataFrame(
@@ -799,6 +879,11 @@ def minhash_lsh_pairs(
         new = np.ones(n, dtype=bool)
         new[1:] = keys[1:] != keys[:-1]
         i_idx, j_idx = _pair_indices_within_groups(new)
+        if pair_scope == "cross_parity":
+            # cross-corpus mode (see cross_corpus_near_dup): ids carry the
+            # side in their low bit; keep only opposite-side pairs
+            m_cross = ((ids[i_idx] ^ ids[j_idx]) & 1).astype(bool)
+            i_idx, j_idx = i_idx[m_cross], j_idx[m_cross]
         return pd.DataFrame(
             {
                 "id_a": pd.Series(ids[i_idx], dtype="int64"),

@@ -854,3 +854,71 @@ def test_cross_corpus_dedup_removes_ref_texts(ray_session):
         ).take_all()
     with _pytest.raises(ValueError, match="route must be"):
         cross_corpus_dedup(a, b, route="bogus")
+
+
+def test_cross_corpus_near_dup_flags_only_cross_pairs(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import (
+        _shingles,
+        cross_corpus_near_dup,
+        jaccard,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = base + " today"          # near-dup of base
+    base2 = "completely different words fill this second document entirely now"
+    a_rows = [
+        {"doc_id": 1, "text": base},         # near-dups B:100
+        {"doc_id": 2, "text": base2},        # unique
+        {"doc_id": 3, "text": near},         # near-dups B:100 AND A:1
+        {"doc_id": 4, "text": "tiny"},       # short-text path
+    ]
+    b_rows = [
+        {"doc_id": 100, "text": base + " yesterday"},
+        {"doc_id": 101, "text": "held corpus only content right here"},
+        {"doc_id": 4, "text": "tiny"},       # id COLLIDES with A:4 on purpose
+    ]
+    got = (
+        cross_corpus_near_dup(
+            rd.from_items(a_rows), rd.from_items(b_rows), threshold=0.5
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # brute-force oracle: every cross pair with exact Jaccard >= 0.5
+    # (LSH recall over >=0.5 pairs at 32x4 bands is ~certain at this sim)
+    expect = []
+    for ra in a_rows:
+        for rb in b_rows:
+            jac = jaccard(_shingles(ra["text"]), _shingles(rb["text"]))
+            if jac >= 0.5:
+                expect.append(
+                    (ra["doc_id"], rb["doc_id"],
+                     int(np.floor(jac * 10000 + 0.5)))
+                )
+    expect.sort()
+    assert list(map(tuple, got.to_numpy())) == expect
+    # within-side pairs (A:1~A:3) must NOT appear even though they band
+    # together, and the A:4/B:4 id collision resolves to a cross pair
+    assert (4, 4) in {(x, y) for x, y, _ in expect}
+
+    # fast gram hash route: same verified pair IDS (verification is exact
+    # either way; banding family differs but recall at this sim is certain)
+    got_fast = (
+        cross_corpus_near_dup(
+            rd.from_items(a_rows), rd.from_items(b_rows),
+            threshold=0.5, gram_hash="fast",
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got_fast.to_numpy())) == expect
+
+    with __import__("pytest").raises(ValueError, match="pair_scope"):
+        from ocr_suite_ray.stages.dedup_text import minhash_lsh_pairs
+
+        minhash_lsh_pairs(rd.from_items(a_rows), pair_scope="bogus")
