@@ -53,7 +53,10 @@ def fit_linear_ref(ds, x_cols: list, y_col: str, l2: float = 0.0):
 
     def _combine(t: pa.Table) -> pa.Table:
         g = t.group_by("k").aggregate([("v", "sum")])
-        return g.rename_columns(["k", "v"])
+        # rebuild by NAME: group_by's key/aggregate column ORDER has
+        # changed across pyarrow releases, and a positional rename would
+        # silently swap k/v and blow up deep in the reduce tree
+        return pa.table({"k": g["k"], "v": g["v_sum"]})
 
     def _solve(t: pa.Table) -> pa.Table:
         kv = dict(zip(t["k"].to_pylist(), t["v"].to_pylist()))
@@ -83,7 +86,13 @@ def linear_residuals(
     from ocr_suite_ray.stages._bcast import cached_get
 
     def _score(t: pa.Table) -> pa.Table:
-        w = cached_get(weights_ref)["w"].to_numpy(zero_copy_only=False)
+        wt = cached_get(weights_ref)
+        if wt is None:  # coalesce_reduce root: every fit block was empty
+            raise ValueError(
+                "linear_residuals: weights_ref resolves to None — "
+                "fit_linear_ref saw an empty corpus, no model to score with"
+            )
+        w = wt["w"].to_numpy(zero_copy_only=False)
         x, y = _xy(t, x_cols, y_col)
         resid = y - x @ w
         return pa.table(

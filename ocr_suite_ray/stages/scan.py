@@ -29,6 +29,21 @@ import numpy as np
 import pandas as pd
 
 
+def _assert_unique_min_keys(summaries: pd.DataFrame, order_col: str) -> None:
+    """Guard for the unique-order-key contract: if a tie run ever straddles
+    a sorted-block boundary, two blocks share a min_key, the offset map
+    collapses them, and every row of one block gets a silently wrong base.
+    Fail fast instead (defense-in-depth — Ray's range partitioner routes
+    equal keys to one partition today, but that is an implementation
+    detail, not a contract)."""
+    if summaries["min_key"].duplicated().any():
+        raise ValueError(
+            f"prefix_sum requires unique {order_col!r} values: duplicate "
+            "order keys straddle a sorted-block boundary (use a unique "
+            "key, e.g. suffix a tiebreak id)"
+        )
+
+
 def prefix_sum(ds, order_col: str, value_col: str, out_col: str = "cum_before"):
     """Exclusive running sum of ``value_col`` in ``order_col`` order.
 
@@ -55,15 +70,20 @@ def prefix_sum(ds, order_col: str, value_col: str, out_col: str = "cum_before"):
         _summary, batch_size=None, batch_format="pandas"
     ).to_pandas()
     summaries = summaries.sort_values("min_key").reset_index(drop=True)
+    _assert_unique_min_keys(summaries, order_col)
     offsets = summaries["total"].cumsum().shift(fill_value=0)
     # broadcast {block min_key -> exclusive offset} (one entry per block)
     off_by_min = dict(zip(summaries["min_key"], offsets))
     off_ref = ray.put(off_by_min)
 
+    from ocr_suite_ray.stages._bcast import cached_get
+
     def _scan(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df.assign(**{out_col: pd.Series(dtype="int64")})
-        table = ray.get(off_ref)
+        # per-worker cached deserialize — a bare ray.get here re-inflates
+        # the O(blocks)-entry dict once per block (O(blocks^2) total)
+        table = cached_get(off_ref)
         base = table[df[order_col].iloc[0]]
         cum = df[value_col].cumsum().shift(fill_value=0) + base
         return df.assign(**{out_col: cum})

@@ -4,17 +4,16 @@ The reference has no approximate aggregates (SURVEY §2.6), but a
 trillion-row pipeline needs them: exact distinct/quantile over 10^12 rows
 is an all-to-all shuffle; a sketch is one small partial per block plus a
 tree merge. Pattern (per the public Ray guidance on aggregation at scale):
-``map_batches`` emits ONE serialized sketch row per block, a tiny second
-stage merges — sketches are designed to be mergeable.
+``map_batches`` emits ONE serialized sketch row per block; the partials
+merge in a remote TREE (``coalesce_reduce``) so the driver only ever sees
+the root sketch — never O(blocks) rows.
 
 Both sketches here are deterministic (fixed hash, fixed bins): same input
-set → same estimate at any parallelism.
+set → same estimate at any parallelism. Null semantics match SQL: NULLs
+count toward neither the distinct estimate nor any quantile bin.
 """
 
 from __future__ import annotations
-
-import hashlib
-import struct
 
 import numpy as np
 import pandas as pd
@@ -25,29 +24,37 @@ _M = 1 << HLL_P
 
 
 def _hash64(values) -> np.ndarray:
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        out[i] = struct.unpack(
-            "<Q", hashlib.blake2b(str(v).encode(), digest_size=8).digest()
-        )[0]
-    return out
+    """Vectorized deterministic 64-bit hash (``pd.util.hash_array`` with its
+    fixed default key — stable across processes/runs, unlike Python's
+    seeded ``hash``). One C pass; the earlier per-row blake2b loop cost
+    ~1 µs/row, which at the module's own 10^12-row design point is days of
+    aggregate CPU for no statistical benefit (any uniform 64-bit family is
+    a valid HLL hash)."""
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr)
 
 
 def hll_partial(values) -> bytes:
     """One HLL register array from a batch of values (serialized).
 
     register index = top P hash bits; rank = position of the first set bit
-    in the remaining 64-P bits (1-based, capped at 64-P+1)."""
+    in the remaining 64-P bits (1-based, capped at 64-P+1). The rank's
+    bit_length is computed with a 6-step vectorized binary shift — no
+    per-row Python."""
     regs = np.zeros(_M, dtype=np.uint8)
     if len(values):
         h = _hash64(values)
         idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
         rest = h & np.uint64((1 << (64 - HLL_P)) - 1)
         w = 64 - HLL_P
-        rank = np.array(
-            [w + 1 if r == 0 else w - int(r).bit_length() + 1 for r in rest.tolist()],
-            dtype=np.uint8,
-        )
+        r = rest.copy()
+        bl = np.zeros(len(r), dtype=np.uint8)  # floor(log2)+1, 0 for r==0
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = r >= np.uint64(1 << shift)
+            bl[m] += shift
+            r[m] >>= np.uint64(shift)
+        bl[rest > 0] += 1
+        rank = (w + 1 - bl).astype(np.uint8)  # rest==0 → bl=0 → w+1
         np.maximum.at(regs, idx, rank)
     return regs.tobytes()
 
@@ -69,13 +76,43 @@ def hll_estimate(partial: bytes) -> float:
     return float(est)
 
 
-def approx_distinct(ds, col: str) -> int:
-    """Distinct-count estimate: one HLL partial per block, merged once."""
-    def _p(t: pa.Table) -> pa.Table:
-        return pa.table({"sk": pa.array([hll_partial(t[col].to_pylist())], pa.binary())})
+def _sketch_reduce(ds, partial_fn, merge_fn):
+    """Shared reduce shape: one sketch row per block, remote tree merge,
+    root sketch (bytes) back to the driver — or None for an empty input.
+    ``coalesce_reduce`` keeps the merge off the driver (the earlier
+    ``take_all`` form shipped one row per block to the driver: gigabytes
+    of driver heap and an O(blocks) serial loop at 10^6 blocks)."""
+    from ocr_suite_ray.state.dupset import coalesce_reduce
 
-    parts = ds.map_batches(_p, batch_format="pyarrow").take_all()
-    merged = hll_merge([r["sk"] for r in parts])
+    def _merge(t: pa.Table) -> pa.Table:
+        merged = merge_fn([m.as_py() for m in t["sk"]])
+        return pa.table({"sk": pa.array([merged], pa.binary())})
+
+    root = coalesce_reduce(
+        ds.map_batches(partial_fn, batch_format="pyarrow"),
+        _merge,
+        None,
+        materialize=True,
+    )
+    if root is None or root.num_rows == 0:
+        return None
+    return root["sk"][0].as_py()
+
+
+def approx_distinct(ds, col: str) -> int:
+    """Distinct-count estimate: one HLL partial per block, tree-merged.
+    NULLs are not counted (SQL COUNT(DISTINCT) semantics). Empty input
+    estimates 0."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        vals = t[col].combine_chunks().drop_null()
+        return pa.table(
+            {"sk": pa.array([hll_partial(vals.to_pylist())], pa.binary())}
+        )
+
+    merged = _sketch_reduce(ds, _p, hll_merge)
+    if merged is None:
+        return 0
     return int(round(hll_estimate(merged)))
 
 
@@ -84,15 +121,17 @@ def approx_distinct(ds, col: str) -> int:
 
 class HistogramSketch:
     """Fixed-range histogram quantile sketch — deterministic, mergeable.
-    Error bound: (hi-lo)/bins per quantile."""
+    Error bound: (hi-lo)/bins per quantile. NaN/null values are ignored
+    (SQL quantile semantics), not binned."""
 
     def __init__(self, lo: float, hi: float, bins: int = 4096):
         self.lo, self.hi, self.bins = lo, hi, bins
 
     def partial(self, values: np.ndarray) -> np.ndarray:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]  # Arrow nulls arrive as NaN — never bin them
         idx = np.clip(
-            ((np.asarray(values, dtype=np.float64) - self.lo)
-             / (self.hi - self.lo) * self.bins).astype(np.int64),
+            ((v - self.lo) / (self.hi - self.lo) * self.bins).astype(np.int64),
             0, self.bins - 1,
         )
         return np.bincount(idx, minlength=self.bins).astype(np.int64)
@@ -100,20 +139,36 @@ class HistogramSketch:
     def quantile(self, counts: np.ndarray, q: float) -> float:
         cum = np.cumsum(counts)
         total = cum[-1]
+        if total == 0:  # no data — NaN, not a fabricated mid-bin value
+            return float("nan")
         pos = np.searchsorted(cum, q * total)
         return self.lo + (pos + 0.5) * (self.hi - self.lo) / self.bins
 
 
 def approx_quantiles(ds, col: str, lo: float, hi: float, qs=(0.5, 0.95),
                      bins: int = 4096) -> dict:
+    """Quantile estimates keyed ``q{round(q*100)}`` (``round``, not
+    ``int`` — 0.29*100 is 28.999… and would truncate to 'q28'). NaN per
+    quantile when the column has no non-null rows."""
     sk = HistogramSketch(lo, hi, bins)
 
     def _p(t: pa.Table) -> pa.Table:
         c = sk.partial(t[col].to_numpy(zero_copy_only=False))
         return pa.table({"counts": pa.array([c.tobytes()], pa.binary())})
 
-    parts = ds.map_batches(_p, batch_format="pyarrow").take_all()
-    merged = np.zeros(bins, dtype=np.int64)
-    for r in parts:
-        merged += np.frombuffer(r["counts"], dtype=np.int64)
-    return {f"q{int(q * 100)}": sk.quantile(merged, q) for q in qs}
+    def _m(blobs: list[bytes]) -> bytes:
+        merged = np.zeros(bins, dtype=np.int64)
+        for b in blobs:
+            merged += np.frombuffer(b, dtype=np.int64)
+        return merged.tobytes()
+
+    def _p_named(t: pa.Table) -> pa.Table:
+        return _p(t).rename_columns(["sk"])
+
+    merged_blob = _sketch_reduce(ds, _p_named, _m)
+    merged = (
+        np.zeros(bins, dtype=np.int64)
+        if merged_blob is None
+        else np.frombuffer(merged_blob, dtype=np.int64)
+    )
+    return {f"q{round(q * 100)}": sk.quantile(merged, q) for q in qs}
