@@ -84,6 +84,88 @@ def segment_table(texts, w: int):
     return row_of, within, segs
 
 
+def seg_hash_table(texts, w: int):
+    """64-bit digests of the non-overlapping ``w``-word segments of every
+    row — NO segment-string materialization. Returns ``(row_of, seg_len,
+    flat_tokens, hashes)``: int64 row index per segment, the segment's
+    token count, the block's flat token array (``pa.StringArray``), and a
+    uint64 digest per segment.
+
+    Same segmentation as :func:`segment_table` (asserted equal by unit
+    test), same hash family as ``dedup_text._fast_gram_hashes``: tokens
+    hashed per block-DISTINCT string (pandas' C hasher over the
+    dictionary), each segment a multiply-add rolling combine of its <= w
+    token hashes + a SplitMix64 finalize — O(w) vectorized passes. The
+    10x profile of the exact path spent most of its wall building and
+    probing ~185M joined segment strings per pass; this kernel removes
+    every one of those allocations.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.dedup_text import _mix64
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type):
+        texts = texts.cast(pa.string())
+    lst = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(lst)
+    off = lst.offsets.to_numpy().astype(np.int64)
+    off = off - off[0]
+    n_tok = off[1:] - off[:-1]
+    k = (n_tok + w - 1) // w
+    total = int(k.sum())
+    if total == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            flat,
+            np.empty(0, dtype=np.uint64),
+        )
+    row_of = np.repeat(np.arange(len(k), dtype=np.int64), k)
+    cum = np.concatenate(([0], np.cumsum(k)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum, k)
+    starts = off[:-1][row_of] + within * w
+    seg_len = np.minimum(starts + w, off[1:][row_of]) - starts
+    enc = flat.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dh = pd.util.hash_array(enc.dictionary.to_numpy(zero_copy_only=False))
+    th = dh[enc.indices.to_numpy(zero_copy_only=False)]
+    M = np.uint64(0x9E3779B97F4A7C15)
+    h = np.zeros(total, dtype=np.uint64)
+    for j in range(w):
+        m = seg_len > j
+        h[m] = h[m] * M + th[starts[m] + j]
+    return row_of, seg_len, flat, _mix64(h)
+
+
+def rejoin_kept_tokens(
+    flat, row_of: np.ndarray, seg_len: np.ndarray, keep: np.ndarray, n_rows: int
+):
+    """Space-rejoin the tokens of the kept segments per row, straight from
+    the flat token array (the hash64 path's rejoin — equivalent to
+    :func:`rejoin_segments` because segments ARE space-joined token runs,
+    but never materializes a segment string). Returns
+    ``(texts: pa.StringArray, n_dropped: np.ndarray)``."""
+    import pyarrow.compute as pc
+
+    tok_keep = np.repeat(keep, seg_len)
+    kept_flat = flat.filter(pa.array(tok_keep))
+    tok_counts = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(tok_counts, row_of[keep], seg_len[keep])
+    offsets = np.concatenate(([0], np.cumsum(tok_counts))).astype(np.int32)
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_flat), " "
+    )
+    n_dropped = np.bincount(row_of[~keep], minlength=n_rows).astype(np.int64)
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    joined = pc.fill_null(joined, "")
+    return joined, n_dropped
+
+
 def rejoin_segments(segs, row_of: np.ndarray, keep: np.ndarray, n_rows: int):
     """Space-rejoin the kept segments per row (original order preserved).
     Rows with every segment dropped become ``''``. Returns
@@ -139,19 +221,34 @@ def segment_dedup_within(ds, id_col: str = "doc_id", text_col: str = "text", w: 
     return ds.map_batches(_clean, batch_format="pyarrow")
 
 
-def dup_segment_ref(ds, text_col: str = "text", w: int = 3):
+def dup_segment_ref(ds, text_col: str = "text", w: int = 3, key: str = "text"):
     """ObjectRef[pa.Table | None] of segments occurring >= 2 times across
     the corpus (total occurrences, within-doc repeats included — CC-Net's
     "duplicated paragraph"). Per-block vectorized (seg, n) partials merged
     in a remote tree; the driver holds only the ref. The root table is
     dup-rate bound; the merge's key universe is segment-distinct bound —
     beyond one worker, explode to a narrow seg column and take
-    ``dup_key_table_ref(key_exchange="shuffle")`` instead."""
+    ``dup_key_table_ref(key_exchange="shuffle")`` instead.
+
+    ``key="text"`` (default, the sf-oracle path) keys on the exact segment
+    string; ``key="hash64"`` keys on :func:`seg_hash_table`'s 64-bit
+    digest — 8 bytes per distinct segment instead of the string (the 10x
+    worst-case dup table shrinks ~400 MB -> ~119 MB) and no segment-string
+    materialization anywhere."""
     from ocr_suite_ray.state.dupset import coalesce_reduce
 
     def _partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if key == "hash64":
+            _row, _len, _flat, hashes = seg_hash_table(t[text_col], w)
+            vals, counts = np.unique(hashes, return_counts=True)
+            return pa.table(
+                {
+                    "seg": pa.array(vals, pa.uint64()),
+                    "n": pa.array(counts.astype(np.int64), pa.int64()),
+                }
+            )
         _row, _within, segs = segment_table(t[text_col], w)
         vc = pc.value_counts(segs)
         return pa.table(
@@ -172,7 +269,8 @@ def dup_segment_ref(ds, text_col: str = "text", w: int = 3):
 
 
 def paragraph_dedup(
-    ds, id_col: str = "doc_id", text_col: str = "text", w: int = 3
+    ds, id_col: str = "doc_id", text_col: str = "text", w: int = 3,
+    key: str = "text",
 ):
     """Corpus-wide duplicated-segment removal (CC-Net paragraph dedup):
     every occurrence of a segment that appears >= 2 times anywhere in the
@@ -183,10 +281,51 @@ def paragraph_dedup(
     broadcast it once (exact membership — a Bloom false positive here would
     delete unique text, so the Bloom variant needs a confirm pass and is
     deliberately not wired); (2) one streaming ``is_in`` + reassembly pass.
+
+    ``key="hash64"`` is the 100 TB path: both passes run on
+    :func:`seg_hash_table`'s 64-bit digests — no segment string is ever
+    built, the broadcast table carries 8 B/distinct-dup-segment, and the
+    probe is a ``searchsorted`` over a sorted uint64 array instead of a
+    string hash index. CC-Net itself dedups on hashed paragraphs (Wenzek
+    et al. 2020 §3.1); the collision risk (a unique segment colliding with
+    a duplicated one and being wrongly removed) is ~n_segments^2 / 2^65 —
+    at 2e8 corpus segments that's ~1e-3 expected collisions corpus-wide.
+    ``key="text"`` (default) stays exact and is the SQL-oracle twin.
     """
     from ocr_suite_ray.stages._bcast import cached_build
 
-    ref = dup_segment_ref(ds, text_col, w)
+    if key not in ("text", "hash64"):
+        raise ValueError(f"key must be 'text' or 'hash64', got {key!r}")
+    ref = dup_segment_ref(ds, text_col, w, key=key)
+
+    if key == "hash64":
+
+        def _dup_sorted(tbl):
+            if tbl is None or tbl.num_rows == 0:
+                return None
+            return np.sort(tbl["seg"].to_numpy(zero_copy_only=False))
+
+        def _clean_h(t: pa.Table) -> pa.Table:
+            row_of, seg_len, flat, hashes = seg_hash_table(t[text_col], w)
+            dup = cached_build(ref, _dup_sorted) if ref is not None else None
+            if dup is None or len(dup) == 0:
+                keep = np.ones(len(row_of), dtype=bool)
+            else:
+                pos = np.searchsorted(dup, hashes)
+                pos[pos == len(dup)] = 0  # any in-range slot; equality check decides
+                keep = dup[pos] != hashes
+            texts, n_removed = rejoin_kept_tokens(
+                flat, row_of, seg_len, keep, t.num_rows
+            )
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "text_clean": texts,
+                    "n_removed": pa.array(n_removed, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(_clean_h, batch_format="pyarrow")
 
     def _dup_index(tbl):
         # prebuilt per-worker hash index: pc.is_in rebuilds its value_set

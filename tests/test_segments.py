@@ -156,6 +156,65 @@ def test_term_postings_empty_band(ray_session):
     assert term_postings(ds, df_lo=5, df_hi=9).take_all() == []
 
 
+def test_seg_hash_table_matches_segment_table():
+    """Digest-mode segmentation must be IDENTICAL to string-mode
+    segmentation (same row_of, same tile), and digests must agree exactly
+    when segment strings agree — asserted on a corpus with repeated,
+    ragged-tail and empty segments."""
+    from ocr_suite_ray.stages.segments import seg_hash_table
+
+    texts = pa.array(
+        ["a b c d e", "x y", "", "a b c d e", "c d e", "a b"], pa.string()
+    )
+    for w in (2, 3):
+        row_s, _within, segs = segment_table(texts, w)
+        row_h, seg_len, flat, hashes = seg_hash_table(texts, w)
+        assert row_s.tolist() == row_h.tolist()
+        # seg_len matches the string segment's token count
+        assert seg_len.tolist() == [
+            len(s.split(" ")) for s in segs.to_pylist()
+        ]
+        # equal segment strings <-> equal digests (injective on this corpus)
+        by_seg = {}
+        for s, h in zip(segs.to_pylist(), hashes.tolist()):
+            by_seg.setdefault(s, set()).add(h)
+        assert all(len(v) == 1 for v in by_seg.values())
+        all_h = [next(iter(by_seg[s])) for s in by_seg]
+        assert len(set(all_h)) == len(by_seg)
+
+
+@pytest.mark.parametrize("as_large", [False, True])
+def test_paragraph_dedup_hash64_matches_text_mode(ray_session, as_large):
+    import ray.data as rd
+
+    rng = np.random.default_rng(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(1, 14))))
+        for _ in range(80)
+    ] + ["", "aa"]
+    typ = pa.large_string() if as_large else pa.string()
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, typ),
+        }
+    )
+
+    def run(key):
+        got = paragraph_dedup(rd.from_arrow(t), w=2, key=key).take_all()
+        return sorted((r["doc_id"], r["text_clean"], r["n_removed"]) for r in got)
+
+    assert run("hash64") == run("text")
+
+
+def test_paragraph_dedup_rejects_unknown_key(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError):
+        paragraph_dedup(rd.from_items([{"doc_id": 1, "text": "a"}]), key="bloom")
+
+
 # --- property-based hardening (hypothesis) ---------------------------------
 
 from hypothesis import given, settings, strategies as st
