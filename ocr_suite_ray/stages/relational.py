@@ -145,11 +145,19 @@ def asof_join_by_key(left, right, key: str, ts: str, left_cols: list, right_cols
     groupby(key) shuffle, and ``pd.merge_asof`` inside each ts-sorted group.
     The right side must be unique per (key, ts) for determinism — callers
     pre-dedupe. Output: key, ts, left_cols, right ts as ``asof_ts``,
-    right_cols."""
+    right_cols.
+
+    Execution shape: both sides tagged and unioned, ONE hash-bucket
+    shuffle on the key, and a per-bucket ``pd.merge_asof(..., by=key)`` —
+    MANY keys matched in one C pass per task. (The per-KEY ``map_groups``
+    form pays ~7 ms of dispatch per group — the events-family 10x drive
+    measured the window family at 100k-group scale, BASELINE.md round 4.)
+    Per-task memory is O(rows/num_buckets + max_key_rows)."""
     import numpy as np
     import pandas as pd
 
     all_cols = [key, ts, "__side"] + left_cols + right_cols
+    out_cols = [key, ts] + left_cols + ["asof_ts"] + right_cols
 
     def _align(side: int):
         def _m(df: pd.DataFrame) -> pd.DataFrame:
@@ -163,26 +171,29 @@ def asof_join_by_key(left, right, key: str, ts: str, left_cols: list, right_cols
     rt = right.map_batches(_align(1), batch_format="pandas")
 
     def _asof(g: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof(by=key) needs BOTH frames sorted by the on-column
+        # globally; the key tiebreak keeps equal-ts row order deterministic
         l = g.loc[g["__side"] == 0, [key, ts] + left_cols].sort_values(
-            ts, kind="mergesort"
+            [ts, key], kind="mergesort"
         )
-        r = g.loc[g["__side"] == 1, [ts] + right_cols].sort_values(
-            ts, kind="mergesort"
+        r = (
+            g.loc[g["__side"] == 1, [key, ts] + right_cols]
+            .sort_values([ts, key], kind="mergesort")
+            .rename(columns={ts: "asof_ts"})
         )
         if l.empty:
-            return pd.DataFrame(
-                columns=[key, ts] + left_cols + ["asof_ts"] + right_cols
-            )
+            return pd.DataFrame(columns=out_cols)
         return pd.merge_asof(
             l,
-            r.rename(columns={ts: "asof_ts"}),
+            r,
             left_on=ts,
             right_on="asof_ts",
+            by=key,
             direction="backward",
             allow_exact_matches=True,
-        )
+        ).reindex(columns=out_cols)
 
-    return lt.union(rt).groupby(key).map_groups(_asof, batch_format="pandas")
+    return grouped_reduce_c(lt.union(rt), [key], _asof)
 
 
 def distinct(ds, cols: list):

@@ -43,7 +43,6 @@ def tumbling_window_agg(
     worker. When keys x windows outgrow that (billions of groups at
     100 TB), pass ``exchange="shuffle"`` for the hash-partitioned groupby
     — the same partials, exchanged all-to-all."""
-    from ray.data.aggregate import Sum
 
     def _win_partial(t: pa.Table) -> pa.Table:
         w = pc.cast(pc.floor_temporal(t[ts_col], unit=every), pa.timestamp("us"))
@@ -84,15 +83,25 @@ def tumbling_window_agg(
     partials = ds.map_batches(_win_partial, batch_format="pyarrow")
 
     if exchange == "shuffle":
-        return (
-            partials.groupby([key_col, "window_start"])
-            .aggregate(
-                Sum("n_events", alias_name="n_events"),
-                Sum("sum_value", alias_name="sum_value"),
-                Sum("n_valid", alias_name="n_valid"),
+        # grouped_reduce_c, NOT Dataset.aggregate: with fine windows over
+        # high-cardinality keys the group count is row-scale (~1 partial
+        # row per group), and AggregateFn's reduce walks those rows in
+        # Python — the 100M-event drive measured 35 s at 200k events/4
+        # cpus for the aggregate form vs ~3 s for the bucket+C-fold form
+        # (same defect class as the round-3 C-reduce audit).
+        from ocr_suite_ray.stages.relational import grouped_reduce_c
+
+        def _fold(g: "pd.DataFrame") -> "pd.DataFrame":
+            return (
+                g.groupby([key_col, "window_start"], sort=False, as_index=False)[
+                    ["sum_value", "n_events", "n_valid"]
+                ]
+                .sum()
             )
-            .map_batches(_finish, batch_format="pyarrow")
-        )
+
+        return grouped_reduce_c(
+            partials, [key_col, "window_start"], _fold
+        ).map_batches(_finish, batch_format="pyarrow")
 
     from ocr_suite_ray.stages.relational import narrow_grouped_sum
 
@@ -134,19 +143,35 @@ def rolling_mean(ds, key_col: str, ts_col: str, value_col: str,
     Emits fixed-point int64 (floor(x*scale+0.5), DuckDB-ROUND compatible).
     One groupby shuffle; ordering restored inside each group.
 
-    Skew contract: ONE task holds ONE key's full history (the group must be
-    sorted before the window runs), so per-worker memory is
-    O(max_key_rows x ~40 B/row) — a 10^6-row hot key is ~40 MB (unit-
-    tested), a 10^8-row key ~4 GB and the documented bound. Beyond that,
-    pre-split the key by a coarse time range (day/month) and stitch the
-    window-1 boundary rows, or re-window the data model; the op raises no
-    silent truncation either way."""
-    def _roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, order_tiebreak], kind="mergesort")
-        m = (g[value_col].rolling(window, min_periods=1).mean() * scale)
-        out = g[[key_col, order_tiebreak]].copy()
-        import numpy as np
+    Execution shape: ONE hash-bucket shuffle (``grouped_reduce_c``) + a
+    per-bucket pandas ``groupby(...).rolling`` — MANY keys per task, all C
+    kernels. The per-KEY ``map_groups`` form costs ~7 ms of dispatch per
+    group (measured: 200k events over 100k users = 373 s at 4 cpus —
+    the events-family 10x drive, BASELINE.md round 4); the bucket form
+    pays O(num_buckets) dispatches total.
 
+    Skew contract: a bucket holds its keys' FULL histories, so per-task
+    memory is O(rows/num_buckets + max_key_rows x ~40 B/row) — a 10^6-row
+    hot key is ~40 MB (unit-tested), a 10^8-row key ~4 GB and the
+    documented bound. Beyond that, pre-split the key by a coarse time
+    range (day/month) and stitch the window-1 boundary rows, or re-window
+    the data model; the op raises no silent truncation either way."""
+    import numpy as np
+
+    from ocr_suite_ray.stages.relational import grouped_reduce_c
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_tiebreak], kind="mergesort")
+        # groupby(sort=False) over key-sorted rows: flattened rolling values
+        # align 1:1 with g's row order
+        m = (
+            g.groupby(key_col, sort=False)[value_col]
+            .rolling(window, min_periods=1)
+            .mean()
+            .to_numpy()
+            * scale
+        )
+        out = g[[key_col, order_tiebreak]].copy()
         # half-AWAY-FROM-ZERO like DuckDB ROUND: floor(x+0.5) alone is
         # half-up and disagrees on negative exact halves (-2.5 -> -2 vs -3)
         out["rolling_avg_fp"] = np.where(
@@ -154,7 +179,7 @@ def rolling_mean(ds, key_col: str, ts_col: str, value_col: str,
         ).astype("int64")
         return out
 
-    return ds.groupby(key_col).map_groups(_roll, batch_format="pandas")
+    return grouped_reduce_c(ds, [key_col], _roll)
 
 
 def group_quantiles(ds, key_col: str, value_col: str,
@@ -191,30 +216,45 @@ def sessionize(ds, key_col: str, ts_col: str, gap_s: float = 1800.0):
     Ordering assumption: none on input — each group is sorted inside the
     UDF, so the result is independent of block layout.
 
-    Skew contract: ONE task holds ONE key's full event history (session
-    boundaries are a sequential scan over the sorted stream). Per-worker
-    memory is O(max_key_rows x ~24 B): a 10^6-event hot key is ~24 MB
-    (unit-tested), 10^8 events ~2.4 GB and the documented bound. A key
-    hotter than that should be pre-split on a coarse calendar bucket wider
-    than any plausible session (e.g. week) — sessions never span the cut
-    if gap_s << bucket — then sessionized per (key, bucket)."""
+    Execution shape: ONE hash-bucket shuffle (``grouped_reduce_c``) + a
+    per-bucket vectorized scan — sort by (key, ts, tiebreak), session
+    breaks = key change OR gap > gap_s, one cumsum, one grouped agg. MANY
+    keys per task; the per-KEY ``map_groups`` form measured ~7 ms of
+    dispatch per group (200k events / 100k users = 373 s at 4 cpus — the
+    events-family 10x drive, BASELINE.md round 4).
+
+    Skew contract: a bucket holds its keys' FULL event histories. Per-task
+    memory is O(rows/num_buckets + max_key_rows x ~24 B): a 10^6-event hot
+    key is ~24 MB (unit-tested), 10^8 events ~2.4 GB and the documented
+    bound. A key hotter than that should be pre-split on a coarse calendar
+    bucket wider than any plausible session (e.g. week) — sessions never
+    span the cut if gap_s << bucket — then sessionized per (key, bucket)."""
+    from ocr_suite_ray.stages.relational import grouped_reduce_c
+
     def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"] if "event_id" in g else [ts_col])
+        sort_cols = [key_col, ts_col] + (["event_id"] if "event_id" in g else [])
+        g = g.sort_values(sort_cols, kind="mergesort")
         ts = g[ts_col]
-        gap = ts.diff().dt.total_seconds().fillna(0.0)
-        sid = (gap > gap_s).cumsum()
-        out = g.groupby(sid).agg(
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-            n_events=(ts_col, "size"),
+        new_key = g[key_col].ne(g[key_col].shift())
+        gap = ts.diff().dt.total_seconds()
+        brk = new_key | (gap > gap_s)
+        sid = brk.cumsum()  # globally unique within the bucket
+        out = g.assign(__sid=sid).groupby("__sid", sort=False).agg(
+            **{
+                key_col: (key_col, "first"),
+                "session_start": (ts_col, "min"),
+                "session_end": (ts_col, "max"),
+                "n_events": (ts_col, "size"),
+            }
         )
-        out[key_col] = g[key_col].iloc[0]
-        out["session_id"] = range(len(out))
+        # per-key 0-based session ids in ts order (sessions of a key are
+        # consecutive in sid order because rows are key-sorted)
+        out["session_id"] = out.groupby(key_col, sort=False).cumcount()
         return out.reset_index(drop=True)[
             [key_col, "session_id", "session_start", "session_end", "n_events"]
         ]
 
-    return ds.groupby(key_col).map_groups(_sessions, batch_format="pandas")
+    return grouped_reduce_c(ds, [key_col], _sessions)
 
 
 def group_zscore(ds, key_col: str, value_col: str, out_col: str = "z"):

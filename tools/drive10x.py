@@ -202,6 +202,77 @@ def drive_paragraph():
     return _consume(paragraph_dedup(store_docs()))
 
 
+def drive_paragraph_hash():
+    """The hash64 digest mode (the 100 TB path): no segment-string
+    materialization in either pass, 8 B/entry dup table, searchsorted
+    probes. Output equivalence to the exact path is unit-tested at sf;
+    this drive measures the scale delta on the same worst-case corpus
+    the exact path ran 543 s on."""
+    from ocr_suite_ray.stages.segments import paragraph_dedup
+
+    return _consume(paragraph_dedup(store_docs(), key="hash64"))
+
+
+def drive_cluster():
+    """Cluster dedup above the broadcast budget: substring anchors emit
+    ~20M candidate edges at this scale, forcing the
+    connected_components_distributed route (labels as a Dataset, two
+    bucket shuffles per round, exact left_anti drop)."""
+    from ocr_suite_ray.stages.components import dedup_keep_cluster_min
+    from ocr_suite_ray.stages.dedup_text import substring_dup_pairs
+
+    ds = store_docs()
+    pairs = substring_dup_pairs(
+        ds, gram_key="hash64", max_gram_docs=1000, modulus=64
+    )
+    return _consume(dedup_keep_cluster_min(ds, pairs).select_columns(["doc_id"]))
+
+
+def drive_decon():
+    """Decontamination with a ~1k-doc eval benchmark sampled from the
+    corpus itself (every doc sharing 5-grams with it must drop — worst
+    case: every eval doc has at least one corpus twin, itself)."""
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.contamination import decontaminate
+
+    ds = store_docs()
+    eval_ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 8191), 0)),
+        batch_format="pyarrow",
+    )
+    return _consume(decontaminate(ds, eval_ds))
+
+
+def drive_postings():
+    """Inverted index over the full store with an admit-everything df
+    band: the synthetic ~50-word vocabulary makes every term's df
+    corpus-scale, so this drives the postings pass at its worst case
+    (~400M (term, doc, tf) rows streamed out of one map_batches pass)."""
+    from ocr_suite_ray.stages.segments import term_postings
+
+    return _consume(term_postings(store_docs(), df_lo=2, df_hi=10**12))
+
+
+def drive_shuffle():
+    """Deterministic global shuffle + shard assignment at 10M rows — the
+    one operator whose global sort IS the semantics."""
+    from ocr_suite_ray.stages.scan import shuffle_shards
+
+    return _consume(shuffle_shards(store_docs(), n_shards=256))
+
+
+def drive_bpe():
+    """BPE merge training at corpus scale (word-type groupby + remote
+    merge loop); returns the merge count as rows_out."""
+    import ray
+
+    from ocr_suite_ray.stages.text_ops import bpe_train_ref
+
+    ref = bpe_train_ref(store_docs(), n_merges=32)
+    return len(ray.get(ref))
+
+
 def drive_cross_corpus():
     """Both tiers at store scale: corpus B = docs with doc_id % 8 == 0
     (a prior-crawl stand-in, ~1.3M docs); corpus A = the rest (~9.2M).
@@ -233,6 +304,167 @@ def drive_cross_corpus():
         "rows_out": n_bcast, "shuffle_tier_sec": t_shuf, "num_cpus": NUM_CPUS,
     }), flush=True)
     return n_bcast
+
+
+# ---------------------------------------------------------------- events
+
+N_EVENTS = int(os.environ.get("OCS_10X_EVENTS", 100_000_000))
+EV_DIR = os.path.join(BASE, "events")
+_N_USERS = 100_000  # ~1k events/user at 100M; user 0 is a planted hot key
+
+
+def ensure_events():
+    """Deterministic 100M-row events table (1000x the sf0.1 events table)
+    with the sf columns that the window/join family reads. Planted skew:
+    every id % 100 == 7 maps to user 0 (a ~1M-event hot key — the windows.py
+    skew contracts' documented 10^6 bound, now driven not just unit-tested).
+    Pure function of the row id: generation is distributed and
+    order-independent."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    marker = os.path.join(EV_DIR, f".complete-{N_EVENTS}")
+    if os.path.exists(marker):
+        return
+    os.makedirs(EV_DIR, exist_ok=True)
+    for f in os.listdir(EV_DIR):
+        os.remove(os.path.join(EV_DIR, f))
+
+    kinds = np.array(["click", "view", "purchase", "scroll", "search"])
+    epoch = np.datetime64("2026-01-01T00:00:00", "us")
+    span_s = 30 * 86400
+
+    def _gen(batch) -> "pa.Table":
+        ids = batch["id"].to_numpy().astype(np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+        user = (ids % _N_USERS).astype(np.int64)
+        user[ids % 100 == 7] = 0
+        ts = epoch + ((h % np.uint64(span_s * 1_000_000)).astype("int64")).astype(
+            "timedelta64[us]"
+        )
+        etype = kinds[(h % np.uint64(5)).astype(np.int64)]
+        value = ((h % np.uint64(10_000_000)).astype(np.float64)) / 1e4
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(user, pa.int64()),
+                "event_type": pa.array(etype, pa.string()),
+                "value": pa.array(value, pa.float64()),
+            }
+        )
+
+    (
+        rd.range(N_EVENTS, override_num_blocks=256)
+        .map_batches(_gen, batch_format="pyarrow")
+        .write_parquet(EV_DIR)
+    )
+    open(marker, "w").close()
+
+
+def ev_ds(cols=None):
+    import ray.data as rd
+
+    ensure_events()
+    return rd.read_parquet(EV_DIR, columns=cols)
+
+
+def drive_ev_window():
+    """Tumbling hourly windows per user at 100M events. With hourly windows
+    over 100k users the distinct (user, window) table is ~70M groups —
+    row-scale, so the documented huge-key-space path (exchange="shuffle")
+    is the right tier; the narrow tree's one-worker group-table contract
+    would be violated by design."""
+    from ocr_suite_ray.stages.windows import tumbling_window_agg
+
+    ds = ev_ds(["user_id", "ts", "value"])
+    return _consume(
+        tumbling_window_agg(ds, "user_id", "ts", "value", exchange="shuffle")
+    )
+
+
+def drive_ev_sessionize():
+    from ocr_suite_ray.stages.windows import sessionize
+
+    ds = ev_ds(["event_id", "user_id", "ts"])
+    return _consume(sessionize(ds, "user_id", "ts", gap_s=1800.0))
+
+
+def drive_ev_rolling():
+    from ocr_suite_ray.stages.windows import rolling_mean
+
+    ds = ev_ds(["event_id", "user_id", "ts", "value"])
+    return _consume(rolling_mean(ds, "user_id", "ts", "value", "event_id"))
+
+
+def drive_ev_quantiles():
+    """Exact per-type quantiles: 5 groups x ~20M rows each — each group
+    task holds one group's full value column (the op's documented
+    exactness contract, here at 160 MB/group)."""
+    from ocr_suite_ray.stages.windows import group_quantiles
+
+    ds = ev_ds(["event_type", "value"])
+    return _consume(group_quantiles(ds, "event_type", "value"))
+
+
+def drive_ev_zscore():
+    from ocr_suite_ray.stages.windows import group_zscore
+
+    ds = ev_ds(["event_id", "event_type", "value"])
+    return _consume(group_zscore(ds, "event_type", "value"))
+
+
+def drive_ev_topk():
+    from ocr_suite_ray.stages.relational import topk_per_group
+
+    ds = ev_ds(["event_id", "event_type", "value"])
+    return _consume(
+        topk_per_group(
+            ds, ["event_type"], "value", 3, descending=True, tiebreak_col="event_id"
+        )
+    )
+
+
+def drive_ev_hierarchy():
+    from ocr_suite_ray.stages.search import hierarchy_counts
+
+    return _consume(hierarchy_counts(ev_ds(["ts"]), "ts"))
+
+
+def drive_ev_asof():
+    """As-of join at scale: every click joined to the latest prior
+    purchase by the same user (~20M clicks vs ~20M purchases)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.relational import asof_join_by_key
+
+    ev = ev_ds(["event_id", "user_id", "ts", "event_type", "value"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "purchase_id": t["event_id"],
+                "purchase_value": t["value"],
+            }
+        )
+
+    purchases = ev.map_batches(_purchases, batch_format="pyarrow")
+    out = asof_join_by_key(
+        clicks, purchases, "user_id", "ts",
+        left_cols=["event_id"], right_cols=["purchase_id", "purchase_value"],
+    )
+    return _consume(out)
 
 
 # ---------------------------------------------------------------- embeddings
@@ -367,6 +599,21 @@ DRIVES = {
     "dedup_exact": drive_dedup_exact,
     "cross_corpus": drive_cross_corpus,
     "paragraph": drive_paragraph,
+    "paragraph_hash": drive_paragraph_hash,
+    "cluster": drive_cluster,
+    "decon": drive_decon,
+    "postings": drive_postings,
+    "shuffle": drive_shuffle,
+    "bpe": drive_bpe,
+    "evgen": None,  # special-cased
+    "ev_window": drive_ev_window,
+    "ev_sessionize": drive_ev_sessionize,
+    "ev_rolling": drive_ev_rolling,
+    "ev_quantiles": drive_ev_quantiles,
+    "ev_zscore": drive_ev_zscore,
+    "ev_topk": drive_ev_topk,
+    "ev_hierarchy": drive_ev_hierarchy,
+    "ev_asof": drive_ev_asof,
     "embgen": None,  # special-cased
     "semantic": drive_semantic,
     "knn": drive_knn,
@@ -378,6 +625,7 @@ DRIVES = {
 _TEXT_OPS = {
     "minhash", "simhash", "substring", "ngram",
     "token_stats", "dedup_exact", "cross_corpus", "paragraph",
+    "paragraph_hash", "cluster", "decon", "postings", "shuffle", "bpe",
 }
 
 
@@ -409,6 +657,15 @@ def main():
                 "unit": "sec",
                 "rows": N_EMB,
                 "dim": EMB_DIM,
+            }
+        elif op == "evgen":
+            t0 = time.monotonic()
+            ensure_events()
+            rec = {
+                "metric": "evgen_10x_sec",
+                "value": round(time.monotonic() - t0, 3),
+                "unit": "sec",
+                "rows": N_EVENTS,
             }
         else:
             if op in _TEXT_OPS and not os.path.isdir(FINAL_DIR):
