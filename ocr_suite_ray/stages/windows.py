@@ -189,24 +189,42 @@ def group_quantiles(ds, key_col: str, value_col: str,
     approximate quantiles at scale, pre-aggregate mergeable digests per
     batch instead (see SNIPPETS/aggregation notes). Fixed-point output.
 
-    Skew contract: ONE task sees ONE group's full value column — exactness
-    requires it. Per-worker memory is O(max_group_rows x 8 B): a 10^6-row
-    hot group is ~8 MB (unit-tested), 10^9 is ~8 GB and the bound. Past
-    that, exact-is-required callers should bucketize values first
-    (percentile_gate's distinct-value histogram shape); everyone else
-    should use the mergeable-sketch route (``sketches.quantile_hist``)."""
+    Execution shape: ONE hash-bucket shuffle (``grouped_reduce_c``) + a
+    per-bucket pandas ``groupby.quantile`` — MANY groups per task in one C
+    pass (the per-key ``map_groups`` form pays ~7 ms of dispatch per
+    group; see the events-family 10x drive, BASELINE.md round 4).
+
+    Skew contract: a bucket holds its groups' FULL value columns —
+    exactness requires it. Per-task memory is O(rows/num_buckets +
+    max_group_rows x 8 B): a 10^6-row hot group is ~8 MB (unit-tested),
+    10^9 is ~8 GB and the bound. Past that, exact-is-required callers
+    should bucketize values first (percentile_gate's distinct-value
+    histogram shape); everyone else should use the mergeable-sketch route
+    (``sketches.quantile_hist``)."""
     import numpy as np
 
-    def _q(g: pd.DataFrame) -> pd.DataFrame:
-        row = {key_col: [g[key_col].iloc[0]]}
-        for q in qs:
-            v = g[value_col].quantile(q, interpolation="linear") * scale
-            # half-away-from-zero (DuckDB ROUND), not half-up
-            fp = np.floor(v + 0.5) if v >= 0 else np.ceil(v - 0.5)
-            row[f"q{int(q * 100)}_fp"] = [int(fp)]
-        return pd.DataFrame(row)
+    from ocr_suite_ray.stages.relational import grouped_reduce_c
 
-    return ds.groupby(key_col).map_groups(_q, batch_format="pandas")
+    def _q(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(key_col, sort=False)[value_col]
+        cols, idx = {}, None
+        for q in qs:
+            v = gb.quantile(q, interpolation="linear") * scale
+            arr = v.to_numpy(dtype=np.float64)
+            if np.isnan(arr).any():
+                raise ValueError(
+                    "group_quantiles: all-null group — quantile undefined"
+                )
+            # half-away-from-zero (DuckDB ROUND), not half-up
+            cols[f"q{int(q * 100)}_fp"] = np.where(
+                arr >= 0, np.floor(arr + 0.5), np.ceil(arr - 0.5)
+            ).astype("int64")
+            idx = v.index
+        res = pd.DataFrame(cols)
+        res.insert(0, key_col, idx.to_numpy())
+        return res
+
+    return grouped_reduce_c(ds, [key_col], _q)
 
 
 def sessionize(ds, key_col: str, ts_col: str, gap_s: float = 1800.0):
