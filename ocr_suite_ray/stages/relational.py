@@ -121,7 +121,10 @@ def topk_per_group(
 
     Two-level: a vectorized per-batch top-k (pandas groupby.head over a
     sorted frame — C-speed) shrinks each block to ≤ k rows per key present,
-    then one groupby-shuffle re-applies the same reduction per group. The
+    then ONE hash-bucket shuffle re-applies the same reduction — MANY
+    groups per task in one C pass (``grouped_reduce_c``; a per-GROUP
+    ``map_groups`` final stage would pay ~7 ms of dispatch per key, which
+    at 10^5+ groups dominates — the events-family 10x drive finding). The
     combiner bounds shuffle volume at k·(keys per block)."""
     sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     ascending = [not descending] + ([True] if tiebreak_col else [])
@@ -133,7 +136,7 @@ def topk_per_group(
         return df.groupby(group_cols, sort=False).head(k)
 
     reduced = ds.map_batches(_local, batch_format="pandas")
-    return reduced.groupby(group_cols).map_groups(_local, batch_format="pandas")
+    return grouped_reduce_c(reduced, group_cols, _local)
 
 
 def asof_join_by_key(left, right, key: str, ts: str, left_cols: list, right_cols: list):
