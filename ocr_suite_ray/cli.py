@@ -107,14 +107,26 @@ def main(argv: list[str] | None = None) -> int:
         help="optional deterministic url-hash subsample, parts per 10000",
     )
 
-    pi = sub.add_parser("ingest", help="convert JSONL crawl dumps to the pages layout")
-    pi.add_argument("--src", required=True, help="directory of *.jsonl dumps")
+    pi = sub.add_parser(
+        "ingest", help="convert JSONL or WARC crawl dumps to the pages layout"
+    )
+    pi.add_argument(
+        "--src", required=True, help="directory of *.jsonl or *.warc[.gz] dumps"
+    )
     pi.add_argument("--pages", required=True)
+    pi.add_argument(
+        "--format", choices=("jsonl", "warc"), default="jsonl",
+        help="input dump format (default jsonl)",
+    )
 
-    px = sub.add_parser("export", help="export a parquet store to JSONL shards")
+    px = sub.add_parser("export", help="export a parquet store to JSONL/WARC shards")
     px.add_argument("--src", required=True, help="directory of *.parquet")
-    px.add_argument("--dst", required=True, help="output directory for *.jsonl")
-    px.add_argument("--gzip", action="store_true", help="write .jsonl.gz")
+    px.add_argument("--dst", required=True, help="output directory")
+    px.add_argument("--gzip", action="store_true", help="write gzip-compressed shards")
+    px.add_argument(
+        "--format", choices=("jsonl", "warc"), default="jsonl",
+        help="output format (default jsonl)",
+    )
 
     pg = sub.add_parser("gen", help="generate a synthetic pages corpus")
     pg.add_argument("--pages", required=True)
@@ -158,14 +170,20 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         if a.cmd == "ingest":
-            from ocr_suite_ray.sources.ingest import ingest_jsonl
+            if a.format == "warc":
+                from ocr_suite_ray.sources.warc import ingest_warc as _ingest
+            else:
+                from ocr_suite_ray.sources.ingest import ingest_jsonl as _ingest
 
-            written = ingest_jsonl(a.src, a.pages)
+            written = _ingest(a.src, a.pages)
             print(json.dumps({"files": len(written), "dir": a.pages}))
         elif a.cmd == "export":
-            from ocr_suite_ray.sources.ingest import export_jsonl
+            if a.format == "warc":
+                from ocr_suite_ray.sources.warc import export_warc as _export
+            else:
+                from ocr_suite_ray.sources.ingest import export_jsonl as _export
 
-            written = export_jsonl(a.src, a.dst, gzip_output=a.gzip)
+            written = _export(a.src, a.dst, gzip_output=a.gzip)
             print(json.dumps({"files": len(written), "dir": a.dst}))
         elif a.cmd == "gen":
             from ocr_suite_ray.sources.synthetic import generate_corpus
