@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "temperature_resample",
     "percentile_gate",
+    "gopher_gate",
     "ngram_jaccard_pairs",
     "ann_ivf_knn",
     "cluster_dedup",

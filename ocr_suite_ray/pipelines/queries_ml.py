@@ -717,6 +717,65 @@ FROM tc GROUP BY doc_id
 """
 
 
+def q_gopher_gate(sf_dir: str):
+    """Gopher-rules quality gate (Rae et al. 2021, App. A): the documented
+    composite rule set — word count, mean word length, alpha-word fraction,
+    distinct stop-word hits, unigram repetition — applied as one
+    embarrassingly-parallel signal pass + filter. Returns the KEPT docs
+    with their signal columns."""
+    import pyarrow.compute as pc_mod
+
+    from ocr_suite_ray.stages.text_ops import gopher_signals
+
+    def _gate(t):
+        out = gopher_signals(t)
+        kept = out.filter(pc_mod.equal(out["keep"], True))
+        return kept.drop_columns(["keep"])
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(_gate, batch_format="pyarrow")
+
+
+SQL_GOPHER_GATE = """
+WITH cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+rep AS (SELECT doc_id, MAX(c) AS top_c FROM cnt GROUP BY doc_id),
+base AS (
+  SELECT doc_id,
+         GREATEST(len(str_split(text, ' ')), 1) AS n_tokens,
+         list_sum(list_transform(str_split(text, ' '), x -> len(x))) AS sum_len,
+         CAST(len(list_filter(list_distinct(str_split(text, ' ')),
+                         x -> x IN ('the','a','and','of','to'))) AS BIGINT)
+             AS stop_hits,
+         len(list_filter(str_split(text, ' '),
+                         x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+  FROM documents
+),
+f AS (
+  SELECT b.doc_id, b.n_tokens,
+         CAST(FLOOR(b.sum_len * 100.0 / b.n_tokens + 0.5) AS BIGINT)
+             AS mean_token_len_e2,
+         CAST(FLOOR(b.n_alpha * 10000.0 / b.n_tokens + 0.5) AS BIGINT)
+             AS alpha_frac_e4,
+         b.stop_hits,
+         CAST(FLOOR(r.top_c * 10000.0 / b.n_tokens + 0.5) AS BIGINT)
+             AS top_token_frac_e4
+  FROM base b JOIN rep r USING (doc_id)
+)
+SELECT doc_id, n_tokens, mean_token_len_e2, alpha_frac_e4, stop_hits,
+       top_token_frac_e4
+FROM f
+WHERE n_tokens BETWEEN 50 AND 100000
+  AND mean_token_len_e2 BETWEEN 300 AND 1000
+  AND alpha_frac_e4 >= 8000
+  AND stop_hits >= 2
+  AND top_token_frac_e4 <= 2000
+"""
+
+
 def q_vocab_top(sf_dir: str):
     """Corpus vocabulary: top-50 tokens by global count (tokenizer-training
     first step), deterministic (n desc, token asc) tie-break."""
@@ -1792,6 +1851,7 @@ ML_QUERIES = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "repetition_ratio": (q_repetition, SQL_REPETITION),
+    "gopher_gate": (q_gopher_gate, SQL_GOPHER_GATE),
     "vocab_top": (q_vocab_top, SQL_VOCAB_TOP),
     "seq_packing": (q_seq_packing, SQL_SEQ_PACKING),
     "media_probe": (q_media_probe, SQL_MEDIA_PROBE),

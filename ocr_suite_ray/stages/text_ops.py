@@ -290,35 +290,41 @@ def assign_split(
     return ds.map_batches(_split, batch_format="pandas")
 
 
+def _row_token_runs(flat, nt: np.ndarray) -> tuple:
+    """Per-row (n_distinct, top_count) over flattened tokens: dictionary-
+    encode the flat tokens (one C hash pass per batch), then run-length
+    statistics over the (row, code)-sorted codes in numpy — no per-row
+    sets or value_counts. Shared by ``repetition_stats`` and
+    ``gopher_signals``."""
+    codes = flat.dictionary_encode().indices.to_numpy().astype(np.int64)
+    row_ids = np.repeat(np.arange(len(nt), dtype=np.int64), nt)
+    order = np.lexsort((codes, row_ids))
+    r = row_ids[order]
+    c = codes[order]
+    new_run = np.ones(len(r), dtype=bool)
+    new_run[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_row = r[run_starts]
+    run_len = np.diff(np.append(run_starts, len(r)))
+    n_distinct = np.bincount(run_row, minlength=len(nt)).astype(np.int64)
+    # split(" ") yields ≥1 token per row, so every row has ≥1 run and
+    # reduceat sees no empty segments
+    row_first = np.flatnonzero(
+        np.concatenate([[True], run_row[1:] != run_row[:-1]])
+    )
+    top = np.maximum.reduceat(run_len, row_first).astype(np.int64)
+    return n_distinct, top
+
+
 def repetition_stats(ds, id_col: str, text_col: str):
     """Gopher-style repetition features: distinct-token fraction and
     most-common-token share, fixed-point e4. High repetition (low distinct
     fraction / high top-token share) marks low-quality boilerplate docs —
-    a standard pre-training quality gate.
-
-    Vectorized: dictionary-encode the flat tokens (one C hash pass per
-    batch), then per-row run-length statistics over the (row, code)-sorted
-    codes in numpy — no per-row sets or value_counts."""
+    a standard pre-training quality gate."""
 
     def _rep(batch: pa.Table) -> pa.Table:
         nt, flat, _off = _tokens(batch[text_col])
-        codes = flat.dictionary_encode().indices.to_numpy().astype(np.int64)
-        row_ids = np.repeat(np.arange(len(nt), dtype=np.int64), nt)
-        order = np.lexsort((codes, row_ids))
-        r = row_ids[order]
-        c = codes[order]
-        new_run = np.ones(len(r), dtype=bool)
-        new_run[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
-        run_starts = np.flatnonzero(new_run)
-        run_row = r[run_starts]
-        run_len = np.diff(np.append(run_starts, len(r)))
-        n_distinct = np.bincount(run_row, minlength=len(nt)).astype(np.int64)
-        # split(" ") yields ≥1 token per row, so every row has ≥1 run and
-        # reduceat sees no empty segments
-        row_first = np.flatnonzero(
-            np.concatenate([[True], run_row[1:] != run_row[:-1]])
-        )
-        top = np.maximum.reduceat(run_len, row_first).astype(np.int64)
+        n_distinct, top = _row_token_runs(flat, nt)
         n = np.maximum(nt, 1)
         return pa.table(
             {
@@ -334,6 +340,74 @@ def repetition_stats(ds, id_col: str, text_col: str):
         )
 
     return ds.map_batches(_rep, batch_format="pyarrow")
+
+
+def gopher_signals(batch: pa.Table) -> pa.Table:
+    """Gopher-rule quality signals and keep decision (Rae et al. 2021,
+    App. A — the documented pre-training quality rule set), composed over
+    one tokenize pass:
+
+    - word count in [50, 100000]
+    - mean word length in [3, 10] (fixed-point e2)
+    - ≥80% of words contain an alphabetic character (fixed-point e4)
+    - ≥2 distinct stop words present (engine stop set)
+    - most-common-token share ≤20% (the unigram repetition rule; the
+      line/paragraph variants live in ``segments.py``)
+
+    All thresholds are integer compares on fixed-point values — exactly
+    reproducible in SQL (same rounding contract as ``quality_score``).
+    Reference analogue: the per-frame confidence gate
+    (``ocr.cpp``/``options.cpp`` min-confidence knob) generalized to the
+    documented web-corpus rule set. Embarrassingly parallel: one
+    ``map_batches`` pass, no shuffle."""
+    import pyarrow.compute as pc
+
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type):
+        # int32-offset bound: map_batches blocks are already < 2^31 chars
+        texts = texts.cast(pa.string())
+    raw_n, flat, off = _tokens(texts)
+    n_tokens = np.maximum(raw_n, 1)
+    n_chars = pc.utf8_length(texts).to_numpy().astype(np.int64)
+    sum_len = n_chars - (raw_n - 1)  # split(" ") ⇒ exactly n-1 separators
+    mean_len_e2 = _round_ratio_e(sum_len, n_tokens, 100.0)
+    alpha_mask = pc.match_substring_regex(flat, "[A-Za-z]")
+    n_alpha = _segment_sum(
+        alpha_mask.to_numpy(zero_copy_only=False).astype(np.int64), off
+    )
+    alpha_e4 = _round_ratio_e(n_alpha, n_tokens, 10000.0)
+    # distinct stop-word hits: one C equality pass per stop word (|set|=5)
+    stop_hits = np.zeros(len(n_tokens), dtype=np.int64)
+    for sw in sorted(STOPWORDS):
+        m = pc.equal(flat, sw)
+        hit = _segment_sum(
+            m.to_numpy(zero_copy_only=False).astype(np.int64), off
+        )
+        stop_hits += (hit > 0).astype(np.int64)
+    _, top = _row_token_runs(flat, raw_n)
+    top_e4 = _round_ratio_e(top, n_tokens, 10000.0)
+    keep = (
+        (n_tokens >= 50)
+        & (n_tokens <= 100000)
+        & (mean_len_e2 >= 300)
+        & (mean_len_e2 <= 1000)
+        & (alpha_e4 >= 8000)
+        & (stop_hits >= 2)
+        & (top_e4 <= 2000)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "mean_token_len_e2": pa.array(mean_len_e2, pa.int64()),
+            "alpha_frac_e4": pa.array(alpha_e4, pa.int64()),
+            "stop_hits": pa.array(stop_hits, pa.int64()),
+            "top_token_frac_e4": pa.array(top_e4, pa.int64()),
+            "keep": pa.array(keep),
+        }
+    )
 
 
 def _tree_keyed_sum(partials_ds, key: str, val: str):
