@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "temperature_resample",
     "percentile_gate",
     "gopher_gate",
+    "dup_ngrams",
     "ngram_jaccard_pairs",
     "ann_ivf_knn",
     "cluster_dedup",

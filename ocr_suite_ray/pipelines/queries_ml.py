@@ -776,6 +776,51 @@ WHERE n_tokens BETWEEN 50 AND 100000
 """
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Gopher n-gram repetition features: per-doc char coverage of the
+    top 2-gram and of duplicated 5-grams (fixed-point e4) — the remaining
+    documented repetition rules beyond the unigram share."""
+    from ocr_suite_ray.stages.text_ops import dup_ngram_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_ngram_stats(ds, "doc_id", "text", n_top=2, n_dup=5)
+
+
+SQL_DUP_NGRAMS = """
+WITH base AS (
+  SELECT doc_id, str_split(text, ' ') AS l,
+         GREATEST(len(text), 1) AS n_chars
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(l)),
+                        i -> array_to_string(l[i:i+1], ' '))) AS gram
+  FROM base
+),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+t2 AS (SELECT doc_id, MAX(c * len(gram)) AS cover FROM c2 GROUP BY doc_id),
+g5 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(l) - 3),
+                        i -> array_to_string(l[i:i+4], ' '))) AS gram
+  FROM base
+),
+c5 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g5 GROUP BY doc_id, gram),
+d5 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN c > 1 THEN c * len(gram) ELSE 0 END) AS dup_chars
+  FROM c5 GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_chars,
+       CAST(FLOOR(COALESCE(t2.cover, 0) * 10000.0 / b.n_chars + 0.5)
+            AS BIGINT) AS top2_gram_cover_e4,
+       CAST(FLOOR(COALESCE(d5.dup_chars, 0) * 10000.0 / b.n_chars + 0.5)
+            AS BIGINT) AS dup5_gram_chars_e4
+FROM base b
+LEFT JOIN t2 ON b.doc_id = t2.doc_id
+LEFT JOIN d5 ON b.doc_id = d5.doc_id
+"""
+
+
 def q_vocab_top(sf_dir: str):
     """Corpus vocabulary: top-50 tokens by global count (tokenizer-training
     first step), deterministic (n desc, token asc) tie-break."""
@@ -1852,6 +1897,7 @@ ML_QUERIES = {
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "repetition_ratio": (q_repetition, SQL_REPETITION),
     "gopher_gate": (q_gopher_gate, SQL_GOPHER_GATE),
+    "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "vocab_top": (q_vocab_top, SQL_VOCAB_TOP),
     "seq_packing": (q_seq_packing, SQL_SEQ_PACKING),
     "media_probe": (q_media_probe, SQL_MEDIA_PROBE),

@@ -342,6 +342,107 @@ def repetition_stats(ds, id_col: str, text_col: str):
     return ds.map_batches(_rep, batch_format="pyarrow")
 
 
+def _row_ngram_coverage(
+    nt: np.ndarray,
+    codes: np.ndarray,
+    tok_lens: np.ndarray,
+    n: int,
+) -> tuple:
+    """Per-row (top_cover, dup_chars) over word n-grams: ``top_cover`` is
+    the max over grams of occurrences×gram-chars (chars = token chars +
+    joining spaces), ``dup_chars`` the same sum over grams occurring >1
+    time. Run-length statistics over (row, code_0..code_{n-1})-sorted gram
+    windows — collision-free (no gram hashing) and no per-row Python."""
+    n_rows = len(nt)
+    top = np.zeros(n_rows, dtype=np.int64)
+    dup = np.zeros(n_rows, dtype=np.int64)
+    total = len(codes)
+    if total < n or n_rows == 0:
+        return top, dup
+    row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), nt)
+    # a gram window is valid iff it stays within one row
+    valid = row_ids[: total - n + 1] == row_ids[n - 1 :]
+    starts = np.flatnonzero(valid)
+    if len(starts) == 0:
+        return top, dup
+    cs = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(tok_lens, out=cs[1:])
+    gchars = cs[starts + n] - cs[starts] + (n - 1)
+    r = row_ids[starts]
+    cols = [codes[starts + j] for j in range(n)]
+    # lexsort: last key is primary ⇒ (c_{n-1}, …, c_0, row)
+    order = np.lexsort(tuple(cols[::-1] + [r]))
+    r = r[order]
+    cols = [c[order] for c in cols]
+    new_run = np.ones(len(r), dtype=bool)
+    same = r[1:] == r[:-1]
+    for c in cols:
+        same &= c[1:] == c[:-1]
+    new_run[1:] = ~same
+    run_starts = np.flatnonzero(new_run)
+    run_row = r[run_starts]
+    run_len = np.diff(np.append(run_starts, len(r)))
+    run_chars = gchars[order][run_starts]
+    cover = run_len * run_chars
+    row_first = np.flatnonzero(
+        np.concatenate([[True], run_row[1:] != run_row[:-1]])
+    )
+    rows_present = run_row[row_first]
+    top[rows_present] = np.maximum.reduceat(cover, row_first)
+    dup[rows_present] = np.add.reduceat(
+        np.where(run_len > 1, cover, 0), row_first
+    )
+    return top, dup
+
+
+def dup_ngram_stats(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_top: int = 2,
+    n_dup: int = 5,
+):
+    """Gopher repetition rules, n-gram family (Rae et al. 2021, App. A):
+    per-doc fixed-point char-coverage of (a) the highest-coverage
+    ``n_top``-gram and (b) all duplicated ``n_dup``-grams. Coverage counts
+    every occurrence's characters (token chars + joining spaces) and
+    maximizes occurrences×chars rather than raw count — deterministic
+    without a gram tie-break and exactly reproducible in SQL (the paper's
+    overlap-deduplicated char count is not; documented deviation).
+    Embarrassingly parallel: one tokenize + dictionary-encode pass, two
+    in-block lexsorts, no shuffle."""
+    import pyarrow.compute as pc
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if pa.types.is_large_string(texts.type):
+            texts = texts.cast(pa.string())
+        raw_n, flat, _off = _tokens(texts)
+        codes = flat.dictionary_encode().indices.to_numpy().astype(np.int64)
+        tok_lens = pc.utf8_length(flat).to_numpy().astype(np.int64)
+        n_chars = np.maximum(
+            pc.utf8_length(texts).to_numpy().astype(np.int64), 1
+        )
+        top_cover, _ = _row_ngram_coverage(raw_n, codes, tok_lens, n_top)
+        _, dup_chars = _row_ngram_coverage(raw_n, codes, tok_lens, n_dup)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars": pa.array(n_chars, pa.int64()),
+                f"top{n_top}_gram_cover_e4": pa.array(
+                    _round_ratio_e(top_cover, n_chars, 10000.0), pa.int64()
+                ),
+                f"dup{n_dup}_gram_chars_e4": pa.array(
+                    _round_ratio_e(dup_chars, n_chars, 10000.0), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_stats, batch_format="pyarrow")
+
+
 def gopher_signals(batch: pa.Table) -> pa.Table:
     """Gopher-rule quality signals and keep decision (Rae et al. 2021,
     App. A — the documented pre-training quality rule set), composed over

@@ -76,3 +76,50 @@ def test_gopher_signals_large_string_input():
     )
     out = gopher_signals(t)
     assert out["keep"][0].as_py() is True
+
+
+def test_dup_ngram_stats_matches_sequential_oracle(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import dup_ngram_stats
+
+    docs = [
+        "",  # no grams
+        "one",  # single token: no 2-grams
+        "a b a b a b c",  # repeated 2-gram "a b"
+        "x y z w v " * 4 + "tail",  # repeated 5-gram
+        "p q r s",  # 2-grams only, under the 5-gram width
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    )
+    got = (
+        dup_ngram_stats(ds, "doc_id", "text", n_top=2, n_dup=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def _grams(toks, n):
+        return [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+
+    import collections
+
+    import numpy as np
+
+    for i, text in enumerate(docs):
+        toks = text.split(" ")
+        n_chars = max(len(text), 1)
+        c2 = collections.Counter(_grams(toks, 2))
+        top2 = max((c * len(g) for g, c in c2.items()), default=0)
+        c5 = collections.Counter(_grams(toks, 5))
+        dup5 = sum(c * len(g) for g, c in c5.items() if c > 1)
+        assert got.top2_gram_cover_e4[i] == int(
+            np.floor(top2 * 10000.0 / n_chars + 0.5)
+        ), (i, "top2")
+        assert got.dup5_gram_chars_e4[i] == int(
+            np.floor(dup5 * 10000.0 / n_chars + 0.5)
+        ), (i, "dup5")
+    assert got.dup5_gram_chars_e4[3] > 0  # fixture exercises the dup path
