@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "percentile_gate",
     "gopher_gate",
     "dup_ngrams",
+    "ccnet_buckets",
     "ngram_jaccard_pairs",
     "ann_ivf_knn",
     "cluster_dedup",

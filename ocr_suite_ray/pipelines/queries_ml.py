@@ -1092,6 +1092,44 @@ GROUP BY t.doc_id
 """
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CC-Net head/middle/tail perplexity split: equal-population buckets
+    over the unigram-LM score rank (exact global quantiles via the
+    distributed prefix-scan rank, not sampled cutoffs)."""
+    from ocr_suite_ray.stages.text_ops import ccnet_perplexity_buckets
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ccnet_perplexity_buckets(ds)
+
+
+SQL_CCNET_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn, CAST(COUNT(*) AS DOUBLE) AS vv
+        FROM counts),
+scored AS (
+  SELECT t.doc_id,
+         CAST(FLOOR(-AVG(ln((c.n + 1.0) / (tot.nn + tot.vv))) * 10000 + 0.5)
+              AS BIGINT) AS lm_score_e4
+  FROM toks t JOIN counts c USING (tok), tot
+  GROUP BY t.doc_id
+),
+r AS (
+  SELECT doc_id, lm_score_e4,
+         ROW_NUMBER() OVER (ORDER BY lm_score_e4, doc_id) - 1 AS rk,
+         COUNT(*) OVER () AS n
+  FROM scored
+)
+SELECT doc_id, lm_score_e4,
+       rk * 3 // n AS bucket,
+       CASE rk * 3 // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM r
+"""
+
+
 def q_chunk_docs(sf_dir: str):
     """Word-window chunking (size 32, overlap 8): the long-document
     splitter for fixed context windows; flat_map shape."""
@@ -1868,6 +1906,7 @@ ML_QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
     "bpe_stats": (q_bpe_stats, None),

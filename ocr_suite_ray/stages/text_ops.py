@@ -691,6 +691,86 @@ def lm_unigram_score(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(_score, batch_format="pyarrow")
 
 
+_PPL_BUCKET_NAMES = {3: ("head", "middle", "tail")}
+
+
+def ccnet_perplexity_buckets(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+):
+    """CC-Net perplexity bucketing (Wenzek et al. 2020, §4.3 — the public
+    head/middle/tail split): rank every doc by its unigram-LM score
+    (ascending — most-fluent first) and cut the corpus into
+    ``n_buckets`` equal-population buckets, ``bucket = rank*k // n``.
+    The canonical 3 buckets carry the paper's head/middle/tail names in
+    ``ppl_bucket``; any k also emits the integer ``bucket``.
+
+    Scale story: pass 1 is :func:`lm_unigram_score` (vocab broadcast, no
+    corpus shuffle); pass 2 is the :func:`~ocr_suite_ray.stages.scan.prefix_sum`
+    global rank over a NARROW (doc_id, score, okey) projection — the one
+    honest all-to-all this op needs, ~40 B/row regardless of document
+    size. Exact global quantiles by construction (no sampled cutoffs), so
+    the split is deterministic at any parallelism. The rank key is the
+    fixed-width decimal ``score``+``doc_id`` string, built entirely in
+    Arrow C kernels (lexicographic == numeric for the non-negative e4
+    scores; the kernel asserts non-negativity rather than silently
+    misordering).
+    """
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.scan import prefix_sum
+
+    scored = lm_unigram_score(ds, id_col, text_col)
+    n_docs = ds.count()
+
+    def _key(t: pa.Table) -> pa.Table:
+        s = t["lm_score_e4"]
+        if len(s) and pc.min(s).as_py() < 0:
+            raise ValueError(
+                "ccnet_perplexity_buckets: negative lm_score_e4 breaks the "
+                "fixed-width decimal order key"
+            )
+        okey = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(s, pa.string()), 12, "0"),
+            pc.utf8_lpad(pc.cast(t[id_col], pa.string()), 14, "0"),
+            "-",
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "lm_score_e4": s,
+                "okey": okey,
+                "one": pa.array(np.ones(len(t), np.int64), pa.int64()),
+            }
+        )
+
+    ranked = prefix_sum(
+        scored.map_batches(_key, batch_format="pyarrow"),
+        "okey",
+        "one",
+        out_col="rank",
+    )
+    names = _PPL_BUCKET_NAMES.get(n_buckets)
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["rank"].to_numpy().astype(np.int64)
+        b = r * n_buckets // max(n_docs, 1)
+        out = pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "lm_score_e4": df["lm_score_e4"].to_numpy(),
+                "bucket": b,
+            }
+        )
+        if names is not None:
+            out["ppl_bucket"] = np.array(names, dtype=object)[b]
+        return out
+
+    return ranked.map_batches(_assign, batch_format="pandas")
+
+
 def bm25_rank(
     ds,
     query_terms: list,

@@ -105,3 +105,30 @@ def test_bm25_no_match_is_empty(ray_session):
     ds = rd.from_items([{"doc_id": 1, "text": "a b c"}])
     out = bm25_rank(ds, ["zzz"], top_k=3)
     assert out.num_rows == 0
+
+
+def test_ccnet_buckets_balanced_and_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import ccnet_perplexity_buckets
+
+    # 100 docs with a score gradient: rare words raise the nll
+    rows = [
+        {"doc_id": i, "text": ("common " * 5 + f"rare{i} " * (i % 10)).strip()}
+        for i in range(100)
+    ]
+
+    def run(nparts):
+        ds = rd.from_items(rows).repartition(nparts)
+        df = ccnet_perplexity_buckets(ds).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    a = run(1)
+    b = run(7)
+    assert a.equals(b)  # deterministic at any parallelism
+    pops = a.ppl_bucket.value_counts()
+    assert pops.max() - pops.min() <= 1  # equal-population split
+    assert set(a.bucket) == {0, 1, 2}
+    # rank cut respects score order: bucket boundaries never invert scores
+    assert a[a.bucket == 0].lm_score_e4.max() <= a[a.bucket == 1].lm_score_e4.min()
+    assert a[a.bucket == 1].lm_score_e4.max() <= a[a.bucket == 2].lm_score_e4.min()
