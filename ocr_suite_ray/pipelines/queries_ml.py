@@ -1092,6 +1092,57 @@ GROUP BY t.doc_id
 """
 
 
+def q_mixture_sample(sf_dir: str):
+    """Token-budget mixture take: each language contributes ~budget tokens
+    (5000 en / 2000 others) in deterministic md5 order — the data-mixing
+    primitive, distributed within group via the keyed prefix scan."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.contamination import token_budget_mixture
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _w(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(t["text"], " "))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    weighted = ds.map_batches(_w, batch_format="pyarrow")
+    return token_budget_mixture(
+        weighted,
+        "lang",
+        "doc_id",
+        "n_tokens",
+        budgets={"en": 5000},
+        default_budget=2000,
+    )
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH base AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+         substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8) || '-' ||
+         lpad(CAST(doc_id AS VARCHAR), 12, '0') AS okey
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY okey)
+           - n_tokens AS BIGINT) AS tokens_before
+  FROM base
+)
+SELECT doc_id, lang, n_tokens, tokens_before
+FROM c
+WHERE tokens_before < CASE lang WHEN 'en' THEN 5000 ELSE 2000 END
+"""
+
+
 def q_ccnet_buckets(sf_dir: str):
     """CC-Net head/middle/tail perplexity split: equal-population buckets
     over the unigram-LM score rank (exact global quantiles via the
@@ -1907,6 +1958,7 @@ ML_QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
     "bpe_stats": (q_bpe_stats, None),

@@ -347,3 +347,93 @@ def temperature_resample(
     frac = np.floor(mod * keep / n).astype(np.int64)
     fractions = {g: int(f) for g, f in zip(groups, frac)}
     return stratified_sample(ds, group_col, id_col, fractions, default_e4=0, mod=mod)
+
+
+def token_budget_mixture(
+    ds,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    budgets: dict,
+    default_budget: int = 0,
+    salt: str = "mix",
+):
+    """Per-group token-budget take in deterministic hash order — the
+    mixture-construction primitive (Pile/DoReMi-style recipes: "contribute
+    ~B_g tokens of source g to the training mix"). Each group's rows are
+    visited in salted-md5 order (an implicit reproducible shuffle, the
+    same key convention as ``shuffle_shards``) and a row is kept iff the
+    running weight of strictly-earlier rows is ``< budgets[group]`` — the
+    mix fills each budget exactly, overshooting by at most one document.
+
+    Scale story vs :func:`group_quota` (the explicit-order cousin): the
+    within-group running sum is
+    :func:`~ocr_suite_ray.stages.scan.grouped_prefix_sum` — one composite
+    ``(group, okey)`` sort over a NARROW (id, group, weight, okey)
+    projection plus two vectorized passes, so a hot group (one language
+    with 80% of a 100 TB corpus) spans many sorted blocks and never lands
+    in a single task. Deterministic at any parallelism; re-runs re-derive
+    the identical mix (resumable export).
+
+    Output: ``(id_col, group_col, weight_col, tokens_before)`` for the
+    kept rows. SQL: ``SUM(w) OVER (PARTITION BY g ORDER BY okey) - w <
+    budget(g)``.
+    """
+    import hashlib
+
+    from ocr_suite_ray.stages.scan import grouped_prefix_sum
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        # md5-hex prefix + zero-padded id: unique, DuckDB-expressible
+        # (substr(md5(..),1,8) || '-' || lpad(id, 12, '0')); the md5 loop
+        # is the engine's one sanctioned per-row Python (hash parity)
+        okey = [
+            hashlib.md5((str(d) + salt).encode()).hexdigest()[:8]
+            + "-"
+            + str(d).zfill(12)
+            for d in ids
+        ]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                group_col: t[group_col],
+                weight_col: t[weight_col],
+                "okey": pa.array(okey, pa.string()),
+            }
+        )
+
+    scanned = grouped_prefix_sum(
+        ds.map_batches(_key, batch_format="pyarrow"),
+        group_col,
+        "okey",
+        weight_col,
+        out_col="tokens_before",
+    )
+
+    def _take(t: pa.Table) -> pa.Table:
+        groups = t[group_col].combine_chunks().dictionary_encode()
+        caps = np.array(
+            [
+                int(budgets.get(g, default_budget))
+                for g in groups.dictionary.to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        idx = groups.indices.to_numpy(zero_copy_only=False)
+        is_null = (
+            np.isnan(idx) if idx.dtype.kind == "f"
+            else np.zeros(len(idx), dtype=bool)
+        )
+        codes = np.where(is_null, 0, idx).astype(np.int64)
+        cap = caps[codes] if len(caps) else np.zeros(len(codes), np.int64)
+        cap = np.where(is_null, np.int64(default_budget), cap)
+        before = t["tokens_before"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        out = t.select([id_col, group_col, weight_col]).append_column(
+            "tokens_before", pa.array(before, pa.int64())
+        )
+        return out.filter(pa.array(before < cap))
+
+    return scanned.map_batches(_take, batch_format="pyarrow")

@@ -91,6 +91,90 @@ def prefix_sum(ds, order_col: str, value_col: str, out_col: str = "cum_before"):
     return sorted_ds.map_batches(_scan, batch_size=None, batch_format="pandas")
 
 
+def grouped_prefix_sum(
+    ds,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+):
+    """Exclusive running sum of ``value_col`` within each ``group_col``
+    partition, in ``order_col`` order — the keyed generalization of
+    :func:`prefix_sum` (SQL ``SUM(v) OVER (PARTITION BY g ORDER BY k) - v``).
+
+    Same two-pass shape over ONE composite sort ``(group, order)``; the
+    per-block summary carries one ``(group, total)`` row per group present
+    in the block, so driver state is O(sum over blocks of distinct groups
+    per block) <= O(blocks + groups) — never row data. Unlike a
+    ``groupby(group).map_groups`` ranking, a hot group spans MANY sorted
+    blocks and its scan work stays distributed; no single task ever holds
+    a whole group. Order keys must be unique within their group (same
+    tie contract as :func:`prefix_sum`)."""
+    import ray
+
+    sorted_ds = ds.sort([group_col, order_col]).materialize()
+
+    # pass 1: per-(block, group) partial sums — tiny
+    def _summary(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"blk_g": [], "blk_k": [], "grp": [], "total": []}
+            )
+        per_g = df.groupby(group_col, sort=True)[value_col].sum()
+        return pd.DataFrame(
+            {
+                "blk_g": df[group_col].iloc[0],
+                "blk_k": df[order_col].iloc[0],
+                "grp": per_g.index.to_numpy(),
+                "total": per_g.to_numpy(),
+            }
+        )
+
+    summaries = sorted_ds.map_batches(
+        _summary, batch_size=None, batch_format="pandas"
+    ).to_pandas()
+    if summaries[["blk_g", "blk_k"]].drop_duplicates().duplicated().any():
+        raise ValueError(
+            "grouped_prefix_sum: two sorted blocks share a first row key — "
+            f"({group_col}, {order_col}) must be unique"
+        )
+    # exclusive offset of each (block, group): sum of that group's totals
+    # in all earlier blocks (block order = composite sort order)
+    summaries = summaries.sort_values(["grp", "blk_g", "blk_k"]).reset_index(
+        drop=True
+    )
+    csum = summaries.groupby("grp", sort=False)["total"].cumsum()
+    summaries["offset"] = csum - summaries["total"]
+    off_by_key = {
+        (bg, bk, g): o
+        for bg, bk, g, o in zip(
+            summaries["blk_g"], summaries["blk_k"], summaries["grp"],
+            summaries["offset"],
+        )
+    }
+    off_ref = ray.put(off_by_key)
+
+    from ocr_suite_ray.stages._bcast import cached_get
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(**{out_col: pd.Series(dtype="int64")})
+        table = cached_get(off_ref)
+        bg, bk = df[group_col].iloc[0], df[order_col].iloc[0]
+        # per-distinct-group dict map (groups-per-block entries, C path)
+        base_by_g = {
+            g: table[(bg, bk, g)] for g in df[group_col].unique()
+        }
+        base = df[group_col].map(base_by_g).to_numpy()
+        within = (
+            df.groupby(group_col, sort=False)[value_col].cumsum().to_numpy()
+            - df[value_col].to_numpy()
+        )
+        return df.assign(**{out_col: base + within})
+
+    return sorted_ds.map_batches(_scan, batch_size=None, batch_format="pandas")
+
+
 def shuffle_shards(
     ds,
     id_col: str = "doc_id",

@@ -73,3 +73,70 @@ def test_shuffle_shards_balanced_and_deterministic(ray_session):
         for r in shuffle_shards(ds, n_shards=8, salt="other").take_all()
     )
     assert a != b
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 13])
+def test_grouped_prefix_sum_matches_sequential(ray_session, nparts):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.scan import grouped_prefix_sum
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "hot"], size=3000, p=[0.1, 0.1, 0.1, 0.7]),
+            "k": rng.permutation(3000),
+            "n": rng.randint(1, 100, size=3000).astype("int64"),
+        }
+    )
+    got = (
+        grouped_prefix_sum(rd.from_pandas(df).repartition(nparts), "g", "k", "n")
+        .to_pandas()
+        .sort_values(["g", "k"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["g", "k"]).reset_index(drop=True)
+    want["cum_before"] = want.groupby("g")["n"].cumsum() - want["n"]
+    assert list(got["cum_before"].astype("int64")) == list(want["cum_before"])
+
+
+def test_token_budget_mixture_exact_fill(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.contamination import token_budget_mixture
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype="int64"),
+            "lang": rng.choice(["en", "de"], size=500),
+            "n_tokens": rng.randint(1, 50, size=500).astype("int64"),
+        }
+    )
+    got = (
+        token_budget_mixture(
+            rd.from_pandas(df).repartition(5),
+            "lang", "doc_id", "n_tokens",
+            budgets={"en": 300}, default_budget=120,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # sequential oracle: same md5 order, same exclusive-sum gate
+    df = df.copy()
+    df["okey"] = [
+        hashlib.md5((str(d) + "mix").encode()).hexdigest()[:8] + "-" + str(d).zfill(12)
+        for d in df["doc_id"]
+    ]
+    df = df.sort_values(["lang", "okey"])
+    df["before"] = df.groupby("lang")["n_tokens"].cumsum() - df["n_tokens"]
+    cap = df["lang"].map({"en": 300}).fillna(120)
+    want = df[df["before"] < cap].sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["tokens_before"].astype("int64")) == list(want["before"])
+    # each group's kept mass covers its budget (overshoot <= one doc)
+    kept = got.groupby("lang")["n_tokens"].sum()
+    assert kept["en"] >= 300 and kept["de"] >= 120
