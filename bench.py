@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "gopher_gate",
     "dup_ngrams",
     "ccnet_buckets",
+    "mixture_sample",
     "ngram_jaccard_pairs",
     "ann_ivf_knn",
     "cluster_dedup",
