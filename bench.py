@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "shuffle_shards",
     "bm25_rank",
     "count_distinct_by_group",
+    "event_deltas",
+    "pivot_daily",
+    "heavy_hitters",
     "weighted_sample",
     "group_zscore",
     "snapshot_diff",

@@ -552,6 +552,77 @@ FROM events
 """
 
 
+def q_event_deltas(sf_dir: str):
+    """Per-user LAG deltas: seconds since the user's previous event and the
+    value change since it (inter-arrival / rate-of-change features)."""
+    from ocr_suite_ray.stages.windows import event_deltas
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return event_deltas(ds, "user_id", "ts", "value", "event_id", scale=100)
+
+
+SQL_EVENT_DELTAS = """
+SELECT user_id, event_id,
+       CAST(ROUND(EPOCH(ts - LAG(ts) OVER w) * 100, 0) AS BIGINT) AS gap_fp,
+       CAST(ROUND((value - LAG(value) OVER w) * 100, 0) AS BIGINT)
+         AS value_delta_fp
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_pivot_daily(sf_dir: str):
+    """Daily event counts pivoted to a declared fixed column set (one count
+    column per event type + total) — SQL COUNT(*) FILTER semantics with a
+    schema that never drifts when a category is absent from a shard."""
+    from ocr_suite_ray.stages.relational import pivot_counts
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def _day(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(t["ts"], unit="day"),
+            "event_type": t["event_type"],
+        })
+
+    return pivot_counts(
+        ds.map_batches(_day, batch_format="pyarrow"),
+        "day", "event_type",
+        values=["click", "error", "purchase", "signup", "view"],
+        key_type=pa.timestamp("us"),
+    )
+
+
+SQL_PIVOT_DAILY = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM events GROUP BY 1
+"""
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters over document tokens, run in its exact
+    regime (capacity >= corpus vocabulary, so no compression triggers and
+    counts are exact — the full-SQL-twin mode; the sketch regime's
+    frequency/undercount guarantee is pinned by units)."""
+    from ocr_suite_ray.stages.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_hitters(ds, "text", k=25, capacity=4096)
+
+
+SQL_HEAVY_HITTERS = """
+SELECT tok AS item, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 25
+"""
+
+
 def q_group_zscore(sf_dir: str):
     """Per-event-type standardization of value (sample std) — the
     feature-normalization primitive; group stats tree-reduced then
@@ -1005,6 +1076,9 @@ RELATIONAL_QUERIES = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "rolling_mean": (q_rolling_mean, SQL_ROLLING_MEAN),
+    "event_deltas": (q_event_deltas, SQL_EVENT_DELTAS),
+    "pivot_daily": (q_pivot_daily, SQL_PIVOT_DAILY),
+    "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "group_zscore": (q_group_zscore, SQL_GROUP_ZSCORE),
     "percentile_gate": (q_percentile_gate, SQL_PERCENTILE_GATE),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),

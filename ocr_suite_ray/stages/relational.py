@@ -555,3 +555,62 @@ def grouped_reduce_c(ds, keys: list, fold, num_buckets: int = 64):
         .groupby("__rbucket")
         .map_groups(_fold, batch_format="pandas")
     )
+
+
+def pivot_counts(ds, key_col: str, pivot_col: str, values: list,
+                 prefix: str = "n_", total_col: str = "total",
+                 key_type: "pa.DataType | None" = None):
+    """Grouped counts pivoted to a DECLARED fixed column set: one row per
+    ``key_col`` value with one ``{prefix}{v}`` count column per entry in
+    ``values`` plus ``total_col`` (all rows, including pivot values outside
+    ``values``). The column set is declared by the caller, never discovered
+    from data — SQL ``COUNT(*) FILTER`` semantics with a stable schema, so
+    downstream parquet partitions never schema-drift when a rare category
+    is absent from a shard.
+
+    Execution shape: per-block Arrow C hash-agg combiner collapses each
+    block to its distinct (key, pivot) counts; ``narrow_grouped_sum``
+    tree-merges the partials (contract: the distinct key x pivot table
+    fits one worker — the same bound as the time-hierarchy counts); the
+    pivot itself runs once at the tree root over that small table. No
+    sort-based shuffle, nothing corpus-sized leaves the read tasks.
+    """
+    import numpy as np
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([key_col, pivot_col])
+            .group_by([key_col, pivot_col])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([key_col, pivot_col, "_n"])
+
+    def _pivot(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        wide = df.pivot_table(
+            index=key_col, columns=pivot_col, values="_n",
+            aggfunc="sum", fill_value=0,
+        )
+        out = pd.DataFrame({key_col: wide.index.to_numpy()})
+        for v in values:
+            col = (
+                wide[v].to_numpy() if v in wide.columns
+                else np.zeros(len(wide), dtype="int64")
+            )
+            out[f"{prefix}{v}"] = col.astype("int64")
+        out[total_col] = (
+            df.groupby(key_col, sort=False)["_n"].sum()
+            .reindex(wide.index).to_numpy().astype("int64")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    empty_fields = (
+        [pa.field(key_col, key_type or pa.string())]
+        + [pa.field(f"{prefix}{v}", pa.int64()) for v in values]
+        + [pa.field(total_col, pa.int64())]
+    )
+    return narrow_grouped_sum(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        [key_col, pivot_col], ["_n"],
+        finish_fn=_pivot, empty_schema=pa.schema(empty_fields),
+    )

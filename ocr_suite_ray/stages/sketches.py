@@ -172,3 +172,116 @@ def approx_quantiles(ds, col: str, lo: float, hi: float, qs=(0.5, 0.95),
         else np.frombuffer(merged_blob, dtype=np.int64)
     )
     return {f"q{round(q * 100)}": sk.quantile(merged, q) for q in qs}
+
+
+def _mg_compress(items: pa.Array, counts: np.ndarray, capacity: int):
+    """Misra-Gries compression: if more than ``capacity`` counters survive,
+    subtract the (capacity+1)-th largest count from all and keep the
+    positive ones (the mergeable-summaries rule — Agarwal et al. 2012,
+    'Mergeable Summaries', PODS). Each compression undercounts every
+    surviving item by at most the subtracted value; the total subtracted
+    across all merges is bounded by n/(capacity+1)."""
+    if len(counts) <= capacity:
+        return items, counts
+    thresh = np.partition(counts, -(capacity + 1))[-(capacity + 1)]
+    kept = counts - thresh
+    m = kept > 0
+    return items.filter(pa.array(m)), kept[m]
+
+
+def _summary_table(items: pa.Array, counts: np.ndarray, total: int) -> pa.Table:
+    """(item, n) summary rows + the null-item sentinel carrying the running
+    total item count. Items normalize to string (a summary is capacity-
+    bounded, int32 offsets always fit) so fan-ins never mix offset widths."""
+    item_col = pa.concat_arrays(
+        [items.cast(pa.string()), pa.array([None], pa.string())]
+    )
+    n_col = pa.concat_arrays(
+        [pa.array(counts.astype("int64"), pa.int64()),
+         pa.array([total], pa.int64())]
+    )
+    return pa.table({"item": item_col, "n": n_col})
+
+
+def heavy_hitters(ds, col: str, k: int = 25, capacity: int = 256,
+                  split_tokens: bool = True):
+    """Approximate top-k frequent items (Misra-Gries heavy hitters) over a
+    column — the bounded-memory twin of ``text_ops.token_frequencies``:
+    the exact form's exchange carries the full distinct-item table, this
+    one never holds more than ``capacity`` counters per task or fan-in.
+
+    Per-block partial: exact block counts via one Arrow C hash-agg (with
+    ``split_tokens`` the column is whitespace-split and flattened first),
+    compressed to a <= capacity Misra-Gries summary plus a null-item
+    sentinel row carrying the block's total item count (the bm25
+    sentinel-row precedent). Remote TREE merge: sum summaries (one C
+    hash-agg per fan-in), re-compress — merged MG summaries keep the
+    guarantee. Root: top-k by estimated count, deterministic
+    (n desc, item asc) tie-break.
+
+    Guarantee: every item with true frequency > n_total/(capacity+1)
+    survives, and each reported count undercounts its true count by at
+    most n_total/(capacity+1). With ``capacity`` >= the corpus's distinct
+    item count no compression ever triggers and counts are EXACT — the
+    mode the ``heavy_hitters`` catalog row runs for its full DuckDB twin;
+    the sketch regime is pinned by the guarantee units.
+    """
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if split_tokens:
+            c = pc.list_flatten(pc.split_pattern(c, " "))
+        vc = c.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        items = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(items)
+        items = items.filter(valid)
+        counts = counts[valid.to_numpy(zero_copy_only=False)]
+        total = int(counts.sum())
+        it, ct = _mg_compress(items, counts, capacity)
+        return _summary_table(it, ct, total)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        is_sent = pc.is_null(t["item"])
+        total = pc.sum(t.filter(is_sent)["n"]).as_py() or 0
+        body = t.filter(pc.invert(is_sent))
+        g = body.group_by("item").aggregate([("n", "sum")])
+        items = g["item"].combine_chunks()
+        counts = g["n_sum"].to_numpy(zero_copy_only=False)
+        it, ct = _mg_compress(items, counts, capacity)
+        return _summary_table(it, ct, total)
+
+    def _finish(t: pa.Table) -> pa.Table:
+        t = _merge(t)
+        body = t.filter(pc.is_valid(t["item"]))
+        order = pc.sort_indices(
+            body, sort_keys=[("n", "descending"), ("item", "ascending")]
+        )
+        return body.take(order[:k]).select(["item", "n"])
+
+    import ray
+    import ray.data as rd
+
+    ref = coalesce_reduce(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        _merge, _finish, materialize=False,
+    )
+    empty = pa.schema([pa.field("item", pa.string()), pa.field("n", pa.int64())])
+    if ref is None:
+        return rd.from_arrow(empty.empty_table())
+
+    @ray.remote
+    def _or_empty(t):
+        # a zero-row input dataset's blocks skip the map UDFs and keep
+        # their (possibly column-less) pre-UDF schema — normalize to the
+        # declared output schema
+        if t is None or "item" not in getattr(t, "column_names", []):
+            return empty.empty_table()
+        return t
+
+    return rd.from_arrow_refs([_or_empty.remote(ref)])

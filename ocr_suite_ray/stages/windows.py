@@ -427,3 +427,43 @@ def percentile_gate(ds, col: str, lo_p: float = 0.05, hi_p: float = 0.95):
         return t.filter(keep)
 
     return ds.map_batches(_gate, batch_format="pyarrow")
+
+
+def event_deltas(ds, key_col: str, ts_col: str, value_col: str,
+                 tiebreak: str, scale: int = 100):
+    """Per-key LAG deltas: seconds since the key's previous event and the
+    value change since it — the lag/lead window primitive
+    (``LAG(x) OVER (PARTITION BY key ORDER BY ts, tiebreak)``), the
+    feature behind inter-arrival-time and rate-of-change signals.
+
+    Execution shape: ONE hash-bucket shuffle (``grouped_reduce_c``) +
+    per-bucket mergesort + ``groupby.shift`` — MANY keys per task, all C
+    kernels, no per-key dispatch. Skew contract matches ``rolling_mean``:
+    a bucket holds its keys' FULL histories (~40 B/row); a 10^8-row hot
+    key is ~4 GB and the documented bound — pre-split hotter keys on a
+    coarse calendar bucket and stitch the 1-row boundary.
+
+    Output deltas are fixed-point (x*scale, half-away-from-zero like
+    DuckDB ROUND) float64 with NaN for each key's first event — matching
+    how DuckDB's fetchdf renders a nullable BIGINT column (the asof-join
+    precedent).
+    """
+    import numpy as np
+
+    from ocr_suite_ray.stages.relational import grouped_reduce_c
+
+    def _round_fp(m: "pd.Series") -> np.ndarray:
+        arr = m.to_numpy(dtype="float64") * scale
+        return np.where(arr >= 0, np.floor(arr + 0.5), np.ceil(arr - 0.5))
+
+    def _deltas(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tiebreak], kind="mergesort")
+        grp = g.groupby(key_col, sort=False)
+        gap = (g[ts_col] - grp[ts_col].shift()).dt.total_seconds()
+        dv = g[value_col] - grp[value_col].shift()
+        out = g[[key_col, tiebreak]].copy()
+        out["gap_fp"] = _round_fp(gap)
+        out["value_delta_fp"] = _round_fp(dv)
+        return out
+
+    return grouped_reduce_c(ds, [key_col], _deltas)

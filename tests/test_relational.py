@@ -121,3 +121,52 @@ def test_snapshot_diff_identical_snapshots_empty(ray_session):
     df = pd.DataFrame({"k": [1, 2, 3], "h": ["a", "b", "c"]})
     got = snapshot_diff(rd.from_pandas(df), rd.from_pandas(df.copy()), "k", "h").to_pandas()
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# pivot_counts
+# ---------------------------------------------------------------------------
+
+def _pivot_frame() -> pd.DataFrame:
+    rng = np.random.RandomState(7)
+    return pd.DataFrame({
+        "day": rng.choice(["d1", "d2", "d3"], 500),
+        "kind": rng.choice(["a", "b", "c"], 500),
+    })
+
+
+@pytest.mark.parametrize("nparts", [1, 9])
+def test_pivot_counts_matches_pandas(ray_session, nparts):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.relational import pivot_counts
+
+    df = _pivot_frame()
+    got = (
+        pivot_counts(rd.from_pandas(df).repartition(nparts), "day", "kind",
+                     values=["a", "b", "c"])
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    )
+    want = df.pivot_table(index="day", columns="kind", aggfunc="size",
+                          fill_value=0)
+    for v in ["a", "b", "c"]:
+        assert got[f"n_{v}"].tolist() == want[v].tolist()
+    assert got["total"].tolist() == want.sum(axis=1).tolist()
+
+
+def test_pivot_counts_declared_schema_stable(ray_session):
+    """A category absent from the data still gets its (all-zero) column,
+    and pivot values OUTSIDE the declared set count only toward total."""
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.relational import pivot_counts
+
+    df = pd.DataFrame({"day": ["d1", "d1", "d2"], "kind": ["a", "zz", "a"]})
+    got = (
+        pivot_counts(rd.from_pandas(df), "day", "kind", values=["a", "b"])
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    )
+    assert list(got.columns) == ["day", "n_a", "n_b", "total"]
+    assert got["n_a"].tolist() == [1, 1]
+    assert got["n_b"].tolist() == [0, 0]
+    assert got["total"].tolist() == [2, 1]

@@ -49,3 +49,75 @@ def test_approx_quantiles_dataset(ray_session):
     qs = approx_quantiles(ds, "v", lo=0.0, hi=200.0, qs=(0.5, 0.95))
     assert abs(qs["q50"] - np.quantile(vals, 0.5)) < 1.0  # bin width 200/4096
     assert abs(qs["q95"] - np.quantile(vals, 0.95)) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def _hh_corpus():
+    """120 docs over a 60-token vocab with one planted heavy token (~25% of
+    all occurrences) — heavy enough to survive any capacity >= 4."""
+    docs = []
+    for i in range(120):
+        toks = [f"t{(i * 7 + j) % 60}" for j in range(9)] + ["HEAVY"] * 3
+        docs.append(" ".join(toks))
+    return docs
+
+
+def test_heavy_hitters_exact_regime(ray_session):
+    """capacity >= distinct items -> no compression -> exact counts."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.sketches import heavy_hitters
+
+    docs = _hh_corpus()
+    truth = Counter(tok for d in docs for tok in d.split(" "))
+    ds = rd.from_items([{"text": d} for d in docs]).repartition(5)
+    got = heavy_hitters(ds, "text", k=10, capacity=1000).to_pandas()
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["item"], got["n"])) == want
+
+
+def test_heavy_hitters_sketch_guarantee(ray_session):
+    """Sketch regime (capacity << distinct): every item with true frequency
+    > n/(capacity+1) survives, and estimates never overcount / undercount
+    by more than n/(capacity+1). Partitioning changes the estimates only
+    within the bound."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.sketches import heavy_hitters
+
+    docs = _hh_corpus()
+    truth = Counter(tok for d in docs for tok in d.split(" "))
+    n_total = sum(truth.values())
+    cap = 8
+    bound = n_total / (cap + 1)
+    for parts in (1, 7):
+        ds = rd.from_items([{"text": d} for d in docs]).repartition(parts)
+        got = heavy_hitters(ds, "text", k=60, capacity=cap).to_pandas()
+        est = dict(zip(got["item"], got["n"]))
+        # the planted heavy item (360 occurrences > bound) must survive
+        assert truth["HEAVY"] > bound
+        assert "HEAVY" in est
+        for item, e in est.items():
+            t = truth[item]
+            assert e <= t, f"{item}: overcount {e} > {t}"
+            assert t - e <= bound, f"{item}: undercount {t - e} > {bound}"
+
+
+def test_heavy_hitters_empty(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.sketches import heavy_hitters
+
+    ds = rd.from_items([]).repartition(2)
+    got = heavy_hitters(ds, "text", k=5)
+    assert got.count() == 0
+    # NOTE: Dataset.to_pandas() drops columns on a 0-row dataset; the
+    # schema is the stable contract
+    assert got.schema().names == ["item", "n"]

@@ -166,3 +166,58 @@ def test_windows_hot_key_million_rows(ray_session):
 
     gq = group_quantiles(ds, "user_id", "v").take_all()
     assert len(gq) == 1 and gq[0]["q50_fp"] == 480000
+
+
+# ---------------------------------------------------------------------------
+# event_deltas (LAG window primitive)
+# ---------------------------------------------------------------------------
+
+def _deltas_oracle(df):
+    import numpy as np
+
+    g = df.sort_values(["u", "ts", "eid"], kind="mergesort")
+    grp = g.groupby("u", sort=False)
+    gap = (g["ts"] - grp["ts"].shift()).dt.total_seconds() * 100
+    dv = (g["v"] - grp["v"].shift()) * 100
+
+    def _r(m):
+        a = m.to_numpy(dtype="float64")
+        return np.where(a >= 0, np.floor(a + 0.5), np.ceil(a - 0.5))
+
+    out = g[["u", "eid"]].copy()
+    out["gap_fp"] = _r(gap)
+    out["value_delta_fp"] = _r(dv)
+    return out.sort_values("eid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_event_deltas_partition_invariant(ray_session, nparts):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.windows import event_deltas
+
+    rng = np.random.RandomState(3)
+    n = 400
+    df = pd.DataFrame({
+        "eid": np.arange(n, dtype="int64"),
+        "u": rng.randint(0, 40, n).astype("int64"),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10_000, n), unit="s"),
+        "v": rng.uniform(-50, 50, n),
+    })
+    got = (
+        event_deltas(rd.from_pandas(df).repartition(nparts),
+                     "u", "ts", "v", "eid", scale=100)
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    want = _deltas_oracle(df).rename(columns={})
+    pd.testing.assert_frame_equal(
+        got[["u", "eid", "gap_fp", "value_delta_fp"]],
+        want[["u", "eid", "gap_fp", "value_delta_fp"]],
+    )
+    # each user's first event has null deltas, all others real ones
+    firsts = df.sort_values(["ts", "eid"]).groupby("u")["eid"].first()
+    nan_rows = got[got["gap_fp"].isna()]
+    assert set(nan_rows["eid"]) == set(firsts)
