@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "substring_dup_pairs",
     "decontaminate",
     "lm_score",
+    "bigram_lm",
     "tfidf_top",
     "curation_v2",
     "bpe_stats",

@@ -1092,6 +1092,46 @@ GROUP BY t.doc_id
 """
 
 
+def q_bigram_lm(sf_dir: str):
+    """Bigram-LM negative mean conditional log-likelihood per doc — the
+    n-gram generalization of lm_score toward CC-Net's KenLM filter:
+    add-one-smoothed ln P(cur|prev) with context counts from the bigram
+    table's prev-marginal and V = the distinct continuation vocabulary.
+    Fixed-point e4; single-token docs emit NULL (SQL empty-group AVG)."""
+    from ocr_suite_ray.stages.text_ops import bigram_lm_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_lm_score(ds)
+
+
+SQL_BIGRAM_LM = """
+WITH base AS (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)),
+                i -> array_to_string(l[i:i+1], ' '))) AS gram
+  FROM base
+),
+c2 AS (SELECT gram, COUNT(*) AS n2 FROM bg GROUP BY gram),
+ctx AS (SELECT split_part(gram, ' ', 1) AS prev, SUM(n2) AS c1
+        FROM c2 GROUP BY 1),
+voc AS (SELECT CAST(COUNT(DISTINCT split_part(gram, ' ', 2)) AS DOUBLE) AS v
+        FROM c2),
+scored AS (
+  SELECT b.doc_id,
+         CAST(FLOOR(-AVG(ln((c2.n2 + 1.0) / (ctx.c1 + voc.v))) * 10000 + 0.5)
+              AS BIGINT) AS bigram_nll_e4
+  FROM bg b
+  JOIN c2 USING (gram)
+  JOIN ctx ON split_part(b.gram, ' ', 1) = ctx.prev
+  CROSS JOIN voc
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, s.bigram_nll_e4
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 def q_mixture_sample(sf_dir: str):
     """Token-budget mixture take: each language contributes ~budget tokens
     (5000 en / 2000 others) in deterministic md5 order — the data-mixing
@@ -1957,6 +1997,7 @@ ML_QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),

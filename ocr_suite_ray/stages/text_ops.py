@@ -691,6 +691,148 @@ def lm_unigram_score(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(_score, batch_format="pyarrow")
 
 
+def _bigrams(texts) -> tuple:
+    """Whitespace bigrams per row, Arrow-native: ``(n_bigrams, grams, off2)``
+    where ``grams`` is the flattened 'prev cur' string array and ``off2``
+    (int64, zero-based) segments it per row. Built from ONE token split +
+    a boundary mask + two takes + one binary join — the n=2 sibling of
+    :func:`_tokens`' flatten-plus-offsets shape, no per-row Python."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type):
+        # the extracted store carries large_string text;
+        # binary_join_element_wise has no (large_string…, string) kernel,
+        # and a block's flat text is bounded by int32 offsets anyway
+        texts = texts.cast(pa.string())
+    n_tok, flat, off = _tokens(texts)
+    total = len(flat)
+    n_bi = np.maximum(n_tok - 1, 0)
+    if total < 2:
+        return n_bi, pa.array([], pa.string()), np.zeros(len(off), np.int64)
+    # candidate pairs (i, i+1) for i in [0, total-2]; drop pairs that cross
+    # a row boundary (i+1 is some row's first token). split_pattern('')
+    # yields [''], so every row has >= 1 token and starts are >= 1.
+    mask = np.ones(total - 1, dtype=bool)
+    starts = off[1:-1]
+    mask[starts - 1] = False
+    idx = np.flatnonzero(mask)
+    prev = flat.take(pa.array(idx, pa.int64()))
+    cur = flat.take(pa.array(idx + 1, pa.int64()))
+    grams = pc.binary_join_element_wise(prev, cur, " ")
+    off2 = np.zeros(len(off), dtype=np.int64)
+    np.cumsum(n_bi, out=off2[1:])
+    return n_bi, grams, off2
+
+
+def bigram_count_ref(ds, text_col: str = "text"):
+    """Corpus-wide bigram count table ``(gram, n)`` as one worker-held
+    ObjectRef (per-block ``value_counts`` partials, tree-reduced keyed sum)
+    — the n=2 LM artifact. Size contract: O(distinct bigrams), i.e.
+    vocabulary-bound (<= V^2, in practice ~Heaps-law sub-linear in corpus
+    size), never corpus-bound; :func:`_bigram_logp_series` enforces a
+    broadcast budget when the table is realized per worker."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _nb, grams, _off2 = _bigrams(batch[text_col])
+        vc = pc.value_counts(grams)
+        return pa.table(
+            {
+                "gram": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return _tree_keyed_sum(
+        ds.map_batches(_partial, batch_format="pyarrow"), "gram", "n"
+    )
+
+
+_BIGRAM_BROADCAST_BUDGET = 50_000_000  # rows; ~1-2 GB realized per worker
+
+
+def _bigram_logp_series(tbl):
+    """(gram -> add-one-smoothed conditional ln P(cur|prev), OOV floor)
+    from a bigram count table: logp = ln((c2(gram)+1) / (c1(prev)+V)) with
+    context counts c1 = the bigram table's prev-marginal and V = distinct
+    continuation (cur) vocabulary. The floor ln(1/(total+V)) is the global
+    back-off for grams unseen in the model corpus (cross-corpus scoring),
+    mirroring :func:`_logp_series`."""
+    if tbl.num_rows > _BIGRAM_BROADCAST_BUDGET:
+        raise ValueError(
+            f"bigram table has {tbl.num_rows} rows > broadcast budget "
+            f"{_BIGRAM_BROADCAST_BUDGET}; score via a gram-keyed shuffle "
+            "join (bucket the corpus's bigrams and the count table on "
+            "hash(gram) as in dedup_text's gram-block joins) instead of "
+            "the broadcast path"
+        )
+    grams = tbl["gram"].to_pandas()
+    n2 = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    split = grams.str.split(" ", n=1)
+    prev = split.str[0]
+    cur = split.str[1]
+    c1 = pd.Series(n2).groupby(prev.to_numpy()).sum()
+    vocab = float(cur.nunique())
+    denom = c1.reindex(prev.to_numpy()).to_numpy() + vocab
+    logp = np.log((n2 + 1.0) / denom)
+    fallback = np.log(1.0 / (n2.sum() + vocab))
+    return pd.Series(logp, index=grams), fallback
+
+
+def bigram_scores(texts, counts_ref) -> tuple:
+    """Per-row negative mean conditional log-likelihood over bigrams,
+    fixed-point e4, plus a validity mask (False = the row has no bigram —
+    SQL's NULL AVG over an empty group). One ``reindex`` hash-join against
+    the cached logp Series + a float segment mean, same shape as
+    :func:`lm_scores`."""
+    from ocr_suite_ray.stages._bcast import cached_build
+
+    series, fallback = cached_build(counts_ref, _bigram_logp_series)
+    n_bi, grams, off2 = _bigrams(texts)
+    vals = series.reindex(grams.to_pandas()).to_numpy()
+    vals = np.where(np.isnan(vals), fallback, vals)
+    cs = np.concatenate([[0.0], np.cumsum(vals)])
+    sums = cs[off2[1:]] - cs[off2[:-1]]
+    mean = sums / np.maximum(n_bi, 1)
+    score = np.floor(-mean * 10000 + 0.5).astype(np.int64)
+    return score, n_bi > 0
+
+
+def bigram_lm_score(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc bigram-LM negative mean conditional log-likelihood
+    (fixed-point e4) — the n-gram generalization of
+    :func:`lm_unigram_score` toward CC-Net's KenLM perplexity filter
+    (Wenzek et al. 2020 score with a 5-gram model; the method is
+    order-agnostic and the engine shape is identical at any n: a
+    vocabulary-bound count artifact + one streaming score pass).
+
+    Two passes, both streaming: (1) :func:`bigram_count_ref` (distinct-
+    bigram-sized, tree-reduced, never on the driver); (2) a broadcast-
+    score pass — each worker derives the gram->logp Series once
+    (``cached_build``), each batch is one hash-join ``reindex`` plus a
+    segment mean. The corpus never shuffles; only the bigram table moves,
+    and the realize step raises past its documented broadcast budget with
+    the gram-keyed shuffle join named as the fallback. Docs with no
+    bigram (single-token) emit NULL, matching SQL's empty-group AVG.
+    """
+    ref = bigram_count_ref(ds, text_col)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        score, valid = bigram_scores(batch[text_col], ref)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bigram_nll_e4": pa.array(
+                    score, pa.int64(), mask=~valid
+                ),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
 _PPL_BUCKET_NAMES = {3: ("head", "middle", "tail")}
 
 

@@ -490,3 +490,99 @@ def test_lm_scores_oov_uses_smoothing_floor(ray_session):
     want1 = int(np.floor(-floor * 10000 + 0.5))
     assert got.tolist() == [want0, want1]
     assert (got > 0).all() and (got < 10**9).all()  # sane magnitudes, no INT64_MIN
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+def _bigram_oracle(docs):
+    """Sequential bigram-LM twin: add-one ln P(cur|prev), c1 = prev
+    marginal of the bigram table, V = distinct continuation vocab."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    c2, c1 = Counter(), Counter()
+    curs = set()
+    for d in docs:
+        toks = d.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+            curs.add(b)
+    v = float(len(curs))
+    out = {}
+    for i, d in enumerate(docs):
+        toks = d.split(" ")
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            out[i] = None
+            continue
+        s = sum(math.log((c2[p] + 1.0) / (c1[p[0]] + v)) for p in pairs)
+        out[i] = int(np.floor(-s / len(pairs) * 10000 + 0.5))
+    return out
+
+
+def test_bigram_lm_matches_python_oracle(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import bigram_lm_score
+
+    docs = [
+        "aa bb aa bb cc",
+        "bb cc dd",
+        "single",          # no bigram -> NULL
+        "aa aa aa aa",
+        "",                # empty text -> [''] -> no bigram -> NULL
+    ]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    want = _bigram_oracle(docs)
+    for parts in (1, 4):
+        got = (
+            bigram_lm_score(rd.from_pandas(df).repartition(parts))
+            .to_pandas().set_index("doc_id")["bigram_nll_e4"]
+        )
+        for i in range(len(docs)):
+            if want[i] is None:
+                assert pd.isna(got[i]), i
+            else:
+                assert int(got[i]) == want[i], i
+
+
+def test_bigram_lm_large_string_input(ray_session):
+    """The extracted store carries large_string text; the bigram kernel
+    must not hit the missing (large_string, string) join kernel."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import bigram_lm_score
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aa bb cc", "bb cc"], pa.large_string()),
+    })
+    got = bigram_lm_score(rd.from_arrow(t)).to_pandas()
+    want = _bigram_oracle(["aa bb cc", "bb cc"])
+    assert [int(x) for x in got["bigram_nll_e4"]] == [want[0], want[1]]
+
+
+def test_bigram_broadcast_budget_raises():
+    import pyarrow as pa
+
+    from ocr_suite_ray.stages import text_ops
+
+    big = pa.table({
+        "gram": pa.array(["a b"], pa.string()),
+        "n": pa.array([1], pa.int64()),
+    })
+    old = text_ops._BIGRAM_BROADCAST_BUDGET
+    text_ops._BIGRAM_BROADCAST_BUDGET = 0
+    try:
+        with pytest.raises(ValueError, match="broadcast budget"):
+            text_ops._bigram_logp_series(big)
+    finally:
+        text_ops._BIGRAM_BROADCAST_BUDGET = old

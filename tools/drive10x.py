@@ -589,6 +589,117 @@ def drive_embdup():
     )
 
 
+def drive_gopher():
+    """Gopher composite gate (one tokenize pass, embarrassingly parallel)
+    over the 10M store."""
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.text_ops import gopher_signals
+
+    def _gate(t):
+        out = gopher_signals(t)
+        return out.filter(pc.equal(out["keep"], True)).drop_columns(["keep"])
+
+    return _consume(store_docs().map_batches(_gate, batch_format="pyarrow"))
+
+
+def drive_dup_ngrams():
+    """Gopher n-gram repetition rules: the (row, code-window)-sorted gram
+    run-length kernel at ~1.2B gram occurrences."""
+    from ocr_suite_ray.stages.text_ops import dup_ngram_stats
+
+    return _consume(dup_ngram_stats(store_docs(), "doc_id", "text"))
+
+
+def drive_ccnet():
+    """CC-Net perplexity buckets: vocab broadcast + scoring pass + the
+    narrow (doc_id, score, okey) global rank sort at 10M rows."""
+    from ocr_suite_ray.stages.text_ops import ccnet_perplexity_buckets
+
+    return _consume(ccnet_perplexity_buckets(store_docs(), "doc_id", "text"))
+
+
+def drive_mixture():
+    """Token-budget mixture over 16 synthetic sources (doc_id & 15): the
+    keyed prefix scan sorts a narrow 10M-row projection; budgets sized so
+    every group takes a strict partial prefix (the interesting regime)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.contamination import token_budget_mixture
+
+    def _w(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t["text"], " "), 1)
+        src = pc.binary_join_element_wise(
+            "src",
+            pc.cast(pc.bit_wise_and(t["doc_id"], 15), pa.string()),
+            "",
+        )
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "src": src,
+            "n_tokens": pc.cast(n, pa.int64()),
+        })
+
+    weighted = store_docs().map_batches(_w, batch_format="pyarrow")
+    return _consume(
+        token_budget_mixture(
+            weighted, "src", "doc_id", "n_tokens",
+            budgets={}, default_budget=10_000_000,
+        )
+    )
+
+
+def drive_bigram():
+    """Bigram-LM scoring at 10M docs: the two-pass LM shape with a bigram
+    (rather than unigram) count artifact — ~1.2B bigram occurrences
+    stream through value_counts partials; the broadcast table stays
+    vocabulary-bound (the synthetic ~50-token vocab keeps it tiny; the
+    budget guard covers real corpora)."""
+    from ocr_suite_ray.stages.text_ops import bigram_lm_score
+
+    return _consume(bigram_lm_score(store_docs(), "doc_id", "text"))
+
+
+def drive_heavy():
+    """Misra-Gries heavy hitters in the sketch regime over ~1.2B token
+    occurrences: per-block exact counts -> capacity-256 summaries -> tree
+    merge; nothing corpus-sized ever leaves a task."""
+    from ocr_suite_ray.stages.sketches import heavy_hitters
+
+    return _consume(heavy_hitters(store_docs(), "text", k=50, capacity=256))
+
+
+def drive_ev_deltas():
+    """LAG deltas at 100M events incl. the planted ~1M-event hot key."""
+    from ocr_suite_ray.stages.windows import event_deltas
+
+    ds = ev_ds(["event_id", "user_id", "ts", "value"])
+    return _consume(event_deltas(ds, "user_id", "ts", "value", "event_id"))
+
+
+def drive_ev_pivot():
+    """Daily x event-type pivot at 100M events: per-block combiners reduce
+    to a ~150-group table, narrow tree merge, one root pivot."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.relational import pivot_counts
+
+    def _day(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(t["ts"], unit="day"),
+            "event_type": t["event_type"],
+        })
+
+    ds = ev_ds(["ts", "event_type"]).map_batches(_day, batch_format="pyarrow")
+    return _consume(pivot_counts(
+        ds, "day", "event_type",
+        values=["click", "view", "purchase", "scroll", "search"],
+        key_type=pa.timestamp("us"),
+    ))
+
+
 DRIVES = {
     "extract": None,  # special-cased
     "minhash": drive_minhash,
@@ -605,7 +716,15 @@ DRIVES = {
     "postings": drive_postings,
     "shuffle": drive_shuffle,
     "bpe": drive_bpe,
+    "gopher": drive_gopher,
+    "dup_ngrams": drive_dup_ngrams,
+    "ccnet": drive_ccnet,
+    "mixture": drive_mixture,
+    "heavy": drive_heavy,
+    "bigram": drive_bigram,
     "evgen": None,  # special-cased
+    "ev_deltas": drive_ev_deltas,
+    "ev_pivot": drive_ev_pivot,
     "ev_window": drive_ev_window,
     "ev_sessionize": drive_ev_sessionize,
     "ev_rolling": drive_ev_rolling,
@@ -626,6 +745,7 @@ _TEXT_OPS = {
     "minhash", "simhash", "substring", "ngram",
     "token_stats", "dedup_exact", "cross_corpus", "paragraph",
     "paragraph_hash", "cluster", "decon", "postings", "shuffle", "bpe",
+    "gopher", "dup_ngrams", "ccnet", "mixture", "heavy", "bigram",
 }
 
 
