@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "lm_score",
     "bigram_lm",
+    "logistic_fit",
     "tfidf_top",
     "curation_v2",
     "bpe_stats",

@@ -1092,6 +1092,79 @@ GROUP BY t.doc_id
 """
 
 
+def q_logistic_fit(sf_dir: str):
+    """Distributed logistic-regression fit (2 IRLS rounds from w=0, the
+    CC-Net-style quality-classifier training shape: is-English on scaled
+    token count) + streaming probability scoring. Each round is one
+    sufficient-statistic pass (O(d^2) exchange); the SQL twin unrolls both
+    Newton rounds with explicit 2x2 solves."""
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc_mod
+
+    from ocr_suite_ray.stages.mlfit import fit_logistic_ref, logistic_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _feat(t: pa_mod.Table) -> pa_mod.Table:
+        n = pc_mod.add(pc_mod.count_substring(t["text"], " "), 1)
+        return pa_mod.table(
+            {
+                "doc_id": t["doc_id"],
+                "x": pc_mod.divide(pc_mod.cast(n, pa_mod.float64()), 100.0),
+                "y": pc_mod.cast(
+                    pc_mod.equal(t["lang"], "en"), pa_mod.float64()
+                ),
+            }
+        )
+
+    feats = ds.map_batches(_feat, batch_format="pyarrow")
+    w_ref = fit_logistic_ref(feats, ["x"], "y", n_iters=2)
+    return logistic_scores(feats, w_ref, ["x"])
+
+
+SQL_LOGISTIC_FIT = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0 AS x,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+-- IRLS round 1 from w = 0: m = 0, p = 1/2, s = 1/4
+it1 AS (
+  SELECT SUM(0.25) AS a00, SUM(0.25 * x) AS a01, SUM(0.25 * x * x) AS a11,
+         SUM(y - 0.5) AS b0, SUM(x * (y - 0.5)) AS b1
+  FROM base
+),
+w1 AS (
+  SELECT (b0 * a11 - a01 * b1) / (a00 * a11 - a01 * a01) AS w0,
+         (a00 * b1 - a01 * b0) / (a00 * a11 - a01 * a01) AS w1
+  FROM it1
+),
+-- IRLS round 2 under w1
+r2 AS (
+  SELECT x, y, m, 1.0 / (1.0 + exp(-m)) AS p
+  FROM (SELECT b.x, b.y, w1.w0 + w1.w1 * b.x AS m FROM base b, w1)
+),
+it2 AS (
+  SELECT SUM(p * (1 - p)) AS a00,
+         SUM(p * (1 - p) * x) AS a01,
+         SUM(p * (1 - p) * x * x) AS a11,
+         SUM(p * (1 - p) * m + y - p) AS b0,
+         SUM(x * (p * (1 - p) * m + y - p)) AS b1
+  FROM r2
+),
+w2 AS (
+  SELECT (b0 * a11 - a01 * b1) / (a00 * a11 - a01 * a01) AS w0,
+         (a00 * b1 - a01 * b0) / (a00 * a11 - a01 * a01) AS w1
+  FROM it2
+)
+SELECT b.doc_id,
+       CAST(FLOOR(1.0 / (1.0 + exp(-(w2.w0 + w2.w1 * b.x))) * 10000 + 0.5)
+            AS BIGINT) AS prob_e4
+FROM base b, w2
+"""
+
+
 def q_bigram_lm(sf_dir: str):
     """Bigram-LM negative mean conditional log-likelihood per doc — the
     n-gram generalization of lm_score toward CC-Net's KenLM filter:
@@ -1998,6 +2071,7 @@ ML_QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),
+    "logistic_fit": (q_logistic_fit, SQL_LOGISTIC_FIT),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),

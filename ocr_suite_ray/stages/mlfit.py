@@ -105,3 +105,106 @@ def linear_residuals(
         )
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def fit_logistic_ref(
+    ds, x_cols: list, y_col: str, n_iters: int = 2, l2: float = 0.0
+):
+    """ObjectRef[pa.Table] of logistic-regression weights (column ``w``,
+    intercept first) fitted by ``n_iters`` IRLS (Newton) rounds from
+    ``w = 0`` — the distributed ITERATIVE counterpart of
+    :func:`fit_linear_ref`, i.e. the fastText-style quality-classifier
+    training shape (CC-Net trains its page filter exactly like this:
+    a linear model over cheap features).
+
+    Per round: the corpus streams ONCE through a sufficient-statistic
+    pass under the current broadcast weights — per block
+    ``A += s·x xᵀ`` and ``b += x·(s·m + y − p)`` with ``m = x·w``,
+    ``p = σ(m)``, ``s = p(1−p)`` (the division-free IRLS right-hand side,
+    so saturated rows contribute 0 instead of NaN) — a remote tree
+    reduces the (d+1)² floats and one worker solves the Newton system.
+    Iteration count is FIXED (deterministic at any parallelism), weights
+    never touch the driver, and the per-round exchange is O(d²)
+    regardless of corpus size.
+    """
+    import ray
+
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    d1 = len(x_cols) + 1
+
+    def _keys():
+        return [f"a_{i}_{j}" for i in range(d1) for j in range(d1)] + [
+            f"b_{i}" for i in range(d1)
+        ]
+
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("v", "sum")])
+        return pa.table({"k": g["k"], "v": g["v_sum"]})
+
+    def _solve(t: pa.Table) -> pa.Table:
+        kv = dict(zip(t["k"].to_pylist(), t["v"].to_pylist()))
+        a = np.array([[kv[f"a_{i}_{j}"] for j in range(d1)] for i in range(d1)])
+        b = np.array([kv[f"b_{i}"] for i in range(d1)])
+        reg = l2 * np.eye(d1)
+        reg[0, 0] = 0.0
+        w = np.linalg.solve(a + reg, b)
+        return pa.table({"w": pa.array(w, pa.float64())})
+
+    w_ref = None  # round 0: w = 0 (p = 1/2, s = 1/4 — closed form)
+
+    for _ in range(n_iters):
+        cur_ref = w_ref
+
+        def _partial(t: pa.Table, _wr=cur_ref) -> pa.Table:
+            from ocr_suite_ray.stages._bcast import cached_get
+
+            x, y = _xy(t, x_cols, y_col)
+            if _wr is None:
+                m = np.zeros(len(y))
+            else:
+                m = x @ cached_get(_wr)["w"].to_numpy(zero_copy_only=False)
+            p = 1.0 / (1.0 + np.exp(-m))
+            s = p * (1.0 - p)
+            rhs = s * m + (y - p)
+            a = (x * s[:, None]).T @ x
+            b = x.T @ rhs
+            return pa.table(
+                {
+                    "k": pa.array(_keys(), pa.string()),
+                    "v": pa.array(np.concatenate([a.ravel(), b]), pa.float64()),
+                }
+            )
+
+        partials = ds.map_batches(_partial, batch_format="pyarrow")
+        w_ref = coalesce_reduce(partials, _combine, _solve, materialize=False)
+        if w_ref is None:
+            raise ValueError("fit_logistic_ref: empty corpus, nothing to fit")
+    return w_ref
+
+
+def logistic_scores(
+    ds, weights_ref, x_cols: list, id_col: str = "doc_id"
+):
+    """Streaming score pass: ``(id_col, prob_e4)`` — σ(x·w) under the
+    broadcast weights, fixed-point e4 (floor(p·10⁴ + 0.5))."""
+    from ocr_suite_ray.stages._bcast import cached_get
+
+    def _score(t: pa.Table) -> pa.Table:
+        wt = cached_get(weights_ref)
+        w = wt["w"].to_numpy(zero_copy_only=False)
+        x = np.column_stack(
+            [t[c].to_numpy(zero_copy_only=False).astype(np.float64) for c in x_cols]
+        )
+        x = np.column_stack([np.ones(len(x)), x])
+        p = 1.0 / (1.0 + np.exp(-(x @ w)))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "prob_e4": pa.array(
+                    np.floor(p * 10000 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")

@@ -661,6 +661,31 @@ def drive_bigram():
     return _consume(bigram_lm_score(store_docs(), "doc_id", "text"))
 
 
+def drive_logistic():
+    """IRLS logistic fit at 10M docs: 2 Newton rounds = 2 streaming
+    sufficient-statistic passes (O(d^2) exchange each) + 1 score pass.
+    Features derived on the fly (scaled token count; label = docs whose
+    id hashes even — a balanced synthetic class)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.mlfit import fit_logistic_ref, logistic_scores
+
+    def _feat(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t["text"], " "), 1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "x": pc.divide(pc.cast(n, pa.float64()), 100.0),
+            "y": pc.cast(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0), pa.float64()
+            ),
+        })
+
+    feats = store_docs().map_batches(_feat, batch_format="pyarrow")
+    ref = fit_logistic_ref(feats, ["x"], "y", n_iters=2)
+    return _consume(logistic_scores(feats, ref, ["x"]))
+
+
 def drive_heavy():
     """Misra-Gries heavy hitters in the sketch regime over ~1.2B token
     occurrences: per-block exact counts -> capacity-256 summaries -> tree
@@ -722,6 +747,7 @@ DRIVES = {
     "mixture": drive_mixture,
     "heavy": drive_heavy,
     "bigram": drive_bigram,
+    "logistic": drive_logistic,
     "evgen": None,  # special-cased
     "ev_deltas": drive_ev_deltas,
     "ev_pivot": drive_ev_pivot,
@@ -746,6 +772,7 @@ _TEXT_OPS = {
     "token_stats", "dedup_exact", "cross_corpus", "paragraph",
     "paragraph_hash", "cluster", "decon", "postings", "shuffle", "bpe",
     "gopher", "dup_ngrams", "ccnet", "mixture", "heavy", "bigram",
+    "logistic",
 }
 
 
