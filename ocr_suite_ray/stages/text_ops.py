@@ -298,11 +298,29 @@ def _row_token_runs(flat, nt: np.ndarray) -> tuple:
     ``gopher_signals``."""
     codes = flat.dictionary_encode().indices.to_numpy().astype(np.int64)
     row_ids = np.repeat(np.arange(len(nt), dtype=np.int64), nt)
-    order = np.lexsort((codes, row_ids))
-    r = row_ids[order]
-    c = codes[order]
-    new_run = np.ones(len(r), dtype=bool)
-    new_run[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+    # pack (row, code) into one word when the widths allow (they always do
+    # for real batches) — one argsort instead of a two-key lexsort; exact
+    # packing, not hashing (same trick as _row_ngram_coverage)
+    if len(codes):
+        rbits = max(int(row_ids.max()).bit_length(), 1)
+        cbits = max(int(codes.max()).bit_length(), 1)
+    else:
+        rbits = cbits = 1
+    if rbits + cbits <= 63:
+        key = (row_ids.astype(np.uint64) << np.uint64(cbits)) | codes.astype(
+            np.uint64
+        )
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        r = row_ids[order]
+        new_run = np.ones(len(r), dtype=bool)
+        new_run[1:] = key[1:] != key[:-1]
+    else:
+        order = np.lexsort((codes, row_ids))
+        r = row_ids[order]
+        c = codes[order]
+        new_run = np.ones(len(r), dtype=bool)
+        new_run[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
     run_starts = np.flatnonzero(new_run)
     run_row = r[run_starts]
     run_len = np.diff(np.append(run_starts, len(r)))
@@ -370,14 +388,49 @@ def _row_ngram_coverage(
     gchars = cs[starts + n] - cs[starts] + (n - 1)
     r = row_ids[starts]
     cols = [codes[starts + j] for j in range(n)]
-    # lexsort: last key is primary ⇒ (c_{n-1}, …, c_0, row)
-    order = np.lexsort(tuple(cols[::-1] + [r]))
+    # Sort on (row, c_0, …, c_{n-1}). The n+1-key int64 lexsort is the
+    # bandwidth hot spot at high worker concurrency (n+1 argsort passes +
+    # gathers); the fields are small non-negative ints, so EXACT-pack them
+    # MSB-first into one (or two) machine words and argsort those instead —
+    # collision-free by construction (full bit-width packing, not hashing).
+    rbits = max(int(r.max()).bit_length(), 1)
+    cbits = max(max(int(c.max()) for c in cols).bit_length(), 1)
+    total_bits = rbits + n * cbits
+    if total_bits <= 63:
+        key = r.astype(np.uint64)
+        for c in cols:
+            key = (key << np.uint64(cbits)) | c.astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        same = key[1:] == key[:-1]
+    elif total_bits <= 126 and n * cbits > 63 - rbits:
+        # split the field list across two words: hi = (row, c_0…c_{k-1}),
+        # lo = (c_k…c_{n-1}); lexsort's LAST key is primary
+        k = (63 - rbits) // cbits
+        if (n - k) * cbits <= 63 and k >= 0:
+            hi = r.astype(np.uint64)
+            for c in cols[:k]:
+                hi = (hi << np.uint64(cbits)) | c.astype(np.uint64)
+            lo = np.zeros(len(r), dtype=np.uint64)
+            for c in cols[k:]:
+                lo = (lo << np.uint64(cbits)) | c.astype(np.uint64)
+            order = np.lexsort((lo, hi))
+            hi, lo = hi[order], lo[order]
+            same = (hi[1:] == hi[:-1]) & (lo[1:] == lo[:-1])
+        else:  # degenerate widths — fall back
+            order = np.lexsort(tuple(cols[::-1] + [r]))
+            sc = [c[order] for c in cols]
+            same = r[order][1:] == r[order][:-1]
+            for c in sc:
+                same &= c[1:] == c[:-1]
+    else:
+        order = np.lexsort(tuple(cols[::-1] + [r]))
+        sc = [c[order] for c in cols]
+        same = r[order][1:] == r[order][:-1]
+        for c in sc:
+            same &= c[1:] == c[:-1]
     r = r[order]
-    cols = [c[order] for c in cols]
     new_run = np.ones(len(r), dtype=bool)
-    same = r[1:] == r[:-1]
-    for c in cols:
-        same &= c[1:] == c[:-1]
     new_run[1:] = ~same
     run_starts = np.flatnonzero(new_run)
     run_row = r[run_starts]
