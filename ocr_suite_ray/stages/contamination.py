@@ -64,16 +64,77 @@ def _word_ngrams(texts, n: int):
     return row_of[idx], grams.take(pa.array(idx, pa.int64()))
 
 
-def eval_gram_ref(eval_ds, text_col: str = "text", n: int = 5):
+def _word_ngram_hashes(texts, n: int):
+    """64-bit hashes of all word ``n``-grams of every row — the SAME
+    windowing and validity rule as :func:`_word_ngrams` (rows with fewer
+    than ``n`` words contribute nothing) but NO gram-string
+    materialization: tokens are hashed per block-DISTINCT token (pandas'
+    C hasher over the dictionary), each window is a rolling multiply-add
+    combine of its ``n`` token hashes + a SplitMix64 finalize (the
+    ``dedup_text._fast_gram_hashes`` recipe). Returns
+    ``(row_idx, uint64 hashes)``."""
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.dedup_text import _mix64
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type) or pa.types.is_large_binary(texts.type):
+        texts = texts.cast(pa.string())
+    lst = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(lst)
+    off = lst.offsets.to_numpy().astype(np.int64)
+    off = off - off[0]
+    n_tokens = off[1:] - off[:-1]
+    total = int(off[-1]) if len(off) else 0
+    n_windows = total - n + 1
+    if n_windows <= 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    enc = flat.dictionary_encode()
+    dh = pd.util.hash_array(enc.dictionary.to_numpy(zero_copy_only=False))
+    th = dh[enc.indices.to_numpy(zero_copy_only=False)]
+    M = np.uint64(0x9E3779B97F4A7C15)
+    h = th[:n_windows].copy()
+    for j in range(1, n):
+        h = h * M + th[j : j + n_windows]
+    h = _mix64(h)
+    row_of = np.repeat(np.arange(len(n_tokens), dtype=np.int64), n_tokens)
+    ends = np.repeat(off[1:], n_tokens)
+    pos = np.arange(n_windows, dtype=np.int64)
+    valid = pos + n <= ends[:n_windows]
+    idx = np.nonzero(valid)[0]
+    return row_of[idx], h[idx]
+
+
+def eval_gram_ref(eval_ds, text_col: str = "text", n: int = 5,
+                  gram_key: str = "exact"):
     """Distinct word-``n``-gram table of the eval set as an ObjectRef
-    (never touches the driver). ``None`` when the eval set is empty."""
+    (never touches the driver). ``None`` when the eval set is empty.
+
+    ``gram_key="exact"`` (default, the SQL-oracle path) stores gram
+    STRINGS; ``gram_key="hash64"`` (the 100 TB path) stores 64-bit gram
+    hashes — the corpus probe then never materializes gram strings either
+    (a 10x drive measured the string probe at 1004 s over a gram-dense
+    10M-doc corpus; see BASELINE.md). A false collision needs matching
+    64-bit hashes between an eval gram and a corpus gram — ~1e-11 at
+    billions of probes — and can only ADD a flag (conservative for
+    decontamination: never un-flags a contaminated doc). The two modes'
+    flag parity at sf scale is pinned by a twin test."""
     import pyarrow.compute as pc
 
     from ocr_suite_ray.state.dupset import coalesce_reduce
 
-    def _grams(t: pa.Table) -> pa.Table:
-        _rows, grams = _word_ngrams(t[text_col], n)
-        return pa.table({"gram": pc.unique(grams)})
+    if gram_key not in ("exact", "hash64"):
+        raise ValueError(f"gram_key must be 'exact' or 'hash64', got {gram_key!r}")
+
+    if gram_key == "hash64":
+        def _grams(t: pa.Table) -> pa.Table:
+            _rows, hs = _word_ngram_hashes(t[text_col], n)
+            return pa.table({"gram": np.unique(hs)})
+    else:
+        def _grams(t: pa.Table) -> pa.Table:
+            _rows, grams = _word_ngrams(t[text_col], n)
+            return pa.table({"gram": pc.unique(grams)})
 
     gram_ds = eval_ds.map_batches(_grams, batch_format="pyarrow")
 
@@ -83,12 +144,15 @@ def eval_gram_ref(eval_ds, text_col: str = "text", n: int = 5):
     return coalesce_reduce(gram_ds, _dedup, None, materialize=False)
 
 
-def ngram_hit_counts(texts, gram_ref, n: int = 5) -> "np.ndarray":
+def ngram_hit_counts(texts, gram_ref, n: int = 5,
+                     gram_key: str = "exact") -> "np.ndarray":
     """Per-row count of DISTINCT word ``n``-grams present in the broadcast
-    eval gram table (``gram_ref`` from :func:`eval_gram_ref`). The reusable
-    per-batch kernel: one ``is_in`` C pass + a hit-bound distinct. Rows
-    with no hits (or an empty/None ref) count 0 — nothing is contaminated
-    by an empty benchmark."""
+    eval gram table (``gram_ref`` from :func:`eval_gram_ref`, built with
+    the SAME ``gram_key``). The reusable per-batch kernel: one ``is_in`` C
+    pass + a hit-bound distinct; the hash64 mode probes uint64 gram hashes
+    and never materializes gram strings. Rows with no hits (or an
+    empty/None ref) count 0 — nothing is contaminated by an empty
+    benchmark."""
     import pyarrow.compute as pc
 
     from ocr_suite_ray.stages._bcast import cached_get
@@ -100,6 +164,22 @@ def ngram_hit_counts(texts, gram_ref, n: int = 5) -> "np.ndarray":
     if gram_table is None or not len(gram_table):
         return n_contam
     value_set = gram_table["gram"].combine_chunks()
+    if gram_key == "hash64":
+        rows, hs = _word_ngram_hashes(texts, n)
+        if not len(rows):
+            return n_contam
+        probe = pa.array(hs)
+        hit = pc.is_in(probe, value_set=value_set).to_numpy(
+            zero_copy_only=False
+        )
+        hit_idx = np.nonzero(hit)[0]
+        if len(hit_idx):
+            hdf = pd.DataFrame(
+                {"row": rows[hit_idx], "gram": hs[hit_idx]}
+            ).drop_duplicates()
+            vc = hdf.groupby("row").size()
+            n_contam[vc.index.to_numpy()] = vc.to_numpy()
+        return n_contam
     rows, grams = _word_ngrams(texts, n)
     if not len(rows):
         return n_contam
@@ -126,6 +206,7 @@ def decontaminate(
     text_col: str = "text",
     n: int = 5,
     min_hits: int = 1,
+    gram_key: str = "exact",
 ):
     """Per-corpus-doc contamination report vs ``eval_ds``:
     ``(id_col, n_contam, flagged)`` where ``n_contam`` counts DISTINCT
@@ -134,12 +215,17 @@ def decontaminate(
     Filter usage: ``decontaminate(...)`` then drop ``flagged == 1`` (kept
     as a report so the flagged set is auditable — the standard practice is
     to log removals, not silently drop).
+
+    ``gram_key="exact"`` (default) probes gram strings — the SQL-oracle
+    path. ``gram_key="hash64"`` probes 64-bit gram hashes and never
+    materializes a gram string on either side — the scale route (see
+    :func:`eval_gram_ref` for the collision argument and the 10x numbers).
     """
-    ref = eval_gram_ref(eval_ds, text_col, n)
+    ref = eval_gram_ref(eval_ds, text_col, n, gram_key=gram_key)
 
     def _contam(t: pa.Table) -> pa.Table:
         ids = t[id_col].combine_chunks()
-        n_contam = ngram_hit_counts(t[text_col], ref, n)
+        n_contam = ngram_hit_counts(t[text_col], ref, n, gram_key=gram_key)
         return pa.table(
             {
                 id_col: ids,

@@ -586,3 +586,67 @@ def test_bigram_broadcast_budget_raises():
             text_ops._bigram_logp_series(big)
     finally:
         text_ops._BIGRAM_BROADCAST_BUDGET = old
+
+
+def test_decontaminate_hash64_twin(ray_session):
+    """The hash64 scale mode (no gram-string materialization on either
+    side) produces the same report as the exact mode — planted overlaps,
+    short rows, large_string input, and the sf documents table."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ev = pd.DataFrame({
+        "doc_id": [1000, 1001],
+        "text": ["the secret eval answer is tau",
+                 "benchmark row two here now yes"],
+    })
+    corpus = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "prefix words the secret eval answer is tau suffix",
+            "completely unrelated text with no overlap at all",
+            "benchmark row two here now yes",
+            "short row",  # < n words: contributes nothing in both modes
+        ],
+    })
+    a = (
+        decontaminate(rd.from_pandas(corpus), rd.from_pandas(ev), n=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        decontaminate(rd.from_pandas(corpus).repartition(3),
+                      rd.from_pandas(ev), n=5, gram_key="hash64")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+    # large_string corpus input (the extracted store's type)
+    t = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(
+            ["prefix words the secret eval answer is tau suffix"],
+            pa.large_string(),
+        ),
+    })
+    c = decontaminate(
+        rd.from_arrow(t), rd.from_pandas(ev), n=5, gram_key="hash64"
+    ).to_pandas()
+    assert c.loc[0, "n_contam"] == 2 and c.loc[0, "flagged"] == 1
+
+    # sf-scale twin: identical report on the real documents table
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    ds = rd.from_arrow(docs)
+    ev_ds = rd.from_arrow(docs.slice(0, 25))
+    ex = (
+        decontaminate(ds, ev_ds, n=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    hs = (
+        decontaminate(ds, ev_ds, n=5, gram_key="hash64")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ex, hs)

@@ -228,10 +228,10 @@ def drive_cluster():
     return _consume(dedup_keep_cluster_min(ds, pairs).select_columns(["doc_id"]))
 
 
-def drive_decon():
-    """Decontamination with a ~1k-doc eval benchmark sampled from the
-    corpus itself (every doc sharing 5-grams with it must drop — worst
-    case: every eval doc has at least one corpus twin, itself)."""
+def drive_decon(gram_key: str = "exact"):
+    """Decontamination report with a ~1.2k-doc eval benchmark sampled from
+    the corpus itself (worst case: every eval doc has at least one corpus
+    twin, itself, and the 50-word vocab makes every doc gram-dense)."""
     import pyarrow.compute as pc
 
     from ocr_suite_ray.stages.contamination import decontaminate
@@ -241,7 +241,13 @@ def drive_decon():
         lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 8191), 0)),
         batch_format="pyarrow",
     )
-    return _consume(decontaminate(ds, eval_ds))
+    return _consume(decontaminate(ds, eval_ds, gram_key=gram_key))
+
+
+def drive_decon_hash():
+    """The hash64 scale tier: 64-bit gram hashes on both sides, zero
+    gram-string materialization (twin-tested vs exact at sf)."""
+    return drive_decon(gram_key="hash64")
 
 
 def drive_postings():
@@ -738,6 +744,7 @@ DRIVES = {
     "paragraph_hash": drive_paragraph_hash,
     "cluster": drive_cluster,
     "decon": drive_decon,
+    "decon_hash": drive_decon_hash,
     "postings": drive_postings,
     "shuffle": drive_shuffle,
     "bpe": drive_bpe,
@@ -770,7 +777,8 @@ DRIVES = {
 _TEXT_OPS = {
     "minhash", "simhash", "substring", "ngram",
     "token_stats", "dedup_exact", "cross_corpus", "paragraph",
-    "paragraph_hash", "cluster", "decon", "postings", "shuffle", "bpe",
+    "paragraph_hash", "cluster", "decon", "decon_hash", "postings",
+    "shuffle", "bpe",
     "gopher", "dup_ngrams", "ccnet", "mixture", "heavy", "bigram",
     "logistic",
 }
