@@ -1318,8 +1318,11 @@ FROM s WHERE i < len(w)
 def q_bpe_stats(sf_dir: str):
     """Distributed BPE tokenizer training (64 merges learned from the
     corpus word-type table) + encode pass emitting per-doc subword counts.
-    Iterative algorithm — no SQL twin (rows-only driver check); the
-    sequential pure-python oracle lives in tests/test_contamination.py."""
+    Full DuckDB twin: ``SQL_BPE_STATS`` unrolls the 64-merge recursion
+    over materialized word-table CTEs and expresses the encode as a
+    per-word subword-length join (the sequential-vs-rank-priority
+    equivalence note lives on the SQL constant); the sequential
+    pure-python oracle additionally lives in tests/test_contamination.py."""
     from ocr_suite_ray.stages.text_ops import bpe_encode, bpe_train_ref
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1367,16 +1370,20 @@ p{i} AS (
   GROUP BY 1, 2
 ),
 m{i} AS (SELECT a, b FROM p{i} ORDER BY cnt DESC, a DESC, b DESC LIMIT 1),
-w{i} AS (
+w{i} AS MATERIALIZED (
   SELECT w.tok, w.n,
          replace(w.s, chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31),
                  chr(31) || m.a || m.b || chr(31)) AS s
   FROM w{h} w, m{i} m
 )"""
 
+# Each w{i} is referenced twice by step i+1 (pair counting AND the merge
+# apply); without MATERIALIZED, DuckDB inlines the chain and the scan count
+# doubles per step — 2^64 plans for the 64-merge twin ("Too many open
+# files" long before that). Materializing keeps it linear.
 SQL_BPE_MERGES = (
     """
-WITH w0 AS (
+WITH w0 AS MATERIALIZED (
   SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
          chr(31) || array_to_string(
              list_transform(range(1, length(tok) + 1),
@@ -1394,6 +1401,53 @@ SELECT * FROM (
   UNION ALL SELECT 3, a, b FROM m3
   UNION ALL SELECT 4, a, b FROM m4
 ) ORDER BY step
+"""
+)
+
+# Full-depth twin for the production bpe_stats row: the same merge
+# recursion unrolled to 64 steps, then the encode pass expressed over the
+# word-TYPE table — per-word subword count = inner-delimiter pairs in the
+# final symbol string + 1 — joined back to per-doc token occurrences.
+# Sequential exhaustive replace (what the chain computes) equals the
+# engine's rank-priority encode because a later merge can only create a
+# pair (a,b) adjacency by producing the exact symbol a or b, and both
+# components of an earlier merge predate it; the equivalence is also
+# pinned empirically by this twin at 64 merges. n_tokens counts ALL
+# split segments (empties included, matching text_ops._tokens); empty
+# tokens encode to 0 symbols, hence the w0 tok <> '' filter is safe.
+SQL_BPE_STATS = (
+    """
+WITH w0 AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+         chr(31) || array_to_string(
+             list_transform(range(1, length(tok) + 1),
+                            i -> substring(tok, i, 1)),
+             chr(31) || chr(31)) || chr(31) AS s
+  FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok
+),
+"""
+    + ",\n".join(_BPE_STEP.format(i=i, h=i - 1) for i in range(1, 65))
+    + """,
+wlen AS (
+  SELECT tok,
+         CAST((length(trim(s, chr(31))) -
+               length(replace(trim(s, chr(31)), chr(31) || chr(31), ''))) // 2
+              + 1 AS BIGINT) AS n_sub
+  FROM w64
+),
+dt AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+)
+SELECT d.doc_id,
+       CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.n_bpe, 0) AS BIGINT) AS n_bpe
+FROM documents d
+LEFT JOIN (
+  SELECT dt.doc_id, SUM(w.n_sub) AS n_bpe
+  FROM dt JOIN wlen w ON dt.tok = w.tok
+  GROUP BY dt.doc_id
+) s USING (doc_id)
 """
 )
 
@@ -2076,7 +2130,7 @@ ML_QUERIES = {
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "tfidf_top": (q_tfidf_top, SQL_TFIDF_TOP),
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
-    "bpe_stats": (q_bpe_stats, None),
+    "bpe_stats": (q_bpe_stats, SQL_BPE_STATS),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "chunk_docs": (q_chunk_docs, SQL_CHUNK_DOCS),
     "dsir_weights": (q_dsir_weights, SQL_DSIR),
