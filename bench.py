@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "substring_dup_pairs",
     "decontaminate",
+    "dup_span_scrub",
     "lm_score",
     "bigram_lm",
     "logistic_fit",

@@ -1786,6 +1786,62 @@ WHERE d.doc_id % 50 <> 0
 """
 
 
+def q_dup_span_scrub(sf_dir: str):
+    """Exact duplicated-span removal (Lee et al. 2022 at word-gram
+    granularity): delete every token covered by a word 3-gram occurring
+    >= 2 times corpus-wide, re-joining the survivors. Pass 1 is a
+    (gram, count) bucket shuffle reduced to the dup-rate-bound dup-gram
+    broadcast; pass 2 is one streaming is_in + delta-cumsum coverage
+    pass."""
+    from ocr_suite_ray.stages.dedup_text import dup_span_scrub
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_scrub(ds, k=3, min_count=2)
+
+
+# ts[i:i+2] is DuckDB's 1-based INCLUSIVE list slice — 3 tokens from i.
+# Token positions keep empty split segments (engine tokenization is a bare
+# split on ' '); a gram hit at pos covers pos..pos+2; kept tokens re-join
+# with single spaces, NULL-aggregating to '' for fully-scrubbed docs.
+SQL_DUP_SPAN_SCRUB = """
+WITH lists AS (
+  SELECT doc_id, str_split(text, ' ') AS ts FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(ts) - 1, 1))) AS pos,
+         unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                               i -> array_to_string(ts[i:i+2], ' '))) AS gram
+  FROM lists
+),
+dupg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)),
+covered AS (
+  SELECT DISTINCT h.doc_id, h.pos + u.i AS cpos
+  FROM hits h CROSS JOIN (SELECT unnest(range(0, 3)) AS i) u
+),
+toks AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS pos
+  FROM lists
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.pos
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+  WHERE c.doc_id IS NULL
+)
+SELECT l.doc_id,
+       COALESCE(kk.text, '') AS text,
+       CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(l.ts) - COALESCE(kk.n_kept, 0) AS BIGINT) AS n_removed
+FROM lists l
+LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) kk USING (doc_id)
+"""
+
+
 def q_stratified_sample(sf_dir: str):
     """Per-language deterministic subsample (md5-mod thresholds per
     stratum) — the corpus-mixing primitive for rebalancing a training
@@ -2122,6 +2178,7 @@ ML_QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "substring_dup_pairs": (q_substring_dup, SQL_SUBSTRING_DUP),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "dup_span_scrub": (q_dup_span_scrub, SQL_DUP_SPAN_SCRUB),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "bigram_lm": (q_bigram_lm, SQL_BIGRAM_LM),

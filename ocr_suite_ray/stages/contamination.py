@@ -24,11 +24,15 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _word_ngrams(texts, n: int):
-    """All word ``n``-grams (space-joined) of every row, vectorized.
+def _word_ngram_windows(texts, n: int):
+    """All word ``n``-grams (space-joined) of every row, vectorized, WITH
+    the flat-token geometry the span-scrub family needs.
 
-    Returns ``(row_idx, grams)``: int64 row index per gram and a
-    ``pa.StringArray`` of the grams. Rows with fewer than ``n`` words
+    Returns ``(row_idx, grams, flat, off, win_pos)``: int64 row index per
+    gram, a ``pa.StringArray`` of the grams, the flattened token array,
+    int64 per-row offsets into it, and each gram's START position in
+    ``flat`` (the gram covers ``win_pos[i] .. win_pos[i]+n-1``, always
+    within one row by the validity rule). Rows with fewer than ``n`` words
     contribute nothing. The kernel is the flatten-plus-offsets shape of
     ``text_ops._tokens``: one ``split_pattern``, ``n`` shifted zero-copy
     slices of the flat token array, one ``binary_join_element_wise`` — no
@@ -51,7 +55,13 @@ def _word_ngrams(texts, n: int):
     total = int(off[-1]) if len(off) else 0
     n_windows = total - n + 1
     if n_windows <= 0:
-        return np.empty(0, dtype=np.int64), pa.array([], pa.string())
+        return (
+            np.empty(0, dtype=np.int64),
+            pa.array([], pa.string()),
+            flat,
+            off,
+            np.empty(0, dtype=np.int64),
+        )
     parts = [flat.slice(j, n_windows) for j in range(n)]
     grams = pc.binary_join_element_wise(*parts, " ")
     # window starting at flat position i belongs to row r iff it ends
@@ -61,18 +71,26 @@ def _word_ngrams(texts, n: int):
     pos = np.arange(n_windows, dtype=np.int64)
     valid = pos + n <= ends[:n_windows]
     idx = np.nonzero(valid)[0]
-    return row_of[idx], grams.take(pa.array(idx, pa.int64()))
+    return row_of[idx], grams.take(pa.array(idx, pa.int64())), flat, off, idx
 
 
-def _word_ngram_hashes(texts, n: int):
+def _word_ngrams(texts, n: int):
+    """``(row_idx, grams)`` view of :func:`_word_ngram_windows` — the
+    original per-gram kernel for callers that don't need flat geometry."""
+    row_of, grams, _flat, _off, _pos = _word_ngram_windows(texts, n)
+    return row_of, grams
+
+
+def _word_ngram_hash_windows(texts, n: int):
     """64-bit hashes of all word ``n``-grams of every row — the SAME
-    windowing and validity rule as :func:`_word_ngrams` (rows with fewer
-    than ``n`` words contribute nothing) but NO gram-string
-    materialization: tokens are hashed per block-DISTINCT token (pandas'
-    C hasher over the dictionary), each window is a rolling multiply-add
-    combine of its ``n`` token hashes + a SplitMix64 finalize (the
+    windowing, validity rule and flat-geometry return shape as
+    :func:`_word_ngram_windows` (rows with fewer than ``n`` words
+    contribute nothing) but NO gram-string materialization: tokens are
+    hashed per block-DISTINCT token (pandas' C hasher over the
+    dictionary), each window is a rolling multiply-add combine of its
+    ``n`` token hashes + a SplitMix64 finalize (the
     ``dedup_text._fast_gram_hashes`` recipe). Returns
-    ``(row_idx, uint64 hashes)``."""
+    ``(row_idx, uint64 hashes, flat, off, win_pos)``."""
     import pyarrow.compute as pc
 
     from ocr_suite_ray.stages.dedup_text import _mix64
@@ -89,7 +107,13 @@ def _word_ngram_hashes(texts, n: int):
     total = int(off[-1]) if len(off) else 0
     n_windows = total - n + 1
     if n_windows <= 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.uint64),
+            flat,
+            off,
+            np.empty(0, dtype=np.int64),
+        )
     enc = flat.dictionary_encode()
     dh = pd.util.hash_array(enc.dictionary.to_numpy(zero_copy_only=False))
     th = dh[enc.indices.to_numpy(zero_copy_only=False)]
@@ -103,7 +127,13 @@ def _word_ngram_hashes(texts, n: int):
     pos = np.arange(n_windows, dtype=np.int64)
     valid = pos + n <= ends[:n_windows]
     idx = np.nonzero(valid)[0]
-    return row_of[idx], h[idx]
+    return row_of[idx], h[idx], flat, off, idx
+
+
+def _word_ngram_hashes(texts, n: int):
+    """``(row_idx, hashes)`` view of :func:`_word_ngram_hash_windows`."""
+    row_of, h, _flat, _off, _pos = _word_ngram_hash_windows(texts, n)
+    return row_of, h
 
 
 def eval_gram_ref(eval_ds, text_col: str = "text", n: int = 5,

@@ -430,6 +430,156 @@ def cross_corpus_near_dup(
     return pairs.map_batches(_decode, batch_format="pyarrow")
 
 
+def dup_span_scrub(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_count: int = 2,
+    gram_key: str = "exact",
+    num_buckets: int = 64,
+    max_broadcast_rows: int = 100_000_000,
+):
+    """Exact duplicated-span REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public method, at word-
+    gram granularity): delete from every document each token covered by a
+    word ``k``-gram occurring >= ``min_count`` times corpus-wide
+    (multiplicity counted, within-doc self-repeats included). The removal
+    complement of :func:`substring_dup_pairs`' flagging semantics. Emits
+    ``(id, text, n_kept, n_removed)`` where ``text`` is the kept tokens
+    re-joined with single spaces.
+
+    Scale shape: pass 1 exchanges only ``(gram, count)`` partials —
+    per-block ``value_counts`` combiners -> ONE bucket shuffle -> a
+    within-bucket C sum + the ``>= min_count`` filter, so the reduced
+    table is the DUP-gram set (dup-rate bound, never corpus bound),
+    tree-reduced off-driver and broadcast once. Pass 2 streams: each
+    batch probes its gram windows with one ``is_in`` C kernel; span
+    coverage is a +/-1 delta cumsum over the flat token array; kept text
+    is rebuilt with ``ListArray.from_arrays`` + one ``binary_join`` — no
+    per-row Python anywhere. ``gram_key="hash64"`` runs BOTH passes over
+    64-bit rolling gram hashes (the decontaminate hash64 recipe — no
+    gram-string materialization on either side; a 64-bit collision can
+    only remove extra tokens, ~1e-11 odds over billions of windows;
+    exact/hash64 parity is twin-tested at sf). The broadcast guard raises
+    when the dup-gram table exceeds ``max_broadcast_rows`` — successors
+    are the hash64 tier (8 B/gram) and a gram-shard scrub (ship hit
+    window positions back through a doc-bucket shuffle).
+
+    Reference analogue: the newest-capture-wins dedup family
+    (``src/ocr/service.cpp`` duplicate handling) extended from whole-doc
+    to intra-doc span granularity."""
+    import ray
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages._bcast import cached_build
+    from ocr_suite_ray.stages.contamination import (
+        _word_ngram_hash_windows,
+        _word_ngram_windows,
+    )
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    if gram_key not in ("exact", "hash64"):
+        raise ValueError(f"gram_key must be 'exact' or 'hash64', got {gram_key!r}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hash_mode = gram_key == "hash64"
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if hash_mode:
+            _r, hs, _f, _o, _p = _word_ngram_hash_windows(t[text_col], k)
+            vals, counts = np.unique(hs, return_counts=True)
+            gram_arr = pa.array(vals, pa.uint64())
+            n_arr = pa.array(counts.astype(np.int64), pa.int64())
+            # hashes are already SplitMix64-finalized — low bits are mixed
+            bucket = (vals % np.uint64(num_buckets)).astype(np.int64)
+        else:
+            _r, grams, _f, _o, _p = _word_ngram_windows(t[text_col], k)
+            vc = pc.value_counts(grams)
+            gram_arr = vc.field("values")
+            n_arr = pc.cast(vc.field("counts"), pa.int64())
+            bucket = (
+                pd.util.hash_array(gram_arr.to_pandas().to_numpy(dtype=object))
+                % num_buckets
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "gram": gram_arr,
+                "n": n_arr,
+                "__gbucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def _sum_filter(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("gram", as_index=False)["n"].sum()
+        return s.loc[s["n"] >= min_count, ["gram"]]
+
+    dup_ds = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("__gbucket")
+        .map_groups(_sum_filter, batch_format="pandas")
+    )
+
+    def _cat(t: pa.Table) -> pa.Table:
+        return pa.table({"gram": t["gram"].combine_chunks()})
+
+    dup_ref = coalesce_reduce(dup_ds, _cat, materialize=False)
+    if dup_ref is not None:
+        n_dup = ray.get(
+            ray.remote(lambda t: 0 if t is None else t.num_rows).remote(dup_ref)
+        )
+        if n_dup > max_broadcast_rows:
+            raise ValueError(
+                f"dup_span_scrub broadcast tier: {n_dup} dup grams exceed the "
+                f"{max_broadcast_rows}-row budget; use gram_key='hash64' "
+                "(8 B/gram) or shard the scrub by gram bucket."
+            )
+
+    def _value_set(tbl):
+        if tbl is None or not tbl.num_rows:
+            return None
+        return tbl["gram"].combine_chunks()
+
+    def _scrub(t: pa.Table) -> pa.Table:
+        vs = cached_build(dup_ref, _value_set) if dup_ref is not None else None
+        if hash_mode:
+            _r, hs, flat, off, wpos = _word_ngram_hash_windows(t[text_col], k)
+            probe = pa.array(hs, pa.uint64())
+        else:
+            _r, probe, flat, off, wpos = _word_ngram_windows(t[text_col], k)
+        total = int(off[-1]) if len(off) else 0
+        keep = np.ones(total, dtype=bool)
+        if vs is not None and len(probe):
+            hit = pc.is_in(probe, value_set=vs).to_numpy(zero_copy_only=False)
+            hidx = wpos[np.nonzero(hit)[0]]
+            if len(hidx):
+                # windows never cross rows (validity rule), so hidx+k <= total
+                delta = np.zeros(total + 1, np.int64)
+                np.add.at(delta, hidx, 1)
+                np.add.at(delta, hidx + k, -1)
+                keep = np.cumsum(delta[:-1]) == 0
+        kept_flat = flat.filter(pa.array(keep)) if total else flat
+        kcs = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
+        new_off = kcs[off]
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), kept_flat
+        )
+        out_text = pc.binary_join(lst, " ")
+        n_tok = (off[1:] - off[:-1]).astype(np.int64)
+        n_kept = (new_off[1:] - new_off[:-1]).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text": out_text,
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "n_removed": pa.array(n_tok - n_kept, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_scrub, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard within a blocking key
 # ---------------------------------------------------------------------------

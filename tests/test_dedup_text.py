@@ -922,3 +922,72 @@ def test_cross_corpus_near_dup_flags_only_cross_pairs(ray_session):
         from ocr_suite_ray.stages.dedup_text import minhash_lsh_pairs
 
         minhash_lsh_pairs(rd.from_items(a_rows), pair_scope="bogus")
+
+
+def test_dup_span_scrub_semantics(ray_session):
+    """Planted cases: a 3-gram shared by two docs is scrubbed from both;
+    a WITHIN-doc self-repeat counts toward min_count; short (<k) and
+    unique docs pass through byte-identical; a fully-duplicated doc
+    scrubs to ''."""
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import dup_span_scrub
+
+    rows = [
+        # docs 0/1 share "p q r" (positions differ); rest unique
+        {"doc_id": 0, "text": "a b p q r c d"},
+        {"doc_id": 1, "text": "p q r x y z w"},
+        # doc 2 repeats "m n o" within itself -> both copies scrubbed
+        {"doc_id": 2, "text": "m n o u m n o"},
+        # doc 3: shorter than k, untouched even though words overlap others
+        {"doc_id": 3, "text": "p q"},
+        # doc 4: entirely one dup gram (matches doc 5) -> ''
+        {"doc_id": 4, "text": "g h i"},
+        {"doc_id": 5, "text": "g h i"},
+        # doc 6: unique long doc, untouched
+        {"doc_id": 6, "text": "one two three four five six"},
+    ]
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_removed"])
+        for r in dup_span_scrub(rd.from_items(rows), k=3).take_all()
+    }
+    assert got[0] == ("a b c d", 4, 3)
+    assert got[1] == ("x y z w", 4, 3)
+    assert got[2] == ("u", 1, 6)
+    assert got[3] == ("p q", 2, 0)
+    assert got[4] == ("", 0, 3)
+    assert got[5] == ("", 0, 3)
+    assert got[6] == ("one two three four five six", 6, 0)
+
+
+def test_dup_span_scrub_hash64_parity_and_guard(ray_session):
+    """hash64 mode reproduces the exact-mode output on sf-scale text (no
+    64-bit collisions at this cardinality), independent of partitioning;
+    the broadcast budget guard raises naming the successors."""
+    import pytest
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import dup_span_scrub
+
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    want = (
+        dup_span_scrub(ds, k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        dup_span_scrub(ds.repartition(7), k=3, gram_key="hash64")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert (want["n_removed"] > 0).any()  # the corpus actually has dups
+
+    with pytest.raises(ValueError, match="hash64"):
+        dup_span_scrub(ds, k=3, max_broadcast_rows=1).take_all()
+    with pytest.raises(ValueError, match="gram_key"):
+        dup_span_scrub(ds, gram_key="bogus")
