@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "temperature_resample",
     "percentile_gate",
     "gopher_gate",
+    "c4_line_filter",
     "dup_ngrams",
     "ccnet_buckets",
     "mixture_sample",

@@ -776,6 +776,81 @@ WHERE n_tokens BETWEEN 50 AND 100000
 """
 
 
+def q_c4_line_filter(sf_dir: str):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over documents
+    with deterministically synthesized line structure (the sf corpus has
+    no newlines or punctuation; BOTH sides build the same lines: 8-token
+    windows, terminal '.' appended when (doc_id + line_ord) % 3 != 2 —
+    the same derive-then-operate pattern as ``url_normalize``). Returns
+    kept pages with cleaned text and line counts."""
+    import numpy as np
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc_mod
+
+    from ocr_suite_ray.stages.segments import c4_line_filter, segment_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _mk(t: pa_mod.Table) -> pa_mod.Table:
+        row_of, within, segs = segment_table(t["text"], 8)
+        ids = pc_mod.cast(t["doc_id"], pa_mod.int64()).to_numpy()
+        dot = ((ids[row_of] + within) % 3) != 2
+        suffix = pa_mod.array(np.where(dot, ".", ""), pa_mod.string())
+        lines = pc_mod.binary_join_element_wise(segs, suffix, "")
+        counts = np.bincount(row_of, minlength=len(ids))
+        offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        joined = pc_mod.binary_join(
+            pa_mod.ListArray.from_arrays(
+                pa_mod.array(offs, pa_mod.int32()), lines
+            ),
+            "\n",
+        )
+        if isinstance(joined, pa_mod.ChunkedArray):
+            joined = joined.combine_chunks()
+        return pa_mod.table({"doc_id": t["doc_id"], "text": joined})
+
+    return c4_line_filter(ds.map_batches(_mk, batch_format="pyarrow"))
+
+
+SQL_C4_LINE_FILTER = """
+WITH toks AS (SELECT doc_id, str_split(text, ' ') AS ts FROM documents),
+segix AS (
+  SELECT doc_id, ts,
+         unnest(range(CAST(CEIL(len(ts) / 8.0) AS BIGINT))) AS g
+  FROM toks
+),
+lines AS (
+  SELECT doc_id, CAST(g AS BIGINT) AS ord,
+         array_to_string(
+           list_slice(ts, CAST(g*8+1 AS BIGINT), CAST(g*8+8 AS BIGINT)),
+           ' ')
+         || CASE WHEN (doc_id + g) % 3 <> 2 THEN '.' ELSE '' END AS line
+  FROM segix
+),
+sig AS (
+  SELECT doc_id, ord, line,
+         (regexp_matches(line, '[.!?"]$')
+          AND len(str_split(line, ' ')) >= 3
+          AND NOT contains(lower(line), 'javascript')) AS lkeep
+  FROM lines
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(COUNT(*) FILTER (WHERE lkeep) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(CASE WHEN lkeep THEN line END,
+                             chr(10) ORDER BY ord), '') AS text,
+         string_agg(line, chr(10) ORDER BY ord) AS full_text
+  FROM sig GROUP BY doc_id
+)
+SELECT doc_id, text, n_lines, n_kept
+FROM agg
+WHERE n_kept >= 5
+  AND NOT contains(lower(full_text), 'lorem ipsum')
+  AND NOT contains(full_text, '{')
+"""
+
+
 def q_dup_ngrams(sf_dir: str):
     """Gopher n-gram repetition features: per-doc char coverage of the
     top 2-gram and of duplicated 5-grams (fixed-point e4) — the remaining
@@ -2214,6 +2289,7 @@ ML_QUERIES = {
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "repetition_ratio": (q_repetition, SQL_REPETITION),
     "gopher_gate": (q_gopher_gate, SQL_GOPHER_GATE),
+    "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "vocab_top": (q_vocab_top, SQL_VOCAB_TOP),
     "seq_packing": (q_seq_packing, SQL_SEQ_PACKING),

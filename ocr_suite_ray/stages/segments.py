@@ -187,6 +187,112 @@ def rejoin_segments(segs, row_of: np.ndarray, keep: np.ndarray, n_rows: int):
     return joined, n_dropped
 
 
+def c4_line_signals(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_kept_lines: int = 5,
+) -> pa.Table:
+    """C4-style line-level cleaning signals (Raffel et al. 2020, §2.2 —
+    the documented public rule set), one Arrow pass per batch:
+
+    per line (``"\\n"``-split):
+      - keep only lines ending in terminal punctuation (``. ! ? "``)
+      - keep only lines with >= ``min_words`` words (single-space split)
+      - drop lines containing "javascript" (case-insensitive)
+    per page:
+      - drop pages containing "lorem ipsum" (case-insensitive)
+      - drop pages containing "{" (code/markup tell)
+      - drop pages with fewer than ``min_kept_lines`` surviving lines
+
+    Emits ``(id, text, n_lines, n_kept, keep)`` where ``text`` is the
+    kept lines re-joined with ``"\\n"`` (original order; ``""`` when all
+    lines drop). Every rule is a C kernel over the flat line array
+    (``split_pattern`` + ``match_substring[_regex]`` + ``count_substring``
+    + zero-copy list rejoin) — no per-row Python. Embarrassingly
+    parallel: one ``map_batches`` pass, no shuffle, so at corpus scale it
+    rides data parallelism exactly like :func:`segment_dedup_within`.
+
+    Word counting matches SQL ``len(str_split(line, ' '))`` (empty line
+    counts one empty word) so the DuckDB twin is byte-exact. Reference
+    analogue: the min-confidence / min-length gates of the reference's
+    recognition loop (``ocr.cpp`` options) applied at line granularity.
+    """
+    import pyarrow.compute as pc
+
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type):
+        # int32-offset bound: map_batches blocks are already < 2^31 chars
+        texts = texts.cast(pa.string())
+    lst = pc.split_pattern(texts, "\n")
+    flat = pc.list_flatten(lst)
+    off = lst.offsets.to_numpy().astype(np.int64)
+    off = off - off[0]
+    n_lines = off[1:] - off[:-1]
+    n_rows = len(n_lines)
+    endp = pc.match_substring_regex(flat, '[.!?"]$').to_numpy(
+        zero_copy_only=False
+    )
+    words = pc.add(pc.count_substring(flat, " "), 1).to_numpy().astype(np.int64)
+    js = pc.match_substring(flat, "javascript", ignore_case=True).to_numpy(
+        zero_copy_only=False
+    )
+    lkeep = endp & (words >= min_words) & ~js
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), n_lines)
+    kept = flat.filter(pa.array(lkeep))
+    counts = np.bincount(row_of[lkeep], minlength=n_rows)
+    offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offs, pa.int32()), kept), "\n"
+    )
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    joined = pc.fill_null(joined, "")
+    n_kept = counts.astype(np.int64)
+    lorem = pc.match_substring(texts, "lorem ipsum", ignore_case=True).to_numpy(
+        zero_copy_only=False
+    )
+    brace = pc.match_substring(texts, "{").to_numpy(zero_copy_only=False)
+    keep = (~lorem) & (~brace) & (n_kept >= min_kept_lines)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "text": joined,
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "keep": pa.array(keep),
+        }
+    )
+
+
+def c4_line_filter(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_kept_lines: int = 5,
+):
+    """C4 cleaning as a dataset stage: :func:`c4_line_signals` per batch,
+    then keep only surviving pages (``keep`` column dropped). Streaming,
+    shuffle-free."""
+    import pyarrow.compute as pc
+
+    def _gate(t: pa.Table) -> pa.Table:
+        out = c4_line_signals(
+            t,
+            id_col=id_col,
+            text_col=text_col,
+            min_words=min_words,
+            min_kept_lines=min_kept_lines,
+        )
+        return out.filter(pc.equal(out["keep"], True)).drop_columns(["keep"])
+
+    return ds.map_batches(_gate, batch_format="pyarrow")
+
+
 def segment_dedup_within(ds, id_col: str = "doc_id", text_col: str = "text", w: int = 2):
     """Within-document repeated-segment removal (Gopher-style repetition
     cleaning): drop every segment equal to an EARLIER segment of the same

@@ -298,3 +298,60 @@ def test_segment_ops_accept_large_string_text(ray_session):
     assert list(got2.doc_id) == [0, 1, 2]
     got3 = chunk_documents(ds, size=4, overlap=1).to_pandas()
     assert (got3.groupby("doc_id").size() > 0).all()
+
+
+def test_c4_line_signals_rules():
+    """Every documented C4 rule on crafted input: terminal punct, min
+    words, javascript lines, lorem-ipsum pages, brace pages, the
+    min-kept-lines page gate, and large_string input."""
+    from ocr_suite_ray.stages.segments import c4_line_signals
+
+    pages = [
+        # 5 good lines -> kept; one bad line (no punct) scrubbed
+        "one two three.\ntwo three four!\nthree four five?\n"
+        'four five six"\nno terminal punct here\nfive six seven.',
+        # good lines but page contains lorem ipsum -> dropped
+        "Lorem Ipsum dolor sit.\na b c.\nb c d.\nc d e.\nd e f.",
+        # javascript line scrubbed (case-insensitive), page then short
+        "enable JavaScript now.\na b.\nshort.\nx.\ny.",
+        # brace page -> dropped
+        "int main() {.\na b c.\nb c d.\nc d e.\nd e f.\ne f g.",
+        # two-word lines fail min_words=3
+        "a b.\nb c.\nc d.\nd e.\ne f.",
+        "",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(pages)), pa.int64()),
+            "text": pa.array(pages, pa.large_string()),
+        }
+    )
+    out = c4_line_signals(t)
+    keep = out["keep"].to_pylist()
+    assert keep == [True, False, False, False, False, False]
+    assert out["n_lines"].to_pylist() == [6, 5, 5, 6, 5, 1]
+    # page 0: the unpunctuated line is scrubbed from the kept text
+    assert out["n_kept"].to_pylist()[0] == 5
+    assert "no terminal punct" not in out["text"].to_pylist()[0]
+    # page 2: the javascript line is scrubbed even though the page drops
+    assert "JavaScript" not in out["text"].to_pylist()[2]
+    # all-dropped page rejoins to the empty document, not null
+    assert out["text"].to_pylist()[5] == ""
+
+
+def test_c4_line_filter_dataset(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.segments import c4_line_filter
+
+    good = "\n".join(f"line number {i} is fine." for i in range(6))
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 8], pa.int64()),
+            "text": pa.array([good, "too short."], pa.string()),
+        }
+    )
+    got = c4_line_filter(rd.from_arrow(t)).to_pandas()
+    assert list(got.doc_id) == [7]
+    assert got.text.iloc[0] == good
+    assert list(got.columns) == ["doc_id", "text", "n_lines", "n_kept"]

@@ -250,6 +250,16 @@ def drive_decon_hash():
     return drive_decon(gram_key="hash64")
 
 
+def drive_spanscrub():
+    """Exact duplicated-span removal over the full store (hash64 tier:
+    the 50-word vocab makes virtually every 5-gram a corpus-wide dup, so
+    the dup-gram broadcast is vocab-bound while the scrub pass touches
+    ~3.3B gram windows — the op's worst case)."""
+    from ocr_suite_ray.stages.dedup_text import dup_span_scrub
+
+    return _consume(dup_span_scrub(store_docs(), gram_key="hash64"))
+
+
 def drive_postings():
     """Inverted index over the full store with an admit-everything df
     band: the synthetic ~50-word vocabulary makes every term's df
@@ -745,6 +755,7 @@ DRIVES = {
     "cluster": drive_cluster,
     "decon": drive_decon,
     "decon_hash": drive_decon_hash,
+    "spanscrub": drive_spanscrub,
     "postings": drive_postings,
     "shuffle": drive_shuffle,
     "bpe": drive_bpe,
@@ -777,7 +788,8 @@ DRIVES = {
 _TEXT_OPS = {
     "minhash", "simhash", "substring", "ngram",
     "token_stats", "dedup_exact", "cross_corpus", "paragraph",
-    "paragraph_hash", "cluster", "decon", "decon_hash", "postings",
+    "paragraph_hash", "cluster", "decon", "decon_hash", "spanscrub",
+    "postings",
     "shuffle", "bpe",
     "gopher", "dup_ngrams", "ccnet", "mixture", "heavy", "bigram",
     "logistic",
