@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "percentile_gate",
     "gopher_gate",
     "c4_line_filter",
+    "host_stats",
     "dup_ngrams",
     "ccnet_buckets",
     "mixture_sample",

@@ -1063,6 +1063,62 @@ def q_url_normalize(sf_dir: str):
     return normalize_urls(ds.map_batches(_mk, batch_format="pyarrow"), "url")
 
 
+def q_host_stats(sf_dir: str):
+    """Per-host corpus rollup (doc counts + char mass per registered
+    host, the accounting pass behind per-domain caps/blocklists) over
+    deterministically-derived urls (same derive-then-operate pattern as
+    ``url_normalize``; ports and WWW./case noise planted so the host
+    normalization rules all fire)."""
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc_mod
+
+    from ocr_suite_ray.stages.text_ops import host_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _mk(t: pa_mod.Table) -> pa_mod.Table:
+        host_n = pc_mod.cast(
+            pc_mod.bit_wise_and(t["doc_id"], 63), pa_mod.string()
+        )
+        sid = pc_mod.cast(t["doc_id"], pa_mod.string())
+        odd = pc_mod.equal(pc_mod.bit_wise_and(t["doc_id"], 1), 1)
+        ported = pc_mod.equal(pc_mod.bit_wise_and(t["doc_id"], 2), 2)
+        url = pc_mod.binary_join_element_wise(
+            "https://WWW.Site", host_n,
+            pc_mod.if_else(odd, ".Example.ORG", ".Example.COM"),
+            pc_mod.if_else(ported, ":8080", ""),
+            "/p/", sid, "",
+        )
+        return pa_mod.table({"url": url, "n_chars": t["n_chars"]})
+
+    return host_stats(
+        ds.map_batches(_mk, batch_format="pyarrow"), "url", weight_col="n_chars"
+    )
+
+
+SQL_HOST_STATS = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+         'https://WWW.Site' || CAST(doc_id & 63 AS VARCHAR)
+         || CASE WHEN (doc_id & 1) = 1 THEN '.Example.ORG'
+                 ELSE '.Example.COM' END
+         || CASE WHEN (doc_id & 2) = 2 THEN ':8080' ELSE '' END
+         || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), h AS (
+  SELECT regexp_replace(regexp_replace(
+           lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+           ':[0-9]+$', ''), '^www\\.', '') AS host,
+         n_chars
+  FROM d
+)
+SELECT host, regexp_extract(host, '([^.]*)$', 1) AS tld,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_weight
+FROM h GROUP BY host
+"""
+
+
 SQL_URL_NORMALIZE = """
 WITH d AS (
   SELECT doc_id,
@@ -2295,4 +2351,5 @@ ML_QUERIES = {
     "seq_packing": (q_seq_packing, SQL_SEQ_PACKING),
     "media_probe": (q_media_probe, SQL_MEDIA_PROBE),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "host_stats": (q_host_stats, SQL_HOST_STATS),
 }

@@ -663,6 +663,80 @@ def normalize_urls(ds, url_col: str, out_col: str | None = None):
     return ds.map_batches(_norm, batch_format="pyarrow")
 
 
+def extract_hosts(urls):
+    """Vectorized ``(host, tld)`` from a url column — the key-extraction
+    half of per-domain corpus accounting. host = the authority component
+    lowercased, ``:port`` and a leading ``www.`` stripped; tld = the last
+    dot label. Unparseable values (no ``scheme://``) map to host ``""``
+    (kept, so totals reconcile). RE2-only, byte-exact vs the DuckDB twin.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    if pa.types.is_large_string(urls.type):
+        urls = urls.cast(pa.string())
+    m = pc.extract_regex(urls, _URL_SPLIT)
+    host = pc.if_else(
+        pc.is_valid(m), pc.utf8_lower(pc.struct_field(m, "host")), ""
+    )
+    host = pc.replace_substring_regex(host, r":[0-9]+$", "")
+    host = pc.replace_substring_regex(host, r"^www\.", "")
+    tm = pc.extract_regex(host, r"(?P<tld>[^.]*)$")
+    tld = pc.if_else(pc.is_valid(tm), pc.struct_field(tm, "tld"), "")
+    return host, tld
+
+
+def host_stats(ds, url_col: str = "url", weight_col: str | None = None,
+               num_buckets: int = 64):
+    """Per-host corpus rollup ``(host, tld, n_docs[, sum_weight])`` — the
+    accounting pass behind per-domain caps / blocklists (RefinedWeb-style
+    "limit documents per registered domain"; pair with ``group_quota`` to
+    enforce a cap).
+
+    Scale shape: host cardinality scales with the corpus (~10^8
+    registered hosts on real web data), so the vocab tree-reduce is the
+    WRONG tool here. Combine-before-shuffle instead: each block collapses
+    to its distinct hosts (one Arrow C hash-agg, block-distinct bound),
+    then ONE bucket shuffle + a within-bucket C fold
+    (:func:`~ocr_suite_ray.stages.relational.grouped_reduce_c`) — nothing
+    corpus-sized crosses the exchange, and a hot host (one domain with
+    10^8 pages) arrives pre-collapsed to one partial row per block.
+
+    Reference analogue: the per-video frame accounting of the reference's
+    progress tracking (``ocr.cpp`` stats) keyed by crawl host instead.
+    """
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.relational import grouped_reduce_c
+
+    def _partial(t: pa.Table) -> pa.Table:
+        host, tld = extract_hosts(t[url_col])
+        cols = {"host": host, "tld": tld}
+        aggs = [([], "count_all")]
+        if weight_col is not None:
+            w = t[weight_col]
+            if isinstance(w, pa.ChunkedArray):
+                w = w.combine_chunks()
+            cols["w"] = pc.cast(w, pa.int64())
+            aggs.append(("w", "sum"))
+        g = pa.table(cols).group_by(["host", "tld"]).aggregate(aggs)
+        names = ["host", "tld", "n_docs"]
+        if weight_col is not None:
+            names.append("sum_weight")
+        return g.rename_columns(names)
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["host", "tld"], as_index=False).sum()
+
+    return grouped_reduce_c(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["host"],
+        _fold,
+        num_buckets=num_buckets,
+    )
+
+
 def unigram_count_ref(ds, text_col: str = "text"):
     """Corpus-wide unigram count table as one worker-held ObjectRef:
     per-block ``value_counts`` partials, ONE vocabulary-keyed groupby,

@@ -991,3 +991,54 @@ def test_dup_span_scrub_hash64_parity_and_guard(ray_session):
         dup_span_scrub(ds, k=3, max_broadcast_rows=1).take_all()
     with pytest.raises(ValueError, match="gram_key"):
         dup_span_scrub(ds, gram_key="bogus")
+
+
+def test_extract_hosts_rules():
+    """Port strip, www strip, lowercasing, tld label, unparseable -> ''."""
+    import pyarrow as pa
+
+    from ocr_suite_ray.stages.text_ops import extract_hosts
+
+    urls = pa.array(
+        [
+            "https://WWW.Example.COM:8080/p/1",
+            "http://sub.site.org/x?q=1",
+            "ftp://Host9/",
+            "not a url",
+            "https://www9.example.net/",  # www9 is a real label, not www.
+        ],
+        pa.large_string(),
+    )
+    host, tld = extract_hosts(urls)
+    assert host.to_pylist() == [
+        "example.com", "sub.site.org", "host9", "", "www9.example.net",
+    ]
+    assert tld.to_pylist() == ["com", "org", "host9", "", "net"]
+
+
+def test_host_stats_counts_only(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import host_stats
+
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://a.com/1", "https://a.com/2",
+                    "https://www.a.com/3", "https://b.org/1",
+                ]
+            )
+        }
+    )
+    got = (
+        host_stats(rd.from_arrow(t), "url")
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    assert list(got.host) == ["a.com", "b.org"]
+    assert list(got.n_docs) == [3, 1]
+    assert list(got.tld) == ["com", "org"]
+    assert "sum_weight" not in got.columns
