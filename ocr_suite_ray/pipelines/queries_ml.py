@@ -1119,6 +1119,79 @@ FROM h GROUP BY host
 """
 
 
+def q_link_pagerank(sf_dir: str):
+    """Host-graph PageRank (integer e9 fixed-point, 3 damped iterations)
+    over a deterministically-derived link graph (two out-links per doc via
+    doc_id bit mixes — the derive-then-operate pattern; real href
+    extraction is :func:`~ocr_suite_ray.stages.graph.extract_links`,
+    differential-tested on the flagship HTML corpus)."""
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc_mod
+
+    from ocr_suite_ray.stages.graph import pagerank_e9
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _mk(t: pa_mod.Table) -> pa_mod.Table:
+        i = pc_mod.cast(t["doc_id"], pa_mod.int64())
+        def _site(x):
+            return pc_mod.binary_join_element_wise(
+                "site", pc_mod.cast(x, pa_mod.string()), ""
+            )
+        src = _site(pc_mod.bit_wise_and(i, 63))
+        d1 = _site(pc_mod.bit_wise_and(pc_mod.shift_right(i, 2), 63))
+        d2 = _site(pc_mod.bit_wise_and(pc_mod.shift_right(i, 5), 63))
+        return pa_mod.concat_tables(
+            [
+                pa_mod.table({"src_host": src, "dst_host": d1}),
+                pa_mod.table({"src_host": src, "dst_host": d2}),
+            ]
+        )
+
+    return pagerank_e9(ds.map_batches(_mk, batch_format="pyarrow"), n_iter=3)
+
+
+def _pagerank_sql(n_iter: int = 3, d_e2: int = 85) -> str:
+    """Unrolled integer-e9 PageRank recurrence — same floor-division
+    arithmetic as :func:`pagerank_e9`, so the match is exact, not
+    float-approximate."""
+    base = (
+        f"({100 - d_e2}::BIGINT * 1000000000::BIGINT)"
+        " // (100 * (SELECT n FROM nn))"
+    )
+    parts = [f"""
+WITH e0 AS (
+  SELECT 'site' || CAST(doc_id & 63 AS VARCHAR) AS src,
+         'site' || CAST((doc_id >> 2) & 63 AS VARCHAR) AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'site' || CAST(doc_id & 63 AS VARCHAR),
+         'site' || CAST((doc_id >> 5) & 63 AS VARCHAR)
+  FROM documents
+),
+edges AS (SELECT DISTINCT src, dst FROM e0),
+hosts AS (SELECT DISTINCT h
+          FROM (SELECT src AS h FROM edges UNION SELECT dst AS h FROM edges)),
+nn AS (SELECT COUNT(*) AS n FROM hosts),
+od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+r0 AS (SELECT h, 1000000000 // (SELECT n FROM nn) AS r FROM hosts)"""]
+    for k in range(1, n_iter + 1):
+        parts.append(f""",
+c{k} AS (SELECT e.dst AS h, SUM(r.r // o.od) AS c
+       FROM edges e JOIN r{k-1} r ON e.src = r.h JOIN od o ON e.src = o.src
+       GROUP BY e.dst),
+r{k} AS (SELECT hosts.h,
+              {base} + ({d_e2} * COALESCE(c{k}.c, 0)) // 100 AS r
+       FROM hosts LEFT JOIN c{k} ON hosts.h = c{k}.h)""")
+    parts.append(
+        f"\nSELECT h AS host, CAST(r AS BIGINT) AS rank_e9 FROM r{n_iter}"
+    )
+    return "".join(parts)
+
+
+SQL_LINK_PAGERANK = _pagerank_sql()
+
+
 SQL_URL_NORMALIZE = """
 WITH d AS (
   SELECT doc_id,
@@ -2352,4 +2425,5 @@ ML_QUERIES = {
     "media_probe": (q_media_probe, SQL_MEDIA_PROBE),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "host_stats": (q_host_stats, SQL_HOST_STATS),
+    "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
 }

@@ -486,27 +486,50 @@ def dup_span_scrub(
         raise ValueError(f"k must be >= 1, got {k}")
     hash_mode = gram_key == "hash64"
 
-    def _partial(t: pa.Table) -> pa.Table:
+    def _gram_counts(t: pa.Table):
+        """Per-block distinct grams + their within-block counts."""
         if hash_mode:
             _r, hs, _f, _o, _p = _word_ngram_hash_windows(t[text_col], k)
             vals, counts = np.unique(hs, return_counts=True)
-            gram_arr = pa.array(vals, pa.uint64())
-            n_arr = pa.array(counts.astype(np.int64), pa.int64())
-            # hashes are already SplitMix64-finalized — low bits are mixed
-            bucket = (vals % np.uint64(num_buckets)).astype(np.int64)
-        else:
-            _r, grams, _f, _o, _p = _word_ngram_windows(t[text_col], k)
-            vc = pc.value_counts(grams)
-            gram_arr = vc.field("values")
-            n_arr = pc.cast(vc.field("counts"), pa.int64())
+            return pa.array(vals, pa.uint64()), counts.astype(np.int64)
+        _r, grams, _f, _o, _p = _word_ngram_windows(t[text_col], k)
+        vc = pc.value_counts(grams)
+        vals = vc.field("values")
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        return vals, pc.cast(vc.field("counts"), pa.int64()).to_numpy()
+
+    # Pass 1, split (the 10M-drive disk lesson): a gram already occurring
+    # >= min_count times WITHIN one block is provably a corpus dup — it
+    # never needs the exchange. Only sub-threshold partials ship through
+    # the bucket shuffle. On heavy-dup corpora (the synthetic worst case:
+    # a 50-word vocab makes ~every window a dup) this collapses the
+    # exchange from O(sum of per-block distinct grams) to the rare-gram
+    # remainder; the heavy side is a dup-rate-bound tree union. A gram
+    # can land on both sides (heavy in one block, light in another) —
+    # the final union dedups, so correctness is unaffected.
+    def _heavy_partial(t: pa.Table) -> pa.Table:
+        gram_arr, counts = _gram_counts(t)
+        return pa.table({"gram": gram_arr.filter(pa.array(counts >= min_count))})
+
+    def _light_partial(t: pa.Table) -> pa.Table:
+        gram_arr, counts = _gram_counts(t)
+        m = counts < min_count
+        gram_l = gram_arr.filter(pa.array(m))
+        if hash_mode:
+            # hashes are SplitMix64-finalized — low bits are mixed
             bucket = (
-                pd.util.hash_array(gram_arr.to_pandas().to_numpy(dtype=object))
+                gram_l.to_numpy(zero_copy_only=False) % np.uint64(num_buckets)
+            ).astype(np.int64)
+        else:
+            bucket = (
+                pd.util.hash_array(gram_l.to_pandas().to_numpy(dtype=object))
                 % num_buckets
             ).astype(np.int64)
         return pa.table(
             {
-                "gram": gram_arr,
-                "n": n_arr,
+                "gram": gram_l,
+                "n": pa.array(counts[m], pa.int64()),
                 "__gbucket": pa.array(bucket, pa.int64()),
             }
         )
@@ -515,16 +538,35 @@ def dup_span_scrub(
         s = g.groupby("gram", as_index=False)["n"].sum()
         return s.loc[s["n"] >= min_count, ["gram"]]
 
-    dup_ds = (
-        ds.map_batches(_partial, batch_format="pyarrow")
+    light_ds = (
+        ds.map_batches(_light_partial, batch_format="pyarrow")
         .groupby("__gbucket")
         .map_groups(_sum_filter, batch_format="pandas")
     )
 
-    def _cat(t: pa.Table) -> pa.Table:
-        return pa.table({"gram": t["gram"].combine_chunks()})
+    def _uniq_cat(t: pa.Table) -> pa.Table:
+        return pa.table({"gram": pc.unique(t["gram"].combine_chunks())})
 
-    dup_ref = coalesce_reduce(dup_ds, _cat, materialize=False)
+    heavy_ref = coalesce_reduce(
+        ds.map_batches(_heavy_partial, batch_format="pyarrow"),
+        _uniq_cat,
+        materialize=False,
+    )
+    light_ref = coalesce_reduce(light_ds, _uniq_cat, materialize=False)
+
+    @ray.remote
+    def _merge_dups(heavy, light):
+        tbls = [t for t in (heavy, light) if t is not None and t.num_rows]
+        if not tbls:
+            return None
+        merged = pa.concat_tables(tbls)
+        return pa.table({"gram": pc.unique(merged["gram"].combine_chunks())})
+
+    dup_ref = (
+        _merge_dups.remote(heavy_ref, light_ref)
+        if heavy_ref is not None or light_ref is not None
+        else None
+    )
     if dup_ref is not None:
         n_dup = ray.get(
             ray.remote(lambda t: 0 if t is None else t.num_rows).remote(dup_ref)
