@@ -439,6 +439,7 @@ def dup_span_scrub(
     gram_key: str = "exact",
     num_buckets: int = 64,
     max_broadcast_rows: int = 100_000_000,
+    num_shards: int = 1,
 ):
     """Exact duplicated-span REMOVAL (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better" — public method, at word-
@@ -449,11 +450,16 @@ def dup_span_scrub(
     ``(id, text, n_kept, n_removed)`` where ``text`` is the kept tokens
     re-joined with single spaces.
 
-    Scale shape: pass 1 exchanges only ``(gram, count)`` partials —
-    per-block ``value_counts`` combiners -> ONE bucket shuffle -> a
-    within-bucket C sum + the ``>= min_count`` filter, so the reduced
-    table is the DUP-gram set (dup-rate bound, never corpus bound),
-    tree-reduced off-driver and broadcast once. Pass 2 streams: each
+    Scale shape: pass 1 exchanges only sub-threshold ``(gram[, count])``
+    partials — per-block ``value_counts`` combiners; grams already
+    duplicated >= ``min_count`` times within a block skip the exchange
+    entirely (dup-rate-bound tree union); the remainder takes one bucket
+    shuffle per gram-space shard (``num_shards``, see the pass-1 comment:
+    serial shards bound the sort shuffle's transient spill on gram-dense
+    corpora at the cost of extra gram-hash passes) -> a within-bucket C
+    fold + the ``>= min_count`` filter. The reduced table is the DUP-gram
+    set (dup-rate bound, never corpus bound), merged off-driver and
+    broadcast once. Pass 2 streams: each
     batch probes its gram windows with one ``is_in`` C kernel; span
     coverage is a +/-1 delta cumsum over the flat token array; kept text
     is rebuilt with ``ListArray.from_arrays`` + one ``binary_join`` — no
@@ -499,50 +505,64 @@ def dup_span_scrub(
             vals = vals.combine_chunks()
         return vals, pc.cast(vc.field("counts"), pa.int64()).to_numpy()
 
-    # Pass 1, split (the 10M-drive disk lesson): a gram already occurring
-    # >= min_count times WITHIN one block is provably a corpus dup — it
-    # never needs the exchange. Only sub-threshold partials ship through
-    # the bucket shuffle. On heavy-dup corpora (the synthetic worst case:
-    # a 50-word vocab makes ~every window a dup) this collapses the
-    # exchange from O(sum of per-block distinct grams) to the rare-gram
-    # remainder; the heavy side is a dup-rate-bound tree union. A gram
-    # can land on both sides (heavy in one block, light in another) —
-    # the final union dedups, so correctness is unaffected.
+    # Pass 1, split two ways (the 10M-drive disk lessons):
+    #
+    # (a) heavy/light: a gram already occurring >= min_count times WITHIN
+    #     one block is provably a corpus dup — it skips the exchange and
+    #     rides a dup-rate-bound tree union. A gram can land on both
+    #     sides (heavy in one block, light in another); the final union
+    #     dedups, so correctness is unaffected.
+    # (b) gram-space sharding (``num_shards`` > 1): the light exchange is
+    #     O(sum of per-block distinct sub-threshold grams) — on a
+    #     gram-dense corpus (the synthetic worst case: ~every window
+    #     globally duplicated but block-locally singleton) that is
+    #     ~window-count rows and the ONE sort shuffle's transient spill
+    #     exceeds a single box's disk. Sharding partitions the GRAM space
+    #     and runs the count exchange once per shard, serially: peak
+    #     spill drops by num_shards while total work stays constant
+    #     (plus num_shards-1 extra gram-hash passes over the corpus —
+    #     compute traded for bounded disk, the classic multi-pass
+    #     out-of-core trade). Shard key uses high hash bits so it stays
+    #     independent of the ``num_buckets`` fold key (low bits).
+    #
+    # The min_count == 2 light row is slimmed to (gram, bucket): each
+    # light partial has within-block count exactly 1, so the fold can
+    # count rows instead of summing a constant-1 column.
     def _heavy_partial(t: pa.Table) -> pa.Table:
         gram_arr, counts = _gram_counts(t)
         return pa.table({"gram": gram_arr.filter(pa.array(counts >= min_count))})
 
-    def _light_partial(t: pa.Table) -> pa.Table:
+    def _light_partial(t: pa.Table, shard: int) -> pa.Table:
         gram_arr, counts = _gram_counts(t)
         m = counts < min_count
         gram_l = gram_arr.filter(pa.array(m))
         if hash_mode:
-            # hashes are SplitMix64-finalized — low bits are mixed
-            bucket = (
-                gram_l.to_numpy(zero_copy_only=False) % np.uint64(num_buckets)
-            ).astype(np.int64)
+            # hashes are SplitMix64-finalized — all bits are mixed
+            gv = gram_l.to_numpy(zero_copy_only=False)
+            hv = gv
         else:
-            bucket = (
-                pd.util.hash_array(gram_l.to_pandas().to_numpy(dtype=object))
-                % num_buckets
-            ).astype(np.int64)
-        return pa.table(
-            {
-                "gram": gram_l,
-                "n": pa.array(counts[m], pa.int64()),
-                "__gbucket": pa.array(bucket, pa.int64()),
-            }
-        )
+            hv = pd.util.hash_array(gram_l.to_pandas().to_numpy(dtype=object))
+        if num_shards > 1:
+            sm = ((hv >> np.uint64(32)) % np.uint64(num_shards)).astype(
+                np.int64
+            ) == shard
+            gram_l = gram_l.filter(pa.array(sm))
+            hv = hv[sm]
+            m_counts = counts[m][sm]
+        else:
+            m_counts = counts[m]
+        bucket = (hv % np.uint64(num_buckets)).astype(np.int32)
+        cols = {"gram": gram_l, "__gbucket": pa.array(bucket, pa.int32())}
+        if min_count > 2:
+            cols["n"] = pa.array(m_counts, pa.int64())
+        return pa.table(cols)
 
     def _sum_filter(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby("gram", as_index=False)["n"].sum()
-        return s.loc[s["n"] >= min_count, ["gram"]]
-
-    light_ds = (
-        ds.map_batches(_light_partial, batch_format="pyarrow")
-        .groupby("__gbucket")
-        .map_groups(_sum_filter, batch_format="pandas")
-    )
+        if min_count > 2:
+            s = g.groupby("gram", as_index=False)["n"].sum()
+            return s.loc[s["n"] >= min_count, ["gram"]]
+        s = g.groupby("gram", as_index=False).size()
+        return s.loc[s["size"] >= min_count, ["gram"]]
 
     def _uniq_cat(t: pa.Table) -> pa.Table:
         return pa.table({"gram": pc.unique(t["gram"].combine_chunks())})
@@ -552,19 +572,43 @@ def dup_span_scrub(
         _uniq_cat,
         materialize=False,
     )
-    light_ref = coalesce_reduce(light_ds, _uniq_cat, materialize=False)
+    shard_refs = []
+    for shard in range(num_shards):
+        light_ds = (
+            ds.map_batches(
+                _light_partial,
+                batch_format="pyarrow",
+                fn_args=(shard,),
+            )
+            .groupby("__gbucket")
+            .map_groups(_sum_filter, batch_format="pandas")
+        )
+        # coalesce_reduce executes the shard's shuffle HERE, serially —
+        # one shard's spill on disk at a time
+        shard_refs.append(coalesce_reduce(light_ds, _uniq_cat, materialize=False))
 
     @ray.remote
-    def _merge_dups(heavy, light):
-        tbls = [t for t in (heavy, light) if t is not None and t.num_rows]
+    def _merge_dups(*tbls):
+        tbls = [t for t in tbls if t is not None and t.num_rows]
         if not tbls:
             return None
         merged = pa.concat_tables(tbls)
+        if hash_mode:
+            # SORTED dedup: the scrub probe is then a searchsorted
+            # membership test against the plasma-backed buffer — zero
+            # per-worker copy and no per-batch hash-set build, which is
+            # what makes a corpus-bound dup table (the gram-dense worst
+            # case) probe-able at all
+            vals = np.unique(
+                merged["gram"].combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            return pa.table({"gram": pa.array(vals, pa.uint64())})
         return pa.table({"gram": pc.unique(merged["gram"].combine_chunks())})
 
+    all_refs = [heavy_ref] + shard_refs
     dup_ref = (
-        _merge_dups.remote(heavy_ref, light_ref)
-        if heavy_ref is not None or light_ref is not None
+        _merge_dups.remote(*all_refs)
+        if any(r is not None for r in all_refs)
         else None
     )
     if dup_ref is not None:
@@ -581,19 +625,30 @@ def dup_span_scrub(
     def _value_set(tbl):
         if tbl is None or not tbl.num_rows:
             return None
+        if hash_mode:
+            # zero-copy view onto the plasma buffer, shared read-only
+            # across every worker process on the node; sorted by
+            # _merge_dups, so membership is one vectorized searchsorted
+            return tbl["gram"].combine_chunks().to_numpy(zero_copy_only=True)
         return tbl["gram"].combine_chunks()
 
     def _scrub(t: pa.Table) -> pa.Table:
         vs = cached_build(dup_ref, _value_set) if dup_ref is not None else None
         if hash_mode:
             _r, hs, flat, off, wpos = _word_ngram_hash_windows(t[text_col], k)
-            probe = pa.array(hs, pa.uint64())
+            probe = hs
         else:
             _r, probe, flat, off, wpos = _word_ngram_windows(t[text_col], k)
         total = int(off[-1]) if len(off) else 0
         keep = np.ones(total, dtype=bool)
         if vs is not None and len(probe):
-            hit = pc.is_in(probe, value_set=vs).to_numpy(zero_copy_only=False)
+            if hash_mode:
+                idx = np.minimum(np.searchsorted(vs, probe), len(vs) - 1)
+                hit = vs[idx] == probe
+            else:
+                hit = pc.is_in(probe, value_set=vs).to_numpy(
+                    zero_copy_only=False
+                )
             hidx = wpos[np.nonzero(hit)[0]]
             if len(hidx):
                 # windows never cross rows (validity rule), so hidx+k <= total

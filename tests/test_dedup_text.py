@@ -987,6 +987,27 @@ def test_dup_span_scrub_hash64_parity_and_guard(ray_session):
     assert got.equals(want)
     assert (want["n_removed"] > 0).any()  # the corpus actually has dups
 
+    # gram-space sharding (the bounded-disk count pass) is invariant:
+    # same dup set, same output, in both gram_key modes and min_count > 2
+    for kw in (
+        {"gram_key": "hash64", "num_shards": 3},
+        {"gram_key": "exact", "num_shards": 2},
+    ):
+        sharded = (
+            dup_span_scrub(ds, k=3, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert sharded.equals(want), kw
+    w3 = dup_span_scrub(ds, k=3, min_count=3).to_pandas().sort_values("doc_id")
+    s3 = (
+        dup_span_scrub(ds, k=3, min_count=3, num_shards=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert s3.reset_index(drop=True).equals(w3.reset_index(drop=True))
+
     with pytest.raises(ValueError, match="hash64"):
         dup_span_scrub(ds, k=3, max_broadcast_rows=1).take_all()
     with pytest.raises(ValueError, match="gram_key"):

@@ -251,13 +251,24 @@ def drive_decon_hash():
 
 
 def drive_spanscrub():
-    """Exact duplicated-span removal over the full store (hash64 tier:
-    the 50-word vocab makes virtually every 5-gram a corpus-wide dup, so
-    the dup-gram broadcast is vocab-bound while the scrub pass touches
-    ~3.3B gram windows — the op's worst case)."""
+    """Exact duplicated-span removal over the full store (hash64 tier +
+    4 gram-space shards). The 50-word vocab is the adversarial case: ~all
+    of the ~3.3B windows are corpus-wide dups yet block-locally singleton
+    (measured: 99.8% of a block's distinct grams are block-singletons),
+    so the count exchange is window-bound — the unsharded sort shuffle's
+    transient spill exceeded this box's disk twice (~70 GB). Shards bound
+    the spill; on real web text the sub-threshold exchange is far smaller
+    and num_shards=1 is right."""
     from ocr_suite_ray.stages.dedup_text import dup_span_scrub
 
-    return _consume(dup_span_scrub(store_docs(), gram_key="hash64"))
+    return _consume(
+        dup_span_scrub(
+            store_docs(),
+            gram_key="hash64",
+            num_shards=4,
+            max_broadcast_rows=500_000_000,
+        )
+    )
 
 
 def drive_postings():
