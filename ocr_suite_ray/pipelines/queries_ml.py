@@ -1063,41 +1063,31 @@ def q_url_normalize(sf_dir: str):
     return normalize_urls(ds.map_batches(_mk, batch_format="pyarrow"), "url")
 
 
-def q_host_stats(sf_dir: str):
-    """Per-host corpus rollup (doc counts + char mass per registered
-    host, the accounting pass behind per-domain caps/blocklists) over
-    deterministically-derived urls (same derive-then-operate pattern as
-    ``url_normalize``; ports and WWW./case noise planted so the host
-    normalization rules all fire)."""
+def _derive_dirty_urls(t, keep_cols):
+    """Deterministic url column from doc_id (64 hosts across two TLDs,
+    WWW./case noise + a port on doc_id & 2) — the shared derive side of
+    the host-family twins. The SQL mirror lives in SQL_HOST_STATS /
+    SQL_HOST_QUOTA."""
     import pyarrow as pa_mod
     import pyarrow.compute as pc_mod
 
-    from ocr_suite_ray.stages.text_ops import host_stats
-
-    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-
-    def _mk(t: pa_mod.Table) -> pa_mod.Table:
-        host_n = pc_mod.cast(
-            pc_mod.bit_wise_and(t["doc_id"], 63), pa_mod.string()
-        )
-        sid = pc_mod.cast(t["doc_id"], pa_mod.string())
-        odd = pc_mod.equal(pc_mod.bit_wise_and(t["doc_id"], 1), 1)
-        ported = pc_mod.equal(pc_mod.bit_wise_and(t["doc_id"], 2), 2)
-        url = pc_mod.binary_join_element_wise(
-            "https://WWW.Site", host_n,
-            pc_mod.if_else(odd, ".Example.ORG", ".Example.COM"),
-            pc_mod.if_else(ported, ":8080", ""),
-            "/p/", sid, "",
-        )
-        return pa_mod.table({"url": url, "n_chars": t["n_chars"]})
-
-    return host_stats(
-        ds.map_batches(_mk, batch_format="pyarrow"), "url", weight_col="n_chars"
+    host_n = pc_mod.cast(pc_mod.bit_wise_and(t["doc_id"], 63), pa_mod.string())
+    sid = pc_mod.cast(t["doc_id"], pa_mod.string())
+    odd = pc_mod.equal(pc_mod.bit_wise_and(t["doc_id"], 1), 1)
+    ported = pc_mod.equal(pc_mod.bit_wise_and(t["doc_id"], 2), 2)
+    url = pc_mod.binary_join_element_wise(
+        "https://WWW.Site", host_n,
+        pc_mod.if_else(odd, ".Example.ORG", ".Example.COM"),
+        pc_mod.if_else(ported, ":8080", ""),
+        "/p/", sid, "",
     )
+    cols = {"url": url}
+    for c in keep_cols:
+        cols[c] = t[c]
+    return pa_mod.table(cols)
 
 
-SQL_HOST_STATS = """
-WITH d AS (
+_SQL_DERIVED_URL = """
   SELECT doc_id, n_chars,
          'https://WWW.Site' || CAST(doc_id & 63 AS VARCHAR)
          || CASE WHEN (doc_id & 1) = 1 THEN '.Example.ORG'
@@ -1105,10 +1095,31 @@ WITH d AS (
          || CASE WHEN (doc_id & 2) = 2 THEN ':8080' ELSE '' END
          || '/p/' || CAST(doc_id AS VARCHAR) AS url
   FROM documents
-), h AS (
-  SELECT regexp_replace(regexp_replace(
+"""
+
+_SQL_HOST_EXPR = """regexp_replace(regexp_replace(
            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-           ':[0-9]+$', ''), '^www\\.', '') AS host,
+           ':[0-9]+$', ''), '^www\\.', '')"""
+
+
+def q_host_stats(sf_dir: str):
+    """Per-host corpus rollup (doc counts + char mass per registered
+    host, the accounting pass behind per-domain caps/blocklists) over
+    deterministically-derived urls (same derive-then-operate pattern as
+    ``url_normalize``; ports and WWW./case noise planted so the host
+    normalization rules all fire)."""
+    from ocr_suite_ray.stages.text_ops import host_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    urls = ds.map_batches(
+        lambda t: _derive_dirty_urls(t, ["n_chars"]), batch_format="pyarrow"
+    )
+    return host_stats(urls, "url", weight_col="n_chars")
+
+
+SQL_HOST_STATS = f"""
+WITH d AS ({_SQL_DERIVED_URL}), h AS (
+  SELECT {_SQL_HOST_EXPR} AS host,
          n_chars
   FROM d
 )
@@ -1116,6 +1127,47 @@ SELECT host, regexp_extract(host, '([^.]*)$', 1) AS tld,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_weight
 FROM h GROUP BY host
+"""
+
+
+def q_host_quota(sf_dir: str):
+    """Per-domain contribution cap (RefinedWeb-style: keep docs in doc_id
+    order while the host's running char mass stays <= 1000) — host
+    extraction composed with the running-budget quota stage."""
+    import pyarrow.compute as pc_mod
+
+    from ocr_suite_ray.stages.contamination import group_quota
+    from ocr_suite_ray.stages.text_ops import extract_hosts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    urls = ds.map_batches(
+        lambda t: _derive_dirty_urls(t, ["doc_id", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+    def _host(t):
+        import pyarrow as pa_mod
+
+        host, _tld = extract_hosts(t["url"])
+        return pa_mod.table(
+            {"doc_id": t["doc_id"], "host": host, "n_chars": t["n_chars"]}
+        )
+
+    hosted = urls.map_batches(_host, batch_format="pyarrow")
+    return group_quota(hosted, "host", "doc_id", "n_chars", 1000)
+
+
+SQL_HOST_QUOTA = f"""
+WITH d AS ({_SQL_DERIVED_URL}), h AS (
+  SELECT doc_id, n_chars, {_SQL_HOST_EXPR} AS host
+  FROM d
+), w AS (
+  SELECT doc_id, host, n_chars,
+         SUM(n_chars) OVER (PARTITION BY host ORDER BY doc_id) AS running
+  FROM h
+)
+SELECT doc_id, host, n_chars, CAST(running AS BIGINT) AS running
+FROM w WHERE running <= 1000
 """
 
 
@@ -2426,4 +2478,5 @@ ML_QUERIES = {
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "host_stats": (q_host_stats, SQL_HOST_STATS),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
+    "host_quota": (q_host_quota, SQL_HOST_QUOTA),
 }

@@ -271,6 +271,75 @@ def drive_spanscrub():
     )
 
 
+def drive_c4():
+    """C4 line-level cleaning over the full store with synthesized line
+    structure (8-token lines, terminal '.' by (doc_id + ord) % 3 — the
+    catalog query's recipe at 10x). Embarrassingly parallel: one pass,
+    no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.segments import c4_line_filter, segment_table
+
+    def _mk(t: pa.Table) -> pa.Table:
+        row_of, within, segs = segment_table(t["text"], 8)
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        dot = ((ids[row_of] + within) % 3) != 2
+        suffix = pa.array(np.where(dot, ".", ""), pa.string())
+        lines = pc.binary_join_element_wise(segs, suffix, "")
+        counts = np.bincount(row_of, minlength=len(ids))
+        offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), lines), "\n"
+        )
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        return pa.table({"doc_id": t["doc_id"], "text": joined})
+
+    ds = store_docs().map_batches(_mk, batch_format="pyarrow")
+    return _consume(c4_line_filter(ds))
+
+
+def drive_hosts():
+    """Per-host rollup over the store's REAL url column at 10M rows
+    (block combiner -> one host-bucket shuffle)."""
+    from ocr_suite_ray.stages.text_ops import host_stats
+
+    return _consume(host_stats(store_docs(), "url"))
+
+
+def drive_pagerank():
+    """Host-graph PageRank at 10x: 20M derived edges over 1024 hosts
+    (doc_id bit mixes), 3 integer-e9 iterations — one edge-distinct
+    bucket shuffle + three streamed contribution passes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.graph import pagerank_e9
+
+    def _mk(t: pa.Table) -> pa.Table:
+        i = pc.cast(t["doc_id"], pa.int64())
+
+        def _site(x):
+            return pc.binary_join_element_wise(
+                "site", pc.cast(x, pa.string()), ""
+            )
+
+        src = _site(pc.bit_wise_and(i, 1023))
+        d1 = _site(pc.bit_wise_and(pc.shift_right(i, 2), 1023))
+        d2 = _site(pc.bit_wise_and(pc.shift_right(i, 5), 1023))
+        return pa.concat_tables(
+            [
+                pa.table({"src_host": src, "dst_host": d1}),
+                pa.table({"src_host": src, "dst_host": d2}),
+            ]
+        )
+
+    edges = store_docs().map_batches(_mk, batch_format="pyarrow")
+    return _consume(pagerank_e9(edges, n_iter=3))
+
+
 def drive_postings():
     """Inverted index over the full store with an admit-everything df
     band: the synthetic ~50-word vocabulary makes every term's df
@@ -767,6 +836,9 @@ DRIVES = {
     "decon": drive_decon,
     "decon_hash": drive_decon_hash,
     "spanscrub": drive_spanscrub,
+    "c4": drive_c4,
+    "hosts": drive_hosts,
+    "pagerank": drive_pagerank,
     "postings": drive_postings,
     "shuffle": drive_shuffle,
     "bpe": drive_bpe,
@@ -800,7 +872,7 @@ _TEXT_OPS = {
     "minhash", "simhash", "substring", "ngram",
     "token_stats", "dedup_exact", "cross_corpus", "paragraph",
     "paragraph_hash", "cluster", "decon", "decon_hash", "spanscrub",
-    "postings",
+    "c4", "hosts", "pagerank", "postings",
     "shuffle", "bpe",
     "gopher", "dup_ngrams", "ccnet", "mixture", "heavy", "bigram",
     "logistic",
