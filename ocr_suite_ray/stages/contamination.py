@@ -327,25 +327,33 @@ def group_quota(
     stays ``<= budget`` — the per-domain token-budget cap of curation
     recipes (cap any one domain's contribution to the training mix).
 
-    One groupby shuffle on ``group_col``; the fold inside each group is a
-    vectorized argsort + cumsum (no per-row Python). Emits the kept rows
-    plus ``running`` (the inclusive running weight) for auditability.
+    ONE hash-bucket shuffle (``grouped_reduce_c``) + a per-bucket sort and
+    grouped C cumsum — MANY groups per task (the window-family execution
+    shape; per-GROUP dispatch costs ~7 ms each at corpus-scale key
+    cardinality, BASELINE.md round 4). Emits the kept rows plus
+    ``running`` (the inclusive running weight) for auditability.
     Equivalent SQL: ``SUM(w) OVER (PARTITION BY g ORDER BY o) <= budget``.
+    Skew bound: a hot key lands whole in one bucket task — per-key memory
+    is the key's row width x its row count (a 10^8-row host at ~40 B/row
+    is ~4 GB; cap upstream with a coarser pre-filter if a key can exceed
+    a worker's heap).
 
     Determinism: when ``order_col`` can tie, pass ``order_tiebreak`` (a
     unique column) — otherwise the rows kept AT the budget boundary follow
     Ray's run-to-run block order, like SQL's unordered-tie window frames.
     """
+    from ocr_suite_ray.stages.relational import grouped_reduce_c
+
     sort_keys = [order_col] + ([order_tiebreak] if order_tiebreak else [])
 
     def _cap(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_keys, kind="mergesort")
-        running = g[weight_col].to_numpy().cumsum()
+        g = g.sort_values([group_col] + sort_keys, kind="mergesort")
+        running = g.groupby(group_col, sort=False)[weight_col].cumsum()
         out = g[running <= budget].copy()
         out["running"] = running[running <= budget]
         return out
 
-    return ds.groupby(group_col).map_groups(_cap, batch_format="pandas")
+    return grouped_reduce_c(ds, [group_col], _cap)
 
 
 def weighted_sample(ds, id_col: str, weight_col: str, k: int, seed: str = "ws"):
