@@ -309,6 +309,29 @@ def drive_hosts():
     return _consume(host_stats(store_docs(), "url"))
 
 
+def drive_quota():
+    """Per-domain contribution cap at 10x: real store hosts (~1k), 10M
+    rows through the bucketed quota fold (many hosts per task)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.contamination import group_quota
+    from ocr_suite_ray.stages.text_ops import extract_hosts
+
+    def _prep(t: pa.Table) -> pa.Table:
+        host, _tld = extract_hosts(t["url"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "host": host,
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    ds = store_docs().map_batches(_prep, batch_format="pyarrow")
+    return _consume(group_quota(ds, "host", "doc_id", "n_chars", 2_000_000))
+
+
 def drive_pagerank():
     """Host-graph PageRank at 10x: 20M derived edges over 1024 hosts
     (doc_id bit mixes), 3 integer-e9 iterations — one edge-distinct
@@ -838,6 +861,7 @@ DRIVES = {
     "spanscrub": drive_spanscrub,
     "c4": drive_c4,
     "hosts": drive_hosts,
+    "quota": drive_quota,
     "pagerank": drive_pagerank,
     "postings": drive_postings,
     "shuffle": drive_shuffle,
@@ -872,7 +896,7 @@ _TEXT_OPS = {
     "minhash", "simhash", "substring", "ngram",
     "token_stats", "dedup_exact", "cross_corpus", "paragraph",
     "paragraph_hash", "cluster", "decon", "decon_hash", "spanscrub",
-    "c4", "hosts", "pagerank", "postings",
+    "c4", "hosts", "quota", "pagerank", "postings",
     "shuffle", "bpe",
     "gopher", "dup_ngrams", "ccnet", "mixture", "heavy", "bigram",
     "logistic",
