@@ -69,7 +69,7 @@ def extract_links(ds, html_col: str = "html", url_col: str = "url"):
             html = html.cast(pa.string())
         html = pc.fill_null(html, "")
         src_host, _tld = extract_hosts(t[url_col])
-        lst = pc.split_pattern(html, 'href="')
+        lst = pc.split_pattern(html, "href=")
         flat = pc.list_flatten(lst)
         off = lst.offsets.to_numpy().astype(np.int64)
         off = off - off[0]
@@ -79,9 +79,21 @@ def extract_links(ds, html_col: str = "html", url_col: str = "url"):
         tail = within > 0  # piece 0 precedes the first href
         flat = flat.filter(pa.array(tail))
         row_of = row_of[tail]
-        m = pc.extract_regex(flat, '^(?P<u>[^"]*)"')
-        ok = pc.is_valid(m).to_numpy(zero_copy_only=False)
-        href = pc.struct_field(m, "u").drop_null()
+        # double-quoted, single-quoted, or bare attribute values (all
+        # appear in real crawl HTML). Branch on the first char — RE2
+        # alternation + extract_regex fills NON-participating groups with
+        # "" rather than null, so a single alternation can't be coalesced
+        first = pc.utf8_slice_codeunits(flat, 0, 1)
+        dq = pc.equal(first, '"')
+        sq = pc.equal(first, "'")
+        m_d = pc.struct_field(pc.extract_regex(flat, '^"(?P<u>[^"]*)"'), "u")
+        m_s = pc.struct_field(pc.extract_regex(flat, "^'(?P<u>[^']*)'"), "u")
+        m_b = pc.struct_field(
+            pc.extract_regex(flat, "^(?P<u>[^\\s>\"']+)"), "u"
+        )
+        href = pc.if_else(dq, m_d, pc.if_else(sq, m_s, m_b))
+        ok = pc.is_valid(href).to_numpy(zero_copy_only=False)
+        href = href.drop_null()
         row_of = row_of[ok]
         is_abs = pc.match_substring_regex(href, _ABS_URL).to_numpy(
             zero_copy_only=False

@@ -37,6 +37,9 @@ def test_extract_links_resolution(ray_session):
         '<a href="https://Other.COM/x">abs</a> '
         '<a href="//CDN.example.net:443/y">prel</a> '
         '<a href="/rel/path">rel</a> '
+        "<a href='https://Quoted.io/z'>single</a> "
+        "<a href=https://bare.dev/w>bare</a> "
+        '<a href="" >empty-matches-but-resolves-relative</a> '
         '<a href="unterminated'
     )
     t = pa.table(
@@ -46,8 +49,12 @@ def test_extract_links_resolution(ray_session):
         }
     )
     got = extract_links(rd.from_arrow(t)).to_pandas()
-    assert list(got.src_host) == ["me.org"] * 3
-    assert list(got.dst_host) == ["other.com", "cdn.example.net", "me.org"]
+    assert list(got.src_host) == ["me.org"] * 6
+    assert list(got.dst_host) == [
+        "other.com", "cdn.example.net", "me.org",  # abs / prel / rel
+        "quoted.io", "bare.dev",                   # single-quoted / bare
+        "me.org",                                  # empty value -> relative
+    ]
 
 
 def test_extract_links_on_flagship_corpus(ray_session, tmp_path):
