@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "gopher_gate",
     "c4_line_filter",
     "host_stats",
+    "host_quota",
     "link_pagerank",
     "dup_ngrams",
     "ccnet_buckets",

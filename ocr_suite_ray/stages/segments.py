@@ -368,7 +368,14 @@ def dup_segment_ref(ds, text_col: str = "text", w: int = 3, key: str = "text"):
     def _final(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.filter(pc.greater_equal(t["n"], 2)).select(["seg"])
+        out = t.filter(pc.greater_equal(t["n"], 2)).select(["seg"])
+        if key == "hash64":
+            # emit SORTED so every probe-side worker can searchsorted a
+            # zero-copy plasma view instead of each sorting its own copy
+            # (the dup_span_scrub sorted-probe lesson)
+            vals = np.sort(out["seg"].combine_chunks().to_numpy(zero_copy_only=False))
+            return pa.table({"seg": pa.array(vals, pa.uint64())})
+        return out
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     return coalesce_reduce(partials, _combine, _final, materialize=False)
@@ -409,7 +416,9 @@ def paragraph_dedup(
         def _dup_sorted(tbl):
             if tbl is None or tbl.num_rows == 0:
                 return None
-            return np.sort(tbl["seg"].to_numpy(zero_copy_only=False))
+            # dup_segment_ref emits the hash64 table pre-sorted — this is
+            # a zero-copy view onto the shared plasma buffer
+            return tbl["seg"].combine_chunks().to_numpy(zero_copy_only=True)
 
         def _clean_h(t: pa.Table) -> pa.Table:
             row_of, seg_len, flat, hashes = seg_hash_table(t[text_col], w)
