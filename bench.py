@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "percentile_gate",
     "gopher_gate",
     "c4_line_filter",
+    "badword_filter",
     "host_stats",
     "host_quota",
     "link_pagerank",
@@ -86,6 +87,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "ann_ivf_knn",
     "cluster_dedup",
+    "cluster_dedup_best",
     "embedding_near_dup",
 ]
 

@@ -505,6 +505,55 @@ SELECT node AS doc_id FROM reach GROUP BY node HAVING MIN(lab) = node
 """
 
 
+def q_cluster_dedup_best(sf_dir: str):
+    """Near-dup cluster dedup with a quality policy: MinHash-LSH pairs →
+    connected components → keep the LONGEST member per cluster (ties →
+    min doc_id); isolates pass through. The representative-selection
+    variant of ``cluster_dedup`` (curation keeps the best capture, not
+    the lowest id)."""
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc_mod
+
+    from ocr_suite_ray.stages.components import dedup_keep_cluster_best
+    from ocr_suite_ray.stages.dedup_text import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+
+    def _score(t: pa_mod.Table) -> pa_mod.Table:
+        n = pc_mod.add(pc_mod.count_substring(t["text"], " "), 1)
+        return t.append_column("n_tokens", pc_mod.cast(n, pa_mod.int64()))
+
+    scored = ds.map_batches(_score, batch_format="pyarrow")
+    return dedup_keep_cluster_best(
+        scored, pairs, score_col="n_tokens"
+    ).select_columns(["doc_id"])
+
+
+# Winner per component = argmax (n_tokens DESC, doc_id ASC) over the
+# min-label closure of the SQL-exact MinHash pair chain; isolates are
+# 1-member components and survive.
+SQL_CLUSTER_DEDUP_BEST = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES}, edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(lab) AS cid FROM reach GROUP BY node
+), scored AS (
+  SELECT c.doc_id, c.cid, len(str_split(d.text, ' ')) AS n_tokens
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT doc_id FROM scored
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY cid ORDER BY n_tokens DESC, doc_id ASC) = 1
+"""
+
+
 def q_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate near-dup (scale path). Full SQL twin: the
     hyperplanes are a pure function of the seed, so the oracle inlines them
@@ -848,6 +897,26 @@ FROM agg
 WHERE n_kept >= 5
   AND NOT contains(lower(full_text), 'lorem ipsum')
   AND NOT contains(full_text, '{')
+"""
+
+
+BADWORDS = ("dup", "lorem")
+
+
+def q_badword_filter(sf_dir: str):
+    """C4 blocklist page gate (Raffel et al. 2020 §2.2): drop any document
+    whose lower-cased whitespace tokens hit the blocklist."""
+    from ocr_suite_ray.stages.text_ops import badword_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return badword_filter(ds, BADWORDS)
+
+
+SQL_BADWORD_FILTER = """
+SELECT doc_id, text
+FROM documents
+WHERE len(list_filter(str_split(lower(text), ' '),
+                      t -> t IN ('dup', 'lorem'))) = 0
 """
 
 
@@ -2465,12 +2534,14 @@ ML_QUERIES = {
     "ann_lsh_pairs": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf_knn": (q_ann_ivf, SQL_KNN_COSINE),
     "cluster_dedup": (q_cluster_dedup, SQL_CLUSTER_DEDUP),
+    "cluster_dedup_best": (q_cluster_dedup_best, SQL_CLUSTER_DEDUP_BEST),
     "curation_pipeline": (q_curation, SQL_CURATION),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "repetition_ratio": (q_repetition, SQL_REPETITION),
     "gopher_gate": (q_gopher_gate, SQL_GOPHER_GATE),
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
+    "badword_filter": (q_badword_filter, SQL_BADWORD_FILTER),
     "dup_ngrams": (q_dup_ngrams, SQL_DUP_NGRAMS),
     "vocab_top": (q_vocab_top, SQL_VOCAB_TOP),
     "seq_packing": (q_seq_packing, SQL_SEQ_PACKING),

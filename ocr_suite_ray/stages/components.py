@@ -157,6 +157,115 @@ def dedup_keep_cluster_min(
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def dedup_keep_cluster_best(
+    ds,
+    pairs_ds,
+    score_col: str,
+    id_col: str = "doc_id",
+    max_broadcast_edges: int = 2_000_000,
+):
+    """Cluster dedup with a quality policy: in every similarity cluster
+    keep the member with the HIGHEST ``score_col`` (ties → min id);
+    isolates pass through. The representative-selection step of a
+    near-dup pipeline when "keep the oldest/lowest id" is the wrong
+    policy and "keep the best document" is wanted (the common choice for
+    training-data curation: keep the longest / highest-quality capture).
+
+    Auto-routed like :func:`dedup_keep_cluster_min`:
+
+    - ≤ ``max_broadcast_edges``: broadcast label propagation; member
+      ``(id, score)`` rows are collected in ONE streaming projection
+      (dup-rate bound — members are exactly the paired nodes), the argmax
+      is a vectorized driver sort, and the drop set broadcasts back.
+    - above: :func:`connected_components_distributed` labels stay a
+      Dataset; member scores arrive via a hash-partitioned inner join of
+      the narrow ``(id, score)`` projection, per-cluster argmax runs as a
+      bucketed C kernel (many clusters per task — no per-group dispatch),
+      and the drop is an exact ``left_anti`` join. Nothing touches the
+      driver.
+
+    Both tiers produce identical output (equivalence-tested). Determinism:
+    ``(score DESC, id ASC)`` is a total order per cluster."""
+    import pyarrow.compute as pc
+
+    n_edges = pairs_ds.count()
+    if n_edges > max_broadcast_edges:
+        labels = connected_components_distributed(pairs_ds).map_batches(
+            lambda t: t.rename_columns([id_col, "component_id"]),
+            batch_format="pyarrow",
+        )
+        num_partitions = _cluster_partitions()
+        members = ds.select_columns([id_col, score_col]).join(
+            labels, join_type="inner", on=(id_col,),
+            num_partitions=num_partitions,
+        )
+        NB = 64
+
+        def _tag(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            b = pc.bit_wise_and(
+                t["component_id"], pa.scalar(NB - 1, pa.int64())
+            )
+            return t.append_column("__b", pc.cast(b, pa.int64()))
+
+        def _losers(g: pa.Table) -> pa.Table:
+            comps = g["component_id"].to_numpy(zero_copy_only=False)
+            ids = g[id_col].to_numpy(zero_copy_only=False)
+            scores = g[score_col].to_numpy(zero_copy_only=False)
+            # order: component, then score DESC, then id ASC — first row
+            # of every component run is its winner
+            order = np.lexsort((ids, -scores, comps))
+            sc = comps[order]
+            first = np.zeros(len(sc), dtype=bool)
+            _, idx = np.unique(sc, return_index=True)
+            first[idx] = True
+            return pa.table({id_col: pa.array(ids[order][~first], pa.int64())})
+
+        losers = (
+            members.map_batches(_tag, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(_losers, batch_format="pyarrow")
+        )
+        n_losers = losers.count()
+        if n_losers == 0:
+            return ds
+        # same Ray 2.49 empty-first-block workaround as the min-id route
+        losers = losers.repartition(min(num_partitions, n_losers))
+        return ds.join(
+            losers, join_type="left_anti", on=(id_col,),
+            num_partitions=num_partitions,
+        )
+
+    comp = connected_components(pairs_ds)
+    if comp.empty:
+        return ds
+    node_set = pa.array(sorted(int(x) for x in comp.node_id), pa.int64())
+
+    def _member_scores(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t[id_col], value_set=node_set)
+        return t.select([id_col, score_col]).filter(m)
+
+    rows = ds.map_batches(_member_scores, batch_format="pyarrow").take_all()
+    mdf = pd.DataFrame(rows).merge(
+        comp, left_on=id_col, right_on="node_id", how="inner"
+    )
+    mdf = mdf.sort_values(
+        ["component_id", score_col, id_col], ascending=[True, False, True]
+    )
+    losers_np = mdf.loc[
+        mdf.duplicated("component_id", keep="first"), id_col
+    ].to_numpy()
+    drop = pa.array(sorted(int(x) for x in losers_np), pa.int64())
+
+    def _keep(t: pa.Table) -> pa.Table:
+        if len(drop) == 0:
+            return t
+        return t.filter(pc.invert(pc.is_in(t[id_col], value_set=drop)))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
 def _cluster_partitions() -> int:
     import ray
 

@@ -263,6 +263,50 @@ def scrub_patterns(ds, text_col: str, patterns: dict, out_col: str | None = None
     return ds.map_batches(_scrub, batch_format="pyarrow")
 
 
+def badword_filter(
+    ds,
+    words,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """C4-style blocklist page filter (Raffel et al. 2020, §2.2: drop any
+    page containing a word from the public blocklist): a document is
+    dropped when ANY of its whitespace tokens, lower-cased, is in
+    ``words``. Emits the surviving ``(id_col, text_col)`` rows unchanged.
+
+    Vectorized and shuffle-free: one ``split_pattern`` + dictionary
+    encode per batch, the blocklist probe runs over block-DISTINCT tokens
+    only (``is_in`` on the dictionary, gathered back through the codes),
+    then a per-row segment-max decides the gate — no per-row Python.
+    Embarrassingly parallel at corpus scale, like :func:`quality_score`.
+
+    Reference analogue: the per-token drop filters of the recognize loop
+    (``provider.h:26``) lifted to a document-level policy gate.
+    """
+    import pyarrow.compute as pc
+
+    blocklist = pa.array(sorted({w.lower() for w in words}), pa.string())
+
+    def _gate(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if pa.types.is_large_string(texts.type):
+            texts = texts.cast(pa.string())
+        _n, flat, off = _tokens(texts)
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        bad_dict = pc.is_in(
+            pc.utf8_lower(enc.dictionary), value_set=blocklist
+        ).to_numpy(zero_copy_only=False)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hits = _segment_sum(bad_dict[codes].astype(np.int64), off)
+        return t.select([id_col, text_col]).filter(pa.array(hits == 0))
+
+    return ds.map_batches(_gate, batch_format="pyarrow")
+
+
 def assign_split(
     ds,
     id_col: str,

@@ -123,3 +123,59 @@ def test_distributed_cc_matches_broadcast(ray_session):
     )
     assert list(got["node_id"]) == list(want["node_id"])
     assert list(got["component_id"]) == list(want["component_id"])
+
+def test_dedup_keep_cluster_best_policy_and_ties(ray_session):
+    """Winner per cluster = max score, ties -> min id; isolates pass."""
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.components import dedup_keep_cluster_best
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(range(8)),
+                "score": [5, 1, 9, 9, 3, 2, 7, 4],
+            }
+        )
+    )
+    # clusters {1,2,3} (scores 1,9,9 -> tie 2 vs 3 -> keep 2) and
+    # {5,6} (2 vs 7 -> keep 6); isolates 0,4,7 kept
+    pairs = rd.from_pandas(pd.DataFrame({"id_a": [1, 2, 5], "id_b": [2, 3, 6]}))
+    out = dedup_keep_cluster_best(docs, pairs, score_col="score").take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 2, 4, 6, 7]
+
+
+def test_dedup_keep_cluster_best_distributed_route_equivalent(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.components import dedup_keep_cluster_best
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(range(10)),
+                "score": [5, 1, 9, 9, 3, 2, 7, 4, 0, 6],
+            }
+        )
+    )
+    pairs = pd.DataFrame({"id_a": [1, 2, 5, 8], "id_b": [2, 3, 6, 9]})
+    broadcast = dedup_keep_cluster_best(
+        docs, rd.from_pandas(pairs), score_col="score"
+    ).take_all()
+    routed = dedup_keep_cluster_best(
+        docs, rd.from_pandas(pairs), score_col="score", max_broadcast_edges=0
+    ).take_all()
+    key = lambda r: r["doc_id"]
+    assert sorted(routed, key=key) == sorted(broadcast, key=key)
+    assert sorted(r["doc_id"] for r in routed) == [0, 2, 4, 6, 7, 9]
+
+
+def test_dedup_keep_cluster_best_no_pairs_passthrough(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.components import dedup_keep_cluster_best
+
+    docs = rd.from_arrow(pa.table({"doc_id": [1, 2], "score": [3, 4]}))
+    pairs = rd.from_pandas(pd.DataFrame({"id_a": [], "id_b": []}).astype("int64"))
+    out = dedup_keep_cluster_best(docs, pairs, score_col="score").take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
