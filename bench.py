@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "range_join",
     "semantic_dedup",
     "paragraph_dedup",
+    "host_paragraph_dedup",
     "term_postings",
     "dsir_weights",
     "shuffle_shards",

@@ -2466,6 +2466,35 @@ GROUP BY s.doc_id
 """
 
 
+def q_host_paragraph_dedup(sf_dir: str):
+    """Within-SOURCE duplicated-segment removal (per-host boilerplate
+    scrub): a segment is removed only when it repeats inside the same
+    source — cross-source repeats survive, unlike ``paragraph_dedup``."""
+    from ocr_suite_ray.stages.segments import grouped_paragraph_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return grouped_paragraph_dedup(ds, group_col="source", w=3)
+
+
+SQL_HOST_PARAGRAPH_DEDUP = """
+WITH segs AS (
+  SELECT doc_id, source, i AS idx,
+         array_to_string(string_split(text,' ')[i*3+1 : least((i+1)*3, len(string_split(text,' ')))], ' ') AS seg
+  FROM documents,
+       unnest(range(0, CAST(ceil(len(string_split(text,' '))/3.0) AS BIGINT))) AS t(i)
+),
+dup AS (
+  SELECT source, seg FROM segs GROUP BY source, seg HAVING COUNT(*) >= 2
+)
+SELECT s.doc_id,
+       COALESCE(string_agg(s.seg, ' ' ORDER BY s.idx) FILTER (WHERE d.seg IS NULL), '') AS text_clean,
+       CAST(COUNT(*) FILTER (WHERE d.seg IS NOT NULL) AS BIGINT) AS n_removed
+FROM segs s
+LEFT JOIN dup d ON s.source = d.source AND s.seg = d.seg
+GROUP BY s.doc_id
+"""
+
+
 def q_term_postings(sf_dir: str):
     """Inverted-index postings (term, doc_id, tf) for terms with document
     frequency in [2, 380] — the df-admitted term set is tree-reduced and
@@ -2521,6 +2550,7 @@ ML_QUERIES = {
     "linear_fit_residuals": (q_linear_fit, SQL_LINEAR_FIT),
     "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "host_paragraph_dedup": (q_host_paragraph_dedup, SQL_HOST_PARAGRAPH_DEDUP),
     "term_postings": (q_term_postings, SQL_TERM_POSTINGS),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),

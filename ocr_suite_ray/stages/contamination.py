@@ -136,6 +136,32 @@ def _word_ngram_hashes(texts, n: int):
     return row_of, h
 
 
+def _gram_string_hashes(grams, n: int) -> "np.ndarray":
+    """64-bit hashes of space-joined ``n``-gram STRINGS with the exact
+    recipe of :func:`_word_ngram_hash_windows` (per-token-string
+    ``pd.util.hash_array`` + rolling multiply-add + SplitMix64 finalize) —
+    so a gram string hashes identically to the corpus window it came
+    from. join-then-split round-trips exactly (tokens never contain the
+    separator), hence every gram yields exactly ``n`` tokens."""
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.dedup_text import _mix64
+
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    if pa.types.is_large_string(grams.type):
+        grams = grams.cast(pa.string())
+    flat = pc.list_flatten(pc.split_pattern(grams, " "))
+    enc = flat.dictionary_encode()
+    dh = pd.util.hash_array(enc.dictionary.to_numpy(zero_copy_only=False))
+    th = dh[enc.indices.to_numpy(zero_copy_only=False)].reshape(-1, n)
+    M = np.uint64(0x9E3779B97F4A7C15)
+    h = th[:, 0].copy()
+    for j in range(1, n):
+        h = h * M + th[:, j]
+    return _mix64(h)
+
+
 def eval_gram_ref(eval_ds, text_col: str = "text", n: int = 5,
                   gram_key: str = "exact"):
     """Distinct word-``n``-gram table of the eval set as an ObjectRef
@@ -210,22 +236,52 @@ def ngram_hit_counts(texts, gram_ref, n: int = 5,
             vc = hdf.groupby("row").size()
             n_contam[vc.index.to_numpy()] = vc.to_numpy()
         return n_contam
-    rows, grams = _word_ngrams(texts, n)
+    # Exact mode, string-free probe: candidate windows come from the SAME
+    # 64-bit rolling gram hash as the hash64 tier (a pure function of the
+    # gram string, so a truly shared gram can never be missed), then ONLY
+    # the candidate set — contamination-bound, tiny vs the 10^9 windows of
+    # a corpus pass — materializes gram strings for exact verification.
+    # This removes the full-corpus gram-string materialization that
+    # dominated the 1004 s 10x drive (BASELINE.md) while keeping the
+    # output bit-identical to the naive string probe (false candidates
+    # are discarded by the string check; distinctness is counted on
+    # verified gram STRINGS, not hashes).
+    from ocr_suite_ray.stages._bcast import cached_build
+
+    rows, hs, flat, _off, pos = _word_ngram_hash_windows(texts, n)
     if not len(rows):
         return n_contam
-    hit = pc.is_in(grams, value_set=value_set).to_numpy(zero_copy_only=False)
-    hit_idx = np.nonzero(hit)[0]
+    eval_hashes = cached_build(
+        gram_ref,
+        lambda t: pa.array(
+            np.unique(_gram_string_hashes(t["gram"].combine_chunks(), n))
+        ),
+    )
+    cand = pc.is_in(pa.array(hs), value_set=eval_hashes).to_numpy(
+        zero_copy_only=False
+    )
+    hit_idx = np.nonzero(cand)[0]
     if len(hit_idx):
-        # distinct (row, gram) among HITS only — the hit set is
-        # contamination-bound, tiny vs the batch
-        hdf = pd.DataFrame(
-            {
-                "row": rows[hit_idx],
-                "gram": grams.take(pa.array(hit_idx, pa.int64())).to_pylist(),
-            }
-        ).drop_duplicates()
-        vc = hdf.groupby("row").size()
-        n_contam[vc.index.to_numpy()] = vc.to_numpy()
+        p = pos[hit_idx]
+        parts = [
+            flat.take(pa.array(p + j, pa.int64())) for j in range(n)
+        ]
+        gram_strs = pc.binary_join_element_wise(*parts, " ")
+        ver = pc.is_in(gram_strs, value_set=value_set).to_numpy(
+            zero_copy_only=False
+        )
+        vidx = np.nonzero(ver)[0]
+        if len(vidx):
+            hdf = pd.DataFrame(
+                {
+                    "row": rows[hit_idx][vidx],
+                    "gram": gram_strs.take(
+                        pa.array(vidx, pa.int64())
+                    ).to_pylist(),
+                }
+            ).drop_duplicates()
+            vc = hdf.groupby("row").size()
+            n_contam[vc.index.to_numpy()] = vc.to_numpy()
     return n_contam
 
 

@@ -472,6 +472,158 @@ def paragraph_dedup(
     return ds.map_batches(_clean, batch_format="pyarrow")
 
 
+def grouped_paragraph_dedup(
+    ds,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 3,
+    key: str = "text",
+):
+    """Within-GROUP duplicated-segment removal — the per-host boilerplate
+    scrub (RefinedWeb / CC-Net practice: nav bars, footers and cookie
+    banners repeat within a SITE): every occurrence of a segment that
+    appears >= 2 times within the same ``group_col`` value is removed;
+    the same segment appearing once each under two different groups is
+    KEPT — the policy refinement of :func:`paragraph_dedup` for corpora
+    where cross-site quotation is legitimate signal but within-site
+    repetition is template noise. Emits ``(id_col, text_clean,
+    n_removed)``.
+
+    Same two-pass shape and scale story as :func:`paragraph_dedup`:
+    pass 1 tree-reduces the (group, segment) dup table ((group,segment)-
+    distinct bound — strictly smaller than the global segment-distinct
+    table's risk case because counts never merge across groups) and
+    broadcasts it once; pass 2 streams. ``key="hash64"`` combines the
+    segment digest with a 64-bit group hash (same collision argument as
+    paragraph_dedup: ~n^2/2^65) and probes a pre-sorted digest view —
+    no composite string is ever materialized. ``key="text"`` keys on
+    ``group + US + segment`` (0x1f cannot appear in space-split tokens)
+    and is the SQL-oracle twin path.
+    """
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages._bcast import cached_build
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    if key not in ("text", "hash64"):
+        raise ValueError(f"key must be 'text' or 'hash64', got {key!r}")
+
+    SEP = "\x1f"
+    M = np.uint64(0x9E3779B97F4A7C15)
+
+    def _group_strings(t: pa.Table):
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if pa.types.is_large_string(g.type):
+            g = g.cast(pa.string())
+        return g
+
+    def _hash_rows(t: pa.Table):
+        import pandas as pd
+
+        from ocr_suite_ray.stages.dedup_text import _mix64
+
+        row_of, seg_len, flat, hashes = seg_hash_table(t[text_col], w)
+        gh = pd.util.hash_array(
+            _group_strings(t).to_numpy(zero_copy_only=False)
+        )
+        return row_of, seg_len, flat, _mix64(hashes * M + gh[row_of])
+
+    def _composite_rows(t: pa.Table):
+        row_of, within, segs = segment_table(t[text_col], w)
+        gtake = _group_strings(t).take(pa.array(row_of, pa.int64()))
+        comp = pc.binary_join_element_wise(gtake, segs, SEP)
+        return row_of, segs, comp
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if key == "hash64":
+            combined = _hash_rows(t)[3]
+            vals, counts = np.unique(combined, return_counts=True)
+            return pa.table(
+                {
+                    "seg": pa.array(vals, pa.uint64()),
+                    "n": pa.array(counts.astype(np.int64), pa.int64()),
+                }
+            )
+        comp = _composite_rows(t)[2]
+        vc = pc.value_counts(comp)
+        return pa.table(
+            {"seg": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    def _combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("seg").aggregate([("n", "sum")])
+        return g.rename_columns(["seg", "n"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.greater_equal(t["n"], 2)).select(["seg"])
+        if key == "hash64":
+            vals = np.sort(
+                out["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            return pa.table({"seg": pa.array(vals, pa.uint64())})
+        return out
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    ref = coalesce_reduce(partials, _combine, _final, materialize=False)
+
+    if key == "hash64":
+
+        def _dup_sorted(tbl):
+            if tbl is None or tbl.num_rows == 0:
+                return None
+            return tbl["seg"].combine_chunks().to_numpy(zero_copy_only=True)
+
+        def _clean_h(t: pa.Table) -> pa.Table:
+            row_of, seg_len, flat, combined = _hash_rows(t)
+            dup = cached_build(ref, _dup_sorted) if ref is not None else None
+            if dup is None or len(dup) == 0:
+                keep = np.ones(len(row_of), dtype=bool)
+            else:
+                pos = np.searchsorted(dup, combined)
+                pos[pos == len(dup)] = 0
+                keep = dup[pos] != combined
+            texts, n_removed = rejoin_kept_tokens(
+                flat, row_of, seg_len, keep, t.num_rows
+            )
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "text_clean": texts,
+                    "n_removed": pa.array(n_removed, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(_clean_h, batch_format="pyarrow")
+
+    def _dup_index(tbl):
+        import pandas as pd_mod
+
+        if tbl is None or tbl.num_rows == 0:
+            return None
+        return pd_mod.Index(tbl["seg"].to_pandas())
+
+    def _clean(t: pa.Table) -> pa.Table:
+        row_of, segs, comp = _composite_rows(t)
+        idx = cached_build(ref, _dup_index) if ref is not None else None
+        if idx is None:
+            keep = np.ones(len(row_of), dtype=bool)
+        else:
+            keep = idx.get_indexer(comp.to_pandas()) < 0
+        texts, n_removed = rejoin_segments(segs, row_of, keep, t.num_rows)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text_clean": texts,
+                "n_removed": pa.array(n_removed, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_clean, batch_format="pyarrow")
+
+
 def admitted_term_ref(ds, text_col: str, df_lo: int, df_hi: int):
     """ObjectRef[pa.Table | None] of terms whose document frequency lies in
     ``[df_lo, df_hi]`` — per-block distinct-(row, term) partials, remote

@@ -355,3 +355,78 @@ def test_c4_line_filter_dataset(ray_session):
     assert list(got.doc_id) == [7]
     assert got.text.iloc[0] == good
     assert list(got.columns) == ["doc_id", "text", "n_lines", "n_kept"]
+
+
+def test_grouped_paragraph_dedup_scopes_dups_to_group(ray_session):
+    """A segment repeated within one group is scrubbed there; the same
+    segment appearing once in another group survives."""
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.segments import grouped_paragraph_dedup
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "source": ["a", "a", "b"],
+                # w=2 segments: doc1 = ["x y"], doc2 = ["x y", "z w"],
+                # doc3 = ["x y"] — "x y" repeats within source a (2x)
+                # but is unique within source b
+                "text": ["x y", "x y z w", "x y"],
+            }
+        )
+    )
+    out = {
+        r["doc_id"]: r
+        for r in grouped_paragraph_dedup(
+            docs, group_col="source", w=2
+        ).take_all()
+    }
+    assert out[1]["text_clean"] == "" and out[1]["n_removed"] == 1
+    assert out[2]["text_clean"] == "z w" and out[2]["n_removed"] == 1
+    assert out[3]["text_clean"] == "x y" and out[3]["n_removed"] == 0
+
+
+def test_grouped_paragraph_dedup_hash64_matches_text_mode(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.segments import grouped_paragraph_dedup
+
+    rng = __import__("numpy").random.RandomState(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(1, 12)))
+        for _ in range(60)
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(range(60)),
+                "source": [f"s{i % 3}" for i in range(60)],
+                "text": texts,
+            }
+        )
+    )
+    key = lambda r: r["doc_id"]
+    exact = sorted(
+        grouped_paragraph_dedup(docs, "source", w=2, key="text").take_all(),
+        key=key,
+    )
+    hashed = sorted(
+        grouped_paragraph_dedup(docs, "source", w=2, key="hash64").take_all(),
+        key=key,
+    )
+    assert exact == hashed
+
+
+def test_grouped_paragraph_dedup_rejects_unknown_key(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.segments import grouped_paragraph_dedup
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": [1], "source": ["a"], "text": ["x"]})
+    )
+    with pytest.raises(ValueError, match="key"):
+        grouped_paragraph_dedup(docs, "source", key="bloom")

@@ -228,6 +228,57 @@ def drive_cluster():
     return _consume(dedup_keep_cluster_min(ds, pairs).select_columns(["doc_id"]))
 
 
+def drive_clusterbest():
+    """Best-member cluster dedup at the distributed tier: same ~20M
+    substring-anchor edge set as drive_cluster, winner = longest member
+    per cluster (labels-join + bucketed C argmax + exact left_anti)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.components import dedup_keep_cluster_best
+    from ocr_suite_ray.stages.dedup_text import substring_dup_pairs
+
+    ds = store_docs()
+
+    def _score(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t["text"], " "), 1)
+        return t.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+    scored = ds.map_batches(_score, batch_format="pyarrow")
+    pairs = substring_dup_pairs(
+        ds, gram_key="hash64", max_gram_docs=1000, modulus=64
+    )
+    return _consume(
+        dedup_keep_cluster_best(
+            scored, pairs, score_col="n_tokens"
+        ).select_columns(["doc_id"])
+    )
+
+
+def drive_badword():
+    """C4 blocklist page gate over the full store (shuffle-free; the
+    probe runs over block-DISTINCT tokens only)."""
+    from ocr_suite_ray.stages.text_ops import badword_filter
+
+    return _consume(badword_filter(store_docs(), ("dup", "lorem")))
+
+
+def drive_host_paragraph():
+    """Per-host boilerplate scrub over the store's REAL urls (hash64 tier:
+    digest-only (host, segment) dup table, sorted-probe scrub)."""
+    import pyarrow as pa
+
+    from ocr_suite_ray.stages.segments import grouped_paragraph_dedup
+    from ocr_suite_ray.stages.text_ops import extract_hosts
+
+    def _h(t: pa.Table) -> pa.Table:
+        host, _tld = extract_hosts(t["url"])
+        return t.append_column("host", host)
+
+    ds = store_docs().map_batches(_h, batch_format="pyarrow")
+    return _consume(grouped_paragraph_dedup(ds, "host", w=3, key="hash64"))
+
+
 def drive_decon(gram_key: str = "exact"):
     """Decontamination report with a ~1.2k-doc eval benchmark sampled from
     the corpus itself (worst case: every eval doc has at least one corpus
@@ -856,6 +907,9 @@ DRIVES = {
     "paragraph": drive_paragraph,
     "paragraph_hash": drive_paragraph_hash,
     "cluster": drive_cluster,
+    "clusterbest": drive_clusterbest,
+    "badword": drive_badword,
+    "hostpara": drive_host_paragraph,
     "decon": drive_decon,
     "decon_hash": drive_decon_hash,
     "spanscrub": drive_spanscrub,
@@ -895,7 +949,8 @@ DRIVES = {
 _TEXT_OPS = {
     "minhash", "simhash", "substring", "ngram",
     "token_stats", "dedup_exact", "cross_corpus", "paragraph",
-    "paragraph_hash", "cluster", "decon", "decon_hash", "spanscrub",
+    "paragraph_hash", "cluster", "clusterbest", "badword", "hostpara",
+    "decon", "decon_hash", "spanscrub",
     "c4", "hosts", "quota", "pagerank", "postings",
     "shuffle", "bpe",
     "gopher", "dup_ngrams", "ccnet", "mixture", "heavy", "bigram",
