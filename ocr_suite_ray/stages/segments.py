@@ -479,6 +479,7 @@ def grouped_paragraph_dedup(
     text_col: str = "text",
     w: int = 3,
     key: str = "text",
+    count_exchange: str = "tree",
 ):
     """Within-GROUP duplicated-segment removal — the per-host boilerplate
     scrub (RefinedWeb / CC-Net practice: nav bars, footers and cookie
@@ -490,11 +491,23 @@ def grouped_paragraph_dedup(
     repetition is template noise. Emits ``(id_col, text_clean,
     n_removed)``.
 
-    Same two-pass shape and scale story as :func:`paragraph_dedup`:
-    pass 1 tree-reduces the (group, segment) dup table ((group,segment)-
-    distinct bound — strictly smaller than the global segment-distinct
-    table's risk case because counts never merge across groups) and
-    broadcasts it once; pass 2 streams. ``key="hash64"`` combines the
+    Same two-pass shape as :func:`paragraph_dedup`: pass 1 tree-reduces
+    the (group, segment) dup table and broadcasts it once; pass 2
+    streams. Scale contract (explicit): the count's key universe is
+    (group, segment)-DISTINCT — up to ``n_groups`` × larger than the
+    global segment-distinct universe when the same segment recurs under
+    many groups, so it can exceed :func:`paragraph_dedup`'s on gram-dense
+    corpora (on real web text the within-host dup table is host-template
+    bound, far below the global one). ``count_exchange`` picks the count
+    topology: ``"tree"`` (default) is the coalesce tree — right when the
+    combined-key universe fits one worker; ``"shuffle"`` (hash64 only)
+    re-routes the count through ``dup_key_table_ref``'s bucket-shuffled
+    C fold — per-block pre-counted partials, ONE hash exchange, no
+    corpus-cardinality table ever concentrates in a single reduce task
+    (the 10x gram-dense drive overflowed Arrow's int32 offsets in the
+    tree's root merge; the shuffle tier completes — see BASELINE.md).
+    Both produce the identical dup set (equivalence-tested).
+    ``key="hash64"`` combines the
     segment digest with a 64-bit group hash (same collision argument as
     paragraph_dedup: ~n^2/2^65) and probes a pre-sorted digest view —
     no composite string is ever materialized. ``key="text"`` keys on
@@ -508,6 +521,15 @@ def grouped_paragraph_dedup(
 
     if key not in ("text", "hash64"):
         raise ValueError(f"key must be 'text' or 'hash64', got {key!r}")
+    if count_exchange not in ("tree", "shuffle"):
+        raise ValueError(
+            f"count_exchange must be 'tree' or 'shuffle', got {count_exchange!r}"
+        )
+    if count_exchange == "shuffle" and key != "hash64":
+        raise ValueError(
+            "count_exchange='shuffle' requires key='hash64' (the digest "
+            "exchange; exact strings are the sf-oracle tree path)"
+        )
 
     SEP = "\x1f"
     M = np.uint64(0x9E3779B97F4A7C15)
@@ -566,8 +588,26 @@ def grouped_paragraph_dedup(
             return pa.table({"seg": pa.array(vals, pa.uint64())})
         return out
 
-    partials = ds.map_batches(_partial, batch_format="pyarrow")
-    ref = coalesce_reduce(partials, _combine, _final, materialize=False)
+    if count_exchange == "shuffle":
+        from ocr_suite_ray.state.dupset import dup_key_table_ref
+
+        def _occ(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"seg": pa.array(_hash_rows(t)[3], pa.uint64())}
+            )
+
+        # per-occurrence digests; dup_key_table_ref's shuffle tier
+        # pre-counts per block before the exchange, so the wire carries
+        # block-distinct (seg, n) rows, and its root emits the SORTED
+        # dup table (the searchsorted-probe contract below)
+        ref = dup_key_table_ref(
+            ds.map_batches(_occ, batch_format="pyarrow"),
+            key_col="seg",
+            key_exchange="shuffle",
+        )
+    else:
+        partials = ds.map_batches(_partial, batch_format="pyarrow")
+        ref = coalesce_reduce(partials, _combine, _final, materialize=False)
 
     if key == "hash64":
 

@@ -123,3 +123,30 @@ def test_dup_ngram_stats_matches_sequential_oracle(ray_session):
             np.floor(dup5 * 10000.0 / n_chars + 0.5)
         ), (i, "dup5")
     assert got.dup5_gram_chars_e4[3] > 0  # fixture exercises the dup path
+
+
+def test_badword_filter_case_empty_and_large_string(ray_session):
+    """Blocklist gate: case-insensitive token match, empty docs and
+    large_string input pass through the same kernel."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.text_ops import badword_filter
+
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": pa.array(
+                [
+                    "clean text here",
+                    "has DUP inside",        # case-insensitive hit
+                    "",                       # empty -> kept
+                    "duplicate is a prefix not a token",  # no hit
+                    "ends with dup",
+                ],
+                pa.large_string(),
+            ),
+        }
+    )
+    out = badword_filter(rd.from_arrow(t), ("dup",)).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 3, 4]

@@ -430,3 +430,44 @@ def test_grouped_paragraph_dedup_rejects_unknown_key(ray_session):
     )
     with pytest.raises(ValueError, match="key"):
         grouped_paragraph_dedup(docs, "source", key="bloom")
+
+
+def test_grouped_paragraph_dedup_shuffle_exchange_equivalent(ray_session):
+    """count_exchange='shuffle' (bucket-fold count topology) produces the
+    tree tier's exact output; non-hash64 shuffle is rejected."""
+    import pytest
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.segments import grouped_paragraph_dedup
+
+    rng = __import__("numpy").random.RandomState(11)
+    vocab = ["aa", "bb", "cc"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(1, 10)))
+        for _ in range(50)
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(range(50)),
+                "source": [f"s{i % 4}" for i in range(50)],
+                "text": texts,
+            }
+        )
+    )
+    key = lambda r: r["doc_id"]
+    tree = sorted(
+        grouped_paragraph_dedup(docs, "source", w=2, key="hash64").take_all(),
+        key=key,
+    )
+    shuf = sorted(
+        grouped_paragraph_dedup(
+            docs, "source", w=2, key="hash64", count_exchange="shuffle"
+        ).take_all(),
+        key=key,
+    )
+    assert tree == shuf
+    with pytest.raises(ValueError, match="shuffle"):
+        grouped_paragraph_dedup(docs, "source", count_exchange="shuffle")
+    with pytest.raises(ValueError, match="count_exchange"):
+        grouped_paragraph_dedup(docs, "source", count_exchange="narrow")

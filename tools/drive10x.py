@@ -276,7 +276,11 @@ def drive_host_paragraph():
         return t.append_column("host", host)
 
     ds = store_docs().map_batches(_h, batch_format="pyarrow")
-    return _consume(grouped_paragraph_dedup(ds, "host", w=3, key="hash64"))
+    return _consume(
+        grouped_paragraph_dedup(
+            ds, "host", w=3, key="hash64", count_exchange="shuffle"
+        )
+    )
 
 
 def drive_decon(gram_key: str = "exact"):
