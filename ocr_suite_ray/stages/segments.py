@@ -480,6 +480,7 @@ def grouped_paragraph_dedup(
     w: int = 3,
     key: str = "text",
     count_exchange: str = "tree",
+    num_shards: int = 1,
 ):
     """Within-GROUP duplicated-segment removal — the per-host boilerplate
     scrub (RefinedWeb / CC-Net practice: nav bars, footers and cookie
@@ -589,22 +590,63 @@ def grouped_paragraph_dedup(
         return out
 
     if count_exchange == "shuffle":
+        import ray
+
         from ocr_suite_ray.state.dupset import dup_key_table_ref
 
-        def _occ(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {"seg": pa.array(_hash_rows(t)[3], pa.uint64())}
-            )
+        # dup_key_table_ref's shuffle tier pre-counts per block before
+        # the exchange, so the wire carries block-distinct (seg, n) rows
+        # and its root emits a SORTED dup table (the searchsorted-probe
+        # contract below). num_shards > 1 partitions the DIGEST space
+        # (high bits — independent of the fold's low-bit bucket key) and
+        # runs one count exchange per shard, SERIALLY: peak transient
+        # shuffle spill divides by num_shards at the cost of extra
+        # digest passes over the corpus — the dup_span_scrub disk trade
+        # (the unsharded exchange filled this box's disk at 10x on the
+        # gram-dense synthetic corpus; see BASELINE.md).
+        S = max(1, int(num_shards))
+        shard_refs = []
+        for s in range(S):
 
-        # per-occurrence digests; dup_key_table_ref's shuffle tier
-        # pre-counts per block before the exchange, so the wire carries
-        # block-distinct (seg, n) rows, and its root emits the SORTED
-        # dup table (the searchsorted-probe contract below)
-        ref = dup_key_table_ref(
-            ds.map_batches(_occ, batch_format="pyarrow"),
-            key_col="seg",
-            key_exchange="shuffle",
-        )
+            def _occ(t: pa.Table, _s: int = s) -> pa.Table:
+                h = _hash_rows(t)[3]
+                if S > 1:
+                    h = h[(h >> np.uint64(58)) % np.uint64(S) == np.uint64(_s)]
+                return pa.table({"seg": pa.array(h, pa.uint64())})
+
+            r = dup_key_table_ref(
+                ds.map_batches(_occ, batch_format="pyarrow"),
+                key_col="seg",
+                key_exchange="shuffle",
+            )
+            if r is not None:
+                ray.wait([r])  # force this shard's exchange before the next
+            shard_refs.append(r)
+
+        if S == 1:
+            ref = shard_refs[0]
+        else:
+
+            @ray.remote
+            def _merge_shards(*tbls):
+                live = [t for t in tbls if t is not None and t.num_rows]
+                if not live:
+                    return None
+                # shards partition the digest space: parts are disjoint,
+                # one concat + sort, no dedup needed
+                vals = np.concatenate(
+                    [
+                        t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+                        for t in live
+                    ]
+                )
+                return pa.table({"seg": pa.array(np.sort(vals), pa.uint64())})
+
+            ref = (
+                _merge_shards.remote(*shard_refs)
+                if any(r is not None for r in shard_refs)
+                else None
+            )
     else:
         partials = ds.map_batches(_partial, batch_format="pyarrow")
         ref = coalesce_reduce(partials, _combine, _final, materialize=False)

@@ -471,3 +471,40 @@ def test_grouped_paragraph_dedup_shuffle_exchange_equivalent(ray_session):
         grouped_paragraph_dedup(docs, "source", count_exchange="shuffle")
     with pytest.raises(ValueError, match="count_exchange"):
         grouped_paragraph_dedup(docs, "source", count_exchange="narrow")
+
+
+def test_grouped_paragraph_dedup_sharded_shuffle_equivalent(ray_session):
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.segments import grouped_paragraph_dedup
+
+    rng = __import__("numpy").random.RandomState(3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(1, 10)))
+        for _ in range(40)
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": list(range(40)),
+                "source": [f"s{i % 3}" for i in range(40)],
+                "text": texts,
+            }
+        )
+    )
+    key = lambda r: r["doc_id"]
+    one = sorted(
+        grouped_paragraph_dedup(
+            docs, "source", w=2, key="hash64", count_exchange="shuffle"
+        ).take_all(),
+        key=key,
+    )
+    sharded = sorted(
+        grouped_paragraph_dedup(
+            docs, "source", w=2, key="hash64", count_exchange="shuffle",
+            num_shards=4,
+        ).take_all(),
+        key=key,
+    )
+    assert one == sharded

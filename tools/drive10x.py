@@ -278,7 +278,8 @@ def drive_host_paragraph():
     ds = store_docs().map_batches(_h, batch_format="pyarrow")
     return _consume(
         grouped_paragraph_dedup(
-            ds, "host", w=3, key="hash64", count_exchange="shuffle"
+            ds, "host", w=3, key="hash64", count_exchange="shuffle",
+            num_shards=4,
         )
     )
 
