@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "logistic_fit",
     "tfidf_top",
     "curation_v2",
+    "curation_funnel",
     "bpe_stats",
     "chunk_docs",
     "range_join",

@@ -615,20 +615,30 @@ def q_curation(sf_dir: str):
     (see BASELINE.md round-3 curation section). The dup-rate-bound winner
     alternative used there applies here too if row-metadata volume ever
     dominates."""
+    from ocr_suite_ray.stages.relational import topk_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    gated = _curation_gated(ds)
+    kept = topk_per_group(gated, ["text_hash"], "doc_id", 1, descending=False)
+    return kept.select_columns(["doc_id", "n_tokens", "quality", "lang_pred"])
+
+
+def _curation_gated(ds):
+    """The curation chain's enrich + quality gate as one fused task stage
+    (shared by ``q_curation`` and ``q_curation_funnel``): quality/lang
+    features + md5 text hash, rows with quality >= 70. Both kernels
+    preserve input row order → positional align; warm per-worker state
+    lives in the stage functions' module caches — no actor-pool spawn.
+    The text column is DROPPED here, so everything downstream exchanges
+    ~100 B/row."""
     import hashlib
 
     import pyarrow as pa_mod
     import pyarrow.compute as pc_mod
 
-    from ocr_suite_ray.stages.relational import topk_per_group
     from ocr_suite_ray.stages.text_ops import lang_id_batch, quality_score
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
     def _enrich(t: pa_mod.Table) -> pa_mod.Table:
-        # both kernels preserve input row order → positional align; the
-        # enrich + gate fuse into one task stage (warm per-worker state via
-        # the stage functions' module caches — no actor-pool spawn)
         out = quality_score(t).append_column(
             "lang_pred", lang_id_batch(t)["lang_pred"]
         )
@@ -642,9 +652,70 @@ def q_curation(sf_dir: str):
         )
         return out.filter(pc_mod.greater_equal(out["quality"], 70))
 
-    gated = ds.map_batches(_enrich, batch_format="pyarrow")
+    return ds.map_batches(_enrich, batch_format="pyarrow")
+
+
+def q_curation_funnel(sf_dir: str):
+    """Per-stage keep counts of the curation chain (input → quality gate
+    → exact dedup) — the funnel report every production curation run
+    logs so a policy change's cost is visible per stage. Three streaming
+    counts over one shared lazy graph (each a metadata-light aggregate,
+    never a driver materialization); at flagship scale the same numbers
+    fall out of the pipeline's lineage ``stage_metrics`` without extra
+    passes (``state/lineage.py``)."""
+    import pyarrow as pa_mod
+
+    from ocr_suite_ray.stages.relational import topk_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_input = ds.count()
+    gated = _curation_gated(ds)
+    n_gate = gated.count()
     kept = topk_per_group(gated, ["text_hash"], "doc_id", 1, descending=False)
-    return kept.select_columns(["doc_id", "n_tokens", "quality", "lang_pred"])
+    n_dedup = kept.count()
+    return pa_mod.table(
+        {
+            "stage_ord": pa_mod.array([0, 1, 2], pa_mod.int64()),
+            "stage": pa_mod.array(
+                ["input", "quality_gate", "exact_dedup"], pa_mod.string()
+            ),
+            "rows_kept": pa_mod.array(
+                [n_input, n_gate, n_dedup], pa_mod.int64()
+            ),
+        }
+    )
+
+
+SQL_CURATION_FUNNEL = """
+WITH t AS (
+  SELECT doc_id, text,
+         GREATEST(len(string_split(text, ' ')), 1) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','and','of','to'))) AS n_stop,
+         list_sum(list_transform(string_split(text, ' '), x -> len(x))) AS sum_len
+  FROM documents
+), f AS (
+  SELECT doc_id, text, n_tokens,
+         CAST(ROUND(n_stop * 10000.0 / n_tokens, 0) AS BIGINT) AS stop_ratio_e4,
+         CAST(ROUND(sum_len * 100.0 / n_tokens, 0) AS BIGINT) AS mean_token_len_e2
+  FROM t
+), q AS (
+  SELECT doc_id, text,
+         (CASE WHEN n_tokens BETWEEN 50 AND 1000 THEN 40 ELSE 0 END
+          + CASE WHEN stop_ratio_e4 BETWEEN 200 AND 4000 THEN 30 ELSE 0 END
+          + CASE WHEN mean_token_len_e2 BETWEEN 300 AND 1200 THEN 30 ELSE 0 END)
+             AS quality
+  FROM f
+)
+SELECT 0 AS stage_ord, 'input' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS rows_kept FROM documents
+UNION ALL
+SELECT 1, 'quality_gate', CAST(COUNT(*) AS BIGINT)
+FROM q WHERE quality >= 70
+UNION ALL
+SELECT 2, 'exact_dedup', CAST(COUNT(DISTINCT text) AS BIGINT)
+FROM q WHERE quality >= 70
+"""
 
 
 SQL_CURATION = """
@@ -2566,6 +2637,7 @@ ML_QUERIES = {
     "cluster_dedup": (q_cluster_dedup, SQL_CLUSTER_DEDUP),
     "cluster_dedup_best": (q_cluster_dedup_best, SQL_CLUSTER_DEDUP_BEST),
     "curation_pipeline": (q_curation, SQL_CURATION),
+    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "repetition_ratio": (q_repetition, SQL_REPETITION),
