@@ -1311,6 +1311,61 @@ FROM w WHERE running <= 1000
 """
 
 
+def q_unicode_normalize(sf_dir: str):
+    """Unicode hygiene pass (CC-Net §3.1: lower + NFC + whitespace
+    collapse) over deterministically-derived dirty text — composed vs
+    decomposed accents, full-width letters, and whitespace runs planted
+    from doc_id so every rule fires on BOTH sides (the derive-then-operate
+    pattern of ``url_normalize``)."""
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc_mod
+
+    from ocr_suite_ray.stages.text_ops import unicode_clean
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # noise variants by doc_id & 3; chr() composition mirrors the SQL side
+    _PFX = [
+        "",
+        "Cafe\u0301  ",          # decomposed acute + double space
+        "\uFF21\uFF22\uFF23\t",   # full-width ABC + tab
+        "A\u030A\n",             # decomposed ring + newline
+    ]
+
+    def _dirty(t: pa_mod.Table) -> pa_mod.Table:
+        sel = pc_mod.cast(pc_mod.bit_wise_and(t["doc_id"], 3), pa_mod.int32())
+        pfx = pa_mod.DictionaryArray.from_arrays(
+            sel.combine_chunks(), pa_mod.array(_PFX)
+        ).dictionary_decode()
+        dirty = pc_mod.binary_join_element_wise(pfx, t["text"], "")
+        return pa_mod.table({"doc_id": t["doc_id"], "text": dirty})
+
+    out = unicode_clean(
+        ds.map_batches(_dirty, batch_format="pyarrow"), "text"
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "text_clean"]), batch_format="pyarrow"
+    )
+
+
+SQL_UNICODE_NORMALIZE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id & 3
+           WHEN 0 THEN ''
+           WHEN 1 THEN 'Cafe' || chr(769) || '  '
+           WHEN 2 THEN chr(65313) || chr(65314) || chr(65315) || chr(9)
+           ELSE 'A' || chr(778) || chr(10)
+         END || text AS text
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(nfc_normalize(lower(text)), '\\s+', ' ', 'g'))
+           AS text_clean
+FROM d
+"""
+
+
 def q_link_pagerank(sf_dir: str):
     """Host-graph PageRank (integer e9 fixed-point, 3 damped iterations)
     over a deterministically-derived link graph (two out-links per doc via
@@ -2652,4 +2707,5 @@ ML_QUERIES = {
     "host_stats": (q_host_stats, SQL_HOST_STATS),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
     "host_quota": (q_host_quota, SQL_HOST_QUOTA),
+    "unicode_normalize": (q_unicode_normalize, SQL_UNICODE_NORMALIZE),
 }

@@ -1626,3 +1626,53 @@ def chunk_documents(
         )
 
     return ds.map_batches(_chunk, batch_format="pyarrow")
+
+# Unicode hygiene: CC-Net (Wenzek et al. 2020 §3.1) lowercases and
+# NFC-normalizes every page before dedup so byte-level variants of the
+# same text (composed vs decomposed accents, stray whitespace runs) hash
+# identically. Rule order is part of the contract and mirrors the DuckDB
+# twin exactly: lower → NFC → collapse \s+ runs → trim.
+_ASCII_RE = r"^[\x00-\x7F]*$"
+
+
+def unicode_clean(ds, col: str, out_col: str | None = None):
+    """Vectorized Unicode normalization pass (lower + NFC + whitespace
+    collapse + trim) producing ``out_col`` (default ``<col>_clean``).
+
+    Kernel note: this pyarrow build's ``utf8_normalize`` never applies the
+    canonical COMPOSE step (all four forms return decomposed output —
+    verified at build time), so NFC falls back to one ``unicodedata``
+    C call per row — but ONLY on the non-ASCII rows: ASCII is closed
+    under NFC, and the ASCII mask is one vectorized RE2 pass. On real
+    web text the non-ASCII minority bounds the per-row work; lowercase
+    and whitespace collapse stay Arrow kernels end-to-end. Nulls pass
+    through as nulls (SQL semantics).
+    """
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    out_col = out_col or f"{col}_clean"
+
+    def _clean(t: pa.Table) -> pa.Table:
+        u = pc.utf8_lower(t[col])
+        ascii_ok = pc.match_substring_regex(u, _ASCII_RE)
+        if pc.any(pc.invert(pc.fill_null(ascii_ok, True))).as_py():
+            # preserve the input offset width (the extracted store is
+            # large_string; a silent string() downcast re-raises the
+            # int32-offset hazard the segment ops already fixed)
+            otype = u.type
+            vals = u.to_pylist()
+            mask = pc.fill_null(ascii_ok, True).to_pylist()
+            u = pa.array(
+                [
+                    v if (m or v is None) else unicodedata.normalize("NFC", v)
+                    for v, m in zip(vals, mask)
+                ],
+                type=otype,
+            )
+        u = pc.replace_substring_regex(u, r"\s+", " ")
+        u = pc.utf8_trim_whitespace(u)
+        return t.append_column(out_col, u)
+
+    return ds.map_batches(_clean, batch_format="pyarrow")
