@@ -1270,6 +1270,37 @@ FROM h GROUP BY host
 """
 
 
+def q_host_rollup(sf_dir: str):
+    """Multi-level corpus accounting (host / tld / corpus-total doc+char
+    mass) in one pass — SQL GROUPING SETS semantics over the derived-url
+    host family."""
+    from ocr_suite_ray.stages.text_ops import host_rollup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    urls = ds.map_batches(
+        lambda t: _derive_dirty_urls(t, ["n_chars"]), batch_format="pyarrow"
+    )
+    return host_rollup(urls, "url", weight_col="n_chars")
+
+
+SQL_HOST_ROLLUP = f"""
+WITH d AS ({_SQL_DERIVED_URL}), h AS (
+  SELECT {_SQL_HOST_EXPR} AS host, n_chars
+  FROM d
+), t AS (
+  SELECT host, regexp_extract(host, '([^.]*)$', 1) AS tld, n_chars FROM h
+)
+SELECT CASE WHEN GROUPING(host) = 0 THEN 'host'
+            WHEN GROUPING(tld) = 0 THEN 'tld'
+            ELSE 'all' END AS level,
+       COALESCE(host, tld, '') AS key,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_weight
+FROM t
+GROUP BY GROUPING SETS ((host), (tld), ())
+"""
+
+
 def q_host_quota(sf_dir: str):
     """Per-domain contribution cap (RefinedWeb-style: keep docs in doc_id
     order while the host's running char mass stays <= 1000) — host
@@ -2708,4 +2739,5 @@ ML_QUERIES = {
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
     "host_quota": (q_host_quota, SQL_HOST_QUOTA),
     "unicode_normalize": (q_unicode_normalize, SQL_UNICODE_NORMALIZE),
+    "host_rollup": (q_host_rollup, SQL_HOST_ROLLUP),
 }

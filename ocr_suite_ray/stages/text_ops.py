@@ -781,6 +781,67 @@ def host_stats(ds, url_col: str = "url", weight_col: str | None = None,
     )
 
 
+def host_rollup(ds, url_col: str = "url", weight_col: str | None = None,
+                num_buckets: int = 64):
+    """Multi-level corpus accounting in ONE pass: per-host, per-tld, and
+    corpus-total doc/weight mass — SQL ``GROUP BY GROUPING SETS ((host),
+    (tld), ())`` semantics. Output rows: ``(level in {'host','tld','all'},
+    key, n_docs[, sum_weight])``; the 'all' row's key is ``''``.
+
+    Scale shape: the naive form is three scans (or one scan + a re-group
+    of the host table); here each block collapses to the UNION of its
+    three level partials (one Arrow C hash-agg per level, bounded by
+    block-distinct hosts + tlds + 1), then ONE bucket shuffle + a
+    within-bucket C fold sums partials — the corpus never crosses the
+    exchange twice, and the 'all' level costs one row per block.
+    """
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.relational import grouped_reduce_c
+
+    def _partial(t: pa.Table) -> pa.Table:
+        host, tld = extract_hosts(t[url_col])
+        cols = {"host": host, "tld": tld}
+        aggs = [([], "count_all")]
+        if weight_col is not None:
+            w = t[weight_col]
+            if isinstance(w, pa.ChunkedArray):
+                w = w.combine_chunks()
+            cols["w"] = pc.cast(w, pa.int64())
+            aggs.append(("w", "sum"))
+        base = pa.table(cols)
+        pieces = []
+        for level, key_col in (("host", "host"), ("tld", "tld")):
+            g = base.group_by(key_col).aggregate(aggs)
+            names = {key_col: "key", "count_all": "n_docs", "w_sum": "sum_weight"}
+            g = g.rename_columns([names[c] for c in g.column_names])
+            pieces.append(g.append_column(
+                "level", pa.array([level] * g.num_rows, pa.string())
+            ))
+        # corpus-total partial: one row per block
+        tot = {"key": pa.array([""], pa.string()),
+               "n_docs": pa.array([base.num_rows], pa.int64()),
+               "level": pa.array(["all"], pa.string())}
+        if weight_col is not None:
+            s = pc.sum(base["w"]).as_py() or 0
+            tot["sum_weight"] = pa.array([s], pa.int64())
+        order = ["level", "key", "n_docs"] + (
+            ["sum_weight"] if weight_col is not None else []
+        )
+        pieces.append(pa.table(tot))
+        return pa.concat_tables([p.select(order) for p in pieces])
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["level", "key"], as_index=False).sum()
+
+    return grouped_reduce_c(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["level", "key"],
+        _fold,
+        num_buckets=num_buckets,
+    )
+
+
 def unigram_count_ref(ds, text_col: str = "text"):
     """Corpus-wide unigram count table as one worker-held ObjectRef:
     per-block ``value_counts`` partials, ONE vocabulary-keyed groupby,
