@@ -1687,6 +1687,40 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_collocations(sf_dir: str):
+    """Top-k bigram collocations by PMI (phrase mining / tokenizer merge
+    seeding) — distinct-bigram table tree-reduced off the driver, PMI +
+    top-k in one vocabulary-sized remote task."""
+    from ocr_suite_ray.stages.text_ops import collocations_pmi
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return collocations_pmi(ds, "text", min_count=3, k=40)
+
+
+SQL_COLLOCATIONS = """
+WITH base AS (SELECT str_split(text, ' ') AS l FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(l)),
+                i -> array_to_string(l[i:i+1], ' '))) AS gram
+  FROM base
+),
+c2 AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY gram),
+lm AS (SELECT split_part(gram, ' ', 1) AS w, SUM(n) AS cl FROM c2 GROUP BY 1),
+rm AS (SELECT split_part(gram, ' ', 2) AS w, SUM(n) AS cr FROM c2 GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nd FROM c2)
+SELECT c2.gram, c2.n,
+       CAST(FLOOR(ln(((tot.nd * c2.n) / lm.cl) / rm.cr) * 10000 + 0.5)
+            AS BIGINT) AS pmi_e4
+FROM c2
+JOIN lm ON split_part(c2.gram, ' ', 1) = lm.w
+JOIN rm ON split_part(c2.gram, ' ', 2) = rm.w
+CROSS JOIN tot
+WHERE c2.n >= 3
+ORDER BY pmi_e4 DESC, gram
+LIMIT 40
+"""
+
+
 def q_mixture_sample(sf_dir: str):
     """Token-budget mixture take: each language contributes ~budget tokens
     (5000 en / 2000 others) in deterministic md5 order — the data-mixing
@@ -2740,4 +2774,5 @@ ML_QUERIES = {
     "host_quota": (q_host_quota, SQL_HOST_QUOTA),
     "unicode_normalize": (q_unicode_normalize, SQL_UNICODE_NORMALIZE),
     "host_rollup": (q_host_rollup, SQL_HOST_ROLLUP),
+    "collocations": (q_collocations, SQL_COLLOCATIONS),
 }

@@ -1737,3 +1737,48 @@ def unicode_clean(ds, col: str, out_col: str | None = None):
         return t.append_column(out_col, u)
 
     return ds.map_batches(_clean, batch_format="pyarrow")
+
+def collocations_pmi(ds, text_col: str = "text", min_count: int = 5,
+                     k: int = 50):
+    """Top-k bigram collocations by pointwise mutual information — the
+    corpus-analysis pass behind phrase mining / tokenizer merge seeding
+    (Church & Hanks 1990). PMI over bigram-position marginals:
+    ``pmi = ln((N * c(ab)) / (cl(a) * cr(b)))`` with cl/cr = left/right
+    marginal counts and N = total bigram positions; grams below
+    ``min_count`` are noise-gated. Deterministic order: (pmi desc, gram
+    asc), fixed-point e4 so the DuckDB twin hash-matches.
+
+    Scale shape: the corpus collapses to the distinct-bigram count table
+    (vocabulary-bound, tree-reduced off the driver by
+    :func:`bigram_count_ref`); marginals + PMI + top-k run in ONE remote
+    task over that table — the corpus is read exactly once and nothing
+    corpus-sized crosses an exchange.
+    """
+    import ray
+    import ray.data as rd
+
+    ref = bigram_count_ref(ds, text_col)
+
+    @ray.remote
+    def _pmi(tbl: pa.Table) -> pa.Table:
+        grams = tbl["gram"].to_pandas()
+        n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        split = grams.str.split(" ", n=1)
+        prev = split.str[0].to_numpy()
+        cur = split.str[1].to_numpy()
+        nf = n.astype(np.float64)
+        cl = pd.Series(nf).groupby(prev).sum()
+        cr = pd.Series(nf).groupby(cur).sum()
+        total = nf.sum()
+        # ops order mirrors the SQL twin: ((N * n) / cl) / cr, all float64
+        ratio = ((total * nf) / cl.reindex(prev).to_numpy()) \
+            / cr.reindex(cur).to_numpy()
+        pmi_e4 = np.floor(np.log(ratio) * 10000 + 0.5).astype(np.int64)
+        out = pd.DataFrame({"gram": grams, "n": n, "pmi_e4": pmi_e4})
+        out = out[out["n"] >= min_count]
+        out = out.sort_values(["pmi_e4", "gram"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
+    return rd.from_arrow_refs([_pmi.remote(ref)])
