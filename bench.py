@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "badword_filter",
     "host_stats",
     "host_quota",
+    "host_rollup",
+    "unicode_normalize",
+    "collocations",
     "link_pagerank",
     "dup_ngrams",
     "ccnet_buckets",

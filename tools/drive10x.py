@@ -365,6 +365,54 @@ def drive_hosts():
     return _consume(host_stats(store_docs(), "url"))
 
 
+def drive_rollup():
+    """Multi-level host/tld/corpus rollup over the store's real urls at
+    10M rows — three level partials per block, ONE bucket shuffle."""
+    from ocr_suite_ray.stages.text_ops import host_rollup
+
+    return _consume(host_rollup(store_docs(), "url"))
+
+
+def drive_unicode():
+    """Unicode hygiene pass at 10M docs: vectorized lower + ws-collapse;
+    the per-row NFC fallback only fires on non-ASCII rows (the synthetic
+    corpus is ASCII, so this measures the fast path — the mask cost)."""
+    from ocr_suite_ray.stages.text_ops import unicode_clean
+
+    return _consume(unicode_clean(store_docs(), "text"))
+
+
+def drive_collocations():
+    """PMI collocations at 10M docs: corpus collapses to the tree-reduced
+    distinct-bigram table; PMI + top-k in one remote task."""
+    from ocr_suite_ray.stages.text_ops import collocations_pmi
+
+    return _consume(collocations_pmi(store_docs(), "text", min_count=50, k=100))
+
+
+def drive_tokshards():
+    """Packed-token shard sink at 10x: vocab build + id assignment + the
+    sort/scan/scatter write path. seq_len 2048, 8k seqs (64 MB) per shard."""
+    import shutil
+
+    from ocr_suite_ray.sources.token_shards import (
+        export_token_shards,
+        tokenize_ids,
+    )
+    from ocr_suite_ray.stages.text_ops import unigram_count_ref
+
+    docs = store_docs()
+    ref = unigram_count_ref(docs, "text")
+    out = os.path.join(BASE, "tokshards")
+    shutil.rmtree(out, ignore_errors=True)
+    s = export_token_shards(
+        tokenize_ids(docs, "text", ref), out,
+        order_col="doc_id", ids_col="token_ids",
+        seq_len=2048, seqs_per_shard=8192,
+    )
+    return s["n_seqs_total"]
+
+
 def drive_quota():
     """Per-domain contribution cap at 10x: real store hosts (~1k), 10M
     rows through the bucketed quota fold (many hosts per task)."""
@@ -920,6 +968,10 @@ DRIVES = {
     "spanscrub": drive_spanscrub,
     "c4": drive_c4,
     "hosts": drive_hosts,
+    "rollup": drive_rollup,
+    "unicode": drive_unicode,
+    "colloc": drive_collocations,
+    "tokshards": drive_tokshards,
     "quota": drive_quota,
     "pagerank": drive_pagerank,
     "postings": drive_postings,
@@ -957,6 +1009,7 @@ _TEXT_OPS = {
     "paragraph_hash", "cluster", "clusterbest", "badword", "hostpara",
     "decon", "decon_hash", "spanscrub",
     "c4", "hosts", "quota", "pagerank", "postings",
+    "rollup", "unicode", "colloc", "tokshards",
     "shuffle", "bpe",
     "gopher", "dup_ngrams", "ccnet", "mixture", "heavy", "bigram",
     "logistic",
