@@ -794,6 +794,43 @@ FROM events
 """
 
 
+def q_corpus_overlap(sf_dir: str):
+    """Corpus-level contamination diagnostic: distinct trigram overlap
+    between the candidate corpus (source != src1) and the held corpus
+    (src1) — one (n_a, n_b, n_common, jaccard_e4) row, both sides
+    collapsed to vocab-bound distinct-gram tables, zero shuffle."""
+    from ocr_suite_ray.stages.contamination import corpus_overlap
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return corpus_overlap(
+        docs.filter(expr="source != 'src1'"),
+        docs.filter(expr="source == 'src1'"),
+        n=3,
+    )
+
+
+SQL_CORPUS_OVERLAP = """
+WITH ta AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(l) - 1),
+                         i -> array_to_string(l[i:i+2], ' '))) AS gram
+  FROM (SELECT str_split(text, ' ') AS l FROM documents WHERE source <> 'src1')
+), tb AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(l) - 1),
+                         i -> array_to_string(l[i:i+2], ' '))) AS gram
+  FROM (SELECT str_split(text, ' ') AS l FROM documents WHERE source = 'src1')
+), s AS (
+  SELECT (SELECT COUNT(*) FROM ta) AS n_a,
+         (SELECT COUNT(*) FROM tb) AS n_b,
+         (SELECT COUNT(*) FROM ta JOIN tb USING (gram)) AS n_common
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(FLOOR(n_common * 10000.0 / (n_a + n_b - n_common) + 0.5)
+            AS BIGINT) AS jaccard_e4
+FROM s
+"""
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test assignment by md5(doc_id) —
     reproducible at any parallelism, disjoint by construction."""
@@ -1298,6 +1335,43 @@ SELECT CASE WHEN GROUPING(host) = 0 THEN 'host'
        CAST(SUM(n_chars) AS BIGINT) AS sum_weight
 FROM t
 GROUP BY GROUPING SETS ((host), (tld), ())
+"""
+
+
+def q_host_split(sf_dir: str):
+    """Leakage-safe train/val/test split: the split key is the HOST, not
+    the document, so every page of a site lands in the same split (near-
+    dup pages within a host can't straddle train/test) — ``assign_split``
+    composed over the derived-url host extraction."""
+    import pyarrow as pa_mod
+
+    from ocr_suite_ray.stages.text_ops import assign_split, extract_hosts
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    urls = ds.map_batches(
+        lambda t: _derive_dirty_urls(t, ["doc_id"]), batch_format="pyarrow"
+    )
+
+    def _host(t: pa_mod.Table) -> pa_mod.Table:
+        host, _tld = extract_hosts(t["url"])
+        return pa_mod.table({"doc_id": t["doc_id"], "host": host})
+
+    hosts = urls.map_batches(_host, batch_format="pyarrow")
+    return assign_split(hosts, "host", train_pct=80, val_pct=10)
+
+
+SQL_HOST_SPLIT = f"""
+WITH d AS ({_SQL_DERIVED_URL}), h AS (
+  SELECT doc_id, {_SQL_HOST_EXPR} AS host FROM d
+)
+SELECT doc_id, host,
+       CASE WHEN m < 80 THEN 'train' WHEN m < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, host,
+         CAST(('0x' || substr(md5(host), 1, 8)) AS UBIGINT) % 100 AS m
+  FROM h
+)
 """
 
 
@@ -2775,4 +2849,6 @@ ML_QUERIES = {
     "unicode_normalize": (q_unicode_normalize, SQL_UNICODE_NORMALIZE),
     "host_rollup": (q_host_rollup, SQL_HOST_ROLLUP),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
+    "corpus_overlap": (q_corpus_overlap, SQL_CORPUS_OVERLAP),
+    "host_split": (q_host_split, SQL_HOST_SPLIT),
 }

@@ -113,59 +113,79 @@ def export_token_shards(ds, out_dir: str, *, order_col: str = "doc_id",
                          out_col="tokens_before")
 
     def _chunks(t: pa.Table) -> pa.Table:
+        # split each doc's contiguous global token range at shard
+        # boundaries and emit one (shard_id, start, ids) RUN per piece.
+        # Runs tile the block's flat token bytes exactly in order, so the
+        # ids column is ONE zero-copy binary array over the flat buffer —
+        # the exchange carries 4 B/token plus O(docs) run headers (the
+        # first cut carried an 8 B/token position column and tripled the
+        # shuffle; it blew the disk on the 10x drive).
         cells = t["ids_bin"]
         if isinstance(cells, pa.ChunkedArray):
             cells = cells.combine_chunks()
         counts = (pc.binary_length(cells).to_numpy().astype(np.int64)) // 4
-        # one C-level concat over O(docs-per-block) cells, not per token
-        flat = np.frombuffer(b"".join(cells.to_pylist()), dtype="<u4")
         tb = t["tokens_before"].to_numpy()
-        total = int(counts.sum())
-        if total == 0:
-            return pa.table({
-                "shard_id": pa.array([], pa.int64()),
-                "pos": pa.array([], pa.binary()),
-                "ids": pa.array([], pa.binary()),
-            })
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos = np.repeat(tb, counts) + (
-            np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        empty = pa.table({
+            "shard_id": pa.array([], pa.int64()),
+            "start": pa.array([], pa.int64()),
+            "ids": pa.array([], pa.binary()),
+        })
+        if int(counts.sum()) == 0:
+            return empty
+        nz = counts > 0
+        tb_nz, c_nz = tb[nz], counts[nz]
+        first = tb_nz // shard_tokens
+        last = (tb_nz + c_nz - 1) // shard_tokens
+        n_pieces = (last - first + 1).astype(np.int64)
+        total_p = int(n_pieces.sum())
+        doc_idx = np.repeat(np.arange(len(c_nz), dtype=np.int64), n_pieces)
+        piece_base = np.concatenate([[0], np.cumsum(n_pieces)[:-1]])
+        rank = np.arange(total_p, dtype=np.int64) - np.repeat(
+            piece_base, n_pieces
         )
-        shard = pos // shard_tokens
-        out_s, out_p, out_i = [], [], []
-        for s in np.unique(shard):  # O(shards touched per block), not rows
-            m = shard == s
-            out_s.append(int(s))
-            out_p.append(pos[m].tobytes())
-            out_i.append(flat[m].tobytes())
+        shard = first[doc_idx] + rank
+        p_start = np.maximum(tb_nz[doc_idx], shard * shard_tokens)
+        p_end = np.minimum(
+            tb_nz[doc_idx] + c_nz[doc_idx], (shard + 1) * shard_tokens
+        )
+        run_len = p_end - p_start
+        off = np.zeros(total_p + 1, dtype=np.int32)
+        np.cumsum(run_len * 4, out=off[1:])
+        # flat token bytes of the block, in (doc, piece) order == run order
+        data = b"".join(cells.take(
+            pa.array(np.flatnonzero(nz), pa.int64())
+        ).to_pylist())
+        ids_bin = pa.Array.from_buffers(
+            pa.binary(), total_p,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data)],
+        )
         return pa.table({
-            "shard_id": pa.array(out_s, pa.int64()),
-            "pos": pa.array(out_p, pa.binary()),
-            "ids": pa.array(out_i, pa.binary()),
+            "shard_id": pa.array(shard, pa.int64()),
+            "start": pa.array(p_start, pa.int64()),
+            "ids": ids_bin,
         })
 
     chunks = scanned.map_batches(_chunks, batch_format="pyarrow")
 
     def _write(df: pd.DataFrame) -> pd.DataFrame:
         sid = int(df["shard_id"].iloc[0])
-        pos = np.concatenate(
-            [np.frombuffer(b, dtype=np.int64) for b in df["pos"]]
-        )
-        ids = np.concatenate(
-            [np.frombuffer(b, dtype=np.uint32) for b in df["ids"]]
-        )
         base = sid * shard_tokens
-        rel = pos - base
+        rel = df["start"].to_numpy() - base
         order = np.argsort(rel, kind="stable")
-        rel, ids = rel[order], ids[order]
-        # contiguity check: a dropped chunk would leave a hole
-        if len(rel) and not (
-            rel[0] == 0 and np.array_equal(rel, np.arange(len(rel)))
-        ):
+        cells = df["ids"].to_numpy()[order]
+        lens = np.fromiter((len(b) // 4 for b in cells), dtype=np.int64,
+                           count=len(cells))
+        # contiguity check: runs must tile [0, total) — a dropped chunk
+        # would leave a hole
+        expect = np.zeros(len(cells), dtype=np.int64)
+        np.cumsum(lens[:-1], out=expect[1:])
+        if len(cells) and not np.array_equal(rel[order], expect):
             raise ValueError(
-                f"shard {sid}: non-contiguous token positions "
-                f"(min={rel.min()}, max={rel.max()}, n={len(rel)})"
+                f"shard {sid}: non-contiguous token runs "
+                f"(first bad run at index "
+                f"{int(np.argmax(rel[order] != expect))})"
             )
+        ids = np.frombuffer(b"".join(cells), dtype=np.uint32)
         n_seqs = len(ids) // seq_len
         dropped = len(ids) - n_seqs * seq_len
         path = os.path.join(out_dir, f"shard_{sid:06d}.bin")
