@@ -50,3 +50,13 @@ def test_weightless_mode():
     out = host_rollup(ds, "url").to_pandas()
     assert "sum_weight" not in out.columns
     assert out[out["level"] == "all"]["n_docs"].tolist() == [len(URLS)]
+
+
+def test_host_split_is_group_consistent():
+    # leakage-safety: every doc of a host lands in the same split
+    from ocr_suite_ray.pipelines.queries_ml import q_host_split
+
+    out = q_host_split("/root/testdata/sf0.001").to_pandas()
+    per_host = out.groupby("host")["split"].nunique()
+    assert (per_host == 1).all()
+    assert set(out["split"].unique()) <= {"train", "val", "test"}
