@@ -107,6 +107,19 @@ def main(argv: list[str] | None = None) -> int:
         help="optional deterministic url-hash subsample, parts per 10000",
     )
 
+    pp = sub.add_parser(
+        "pretrain",
+        help="full pre-training prep: clean+gate+dedup+decon+split -> packed token shards",
+    )
+    pp.add_argument("--out", required=True, help="extract output dir (reads OUT/final)")
+    pp.add_argument("--prep", required=True, help="prep output dir")
+    pp.add_argument("--eval-dir", default=None,
+                    help="optional parquet dir of eval docs (text column) to decontaminate against")
+    pp.add_argument("--seq-len", type=int, default=2048)
+    pp.add_argument("--seqs-per-shard", type=int, default=8192)
+    pp.add_argument("--train-pct", type=int, default=90)
+    pp.add_argument("--val-pct", type=int, default=5)
+
     pi = sub.add_parser(
         "ingest", help="convert JSONL or WARC crawl dumps to the pages layout"
     )
@@ -209,6 +222,27 @@ def main(argv: list[str] | None = None) -> int:
                         a.curated,
                         quality_min=a.quality_min,
                         sample_e4=a.sample_e4,
+                    )
+                )
+            )
+        elif a.cmd == "pretrain":
+            from ocr_suite_ray.pipelines.pretrain import run_pretrain_prep
+
+            eval_ds = None
+            if a.eval_dir:
+                import ray.data as _rd
+
+                eval_ds = _rd.read_parquet(a.eval_dir, columns=["text"])
+            print(
+                json.dumps(
+                    run_pretrain_prep(
+                        os.path.join(a.out, "final"),
+                        a.prep,
+                        eval_ds=eval_ds,
+                        seq_len=a.seq_len,
+                        seqs_per_shard=a.seqs_per_shard,
+                        train_pct=a.train_pct,
+                        val_pct=a.val_pct,
                     )
                 )
             )

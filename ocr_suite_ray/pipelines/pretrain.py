@@ -1,0 +1,232 @@
+"""End-to-end pre-training data prep: the full funnel from an extracted
+web store to packed training shards, one CLI/API call.
+
+    final store (extract)                      ok rows only
+      -> unicode_clean                         (CC-Net hygiene: lower+NFC+ws)
+      -> Gopher quality gate                   (documented rule set)
+      -> exact dedup, keep-first-url           (over the CLEANED text, so
+                                                byte-variant pages collapse)
+      -> decontamination vs an eval corpus     (distinct 5-gram hits = drop)
+      -> leakage-safe host split               (train/val/test by md5(host))
+      -> staging parquet, split-partitioned    (atomic promote, resumable)
+      -> per-split packed uint32 token shards  (vocab from TRAIN only)
+
+Scale shape (the curate.py contract, extended):
+
+- Pass A builds the two broadcast artifacts over ONE fused narrow read:
+  the dup-winner table ((clean-text hash, min url), count>1 subset only —
+  dup-rate bound) and, when an eval corpus is given, its distinct-gram
+  set (eval-sized). Text never leaves the read tasks; both artifacts
+  merge in remote trees and are broadcast once.
+- Pass B streams the store exactly once more: clean, gate, dedup-filter,
+  decon-filter, split-assign, write split-partitioned staging parquet.
+  No shuffle — every decision is a pure function of the row + the
+  broadcast artifacts.
+- Pass C exports each split as packed token shards (the only sort/shuffle
+  of the pipeline, inside ``export_token_shards`` — packing order is the
+  semantics). The id vocabulary is built from the TRAIN split alone so
+  val/test token statistics never leak into the mapping.
+
+Funnel counts come from the written outputs (one count per stage output,
+never a driver-side row loop); the flagship-scale equivalent is lineage
+``stage_metrics``.
+
+Reference analogue: this is the batch generalization of the reference's
+end-to-end video -> recognized-text -> queryable-store loop
+(``src/ocr/ocr.cpp`` main pipeline) to the training-data product.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def run_pretrain_prep(
+    final_dir: str,
+    out_dir: str,
+    eval_ds=None,
+    *,
+    seq_len: int = 2048,
+    seqs_per_shard: int = 8192,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    decon_n: int = 5,
+    gram_key: str = "exact",
+) -> dict:
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ocr_suite_ray.functions.hashing import md5_mod
+    from ocr_suite_ray.sources.token_shards import (
+        export_token_shards,
+        tokenize_ids,
+    )
+    from ocr_suite_ray.stages._bcast import cached_get
+    from ocr_suite_ray.stages.contamination import (
+        eval_gram_ref,
+        ngram_hit_counts,
+    )
+    from ocr_suite_ray.stages.text_ops import (
+        extract_hosts,
+        gopher_signals,
+        unicode_clean,
+        unigram_count_ref,
+    )
+    from ocr_suite_ray.state.dupset import coalesce_reduce
+
+    staging = out_dir.rstrip("/") + ".staging"
+    old = out_dir.rstrip("/") + ".old"
+    if not os.path.exists(out_dir) and os.path.exists(old):
+        os.replace(old, out_dir)  # crash inside a previous promote window
+    shutil.rmtree(staging, ignore_errors=True)
+
+    def _ok_clean(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["status"], "ok"))
+        return pa.table({"url": t["url"], "text": t["text"]})
+
+    def _clean_ds():
+        ds = rd.read_parquet(final_dir, columns=["url", "text", "status"])
+        return unicode_clean(
+            ds.map_batches(_ok_clean, batch_format="pyarrow"),
+            "text", out_col="text_clean",
+        )
+
+    # ---- pass A: dup-winner artifact over the CLEANED text ----------
+    def _winner_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "h": [hashlib.md5(x.encode()).hexdigest()
+                  for x in t["text_clean"].to_pylist()],
+            "url": t["url"].to_pandas(),
+        })
+        g = df.groupby("h", as_index=False).agg(
+            n=("url", "size"), url=("url", "min")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _winner_merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("h", as_index=False).agg(
+            n=("n", "sum"), url=("url", "min")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _winner_root(t: pa.Table) -> pa.Table:
+        # dup-rate bound: only hashes seen more than once gate anything
+        return t.filter(pc.greater(t["n"], 1)).select(["h", "url"])
+
+    winners_ref = coalesce_reduce(
+        _clean_ds().map_batches(_winner_partial, batch_format="pyarrow"),
+        _winner_merge,
+        _winner_root,
+        materialize=False,
+    )
+    grams_ref = (
+        eval_gram_ref(eval_ds, "text", decon_n, gram_key=gram_key)
+        if eval_ds is not None else None
+    )
+
+    # ---- pass B: gate + dedup + decon + split, staging write --------
+    def _build_winner_index(tbl: pa.Table) -> pd.Series:
+        df = tbl.to_pandas()
+        return pd.Series(df["url"].to_numpy(), index=df["h"])
+
+    def _funnel(t: pa.Table) -> pa.Table:
+        clean = t["text_clean"]
+        sig = gopher_signals(pa.table({
+            "doc_id": pa.array(np.arange(t.num_rows), pa.int64()),
+            "text": clean,
+        }))
+        keep = sig["keep"].to_numpy(zero_copy_only=False).astype(bool)
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table({
+                "url": pa.array([], pa.string()),
+                "text": pa.array([], pa.large_string()),
+                "host": pa.array([], pa.string()),
+                "split": pa.array([], pa.string()),
+            })
+        # exact dedup keep-first-url under the broadcast winner table
+        from ocr_suite_ray.stages._bcast import cached_build
+
+        winners = cached_build(winners_ref, _build_winner_index) \
+            if winners_ref is not None else None
+        if winners is not None and len(winners):
+            hs = pd.Series(
+                [hashlib.md5(x.encode()).hexdigest()
+                 for x in t["text_clean"].to_pylist()]
+            )
+            w = winners.reindex(hs.to_numpy()).to_numpy()
+            urls = t["url"].to_pandas().to_numpy()
+            keep2 = pd.isna(w) | (w == urls)
+            t = t.filter(pa.array(keep2.astype(bool)))
+        if grams_ref is not None and t.num_rows:
+            hits = ngram_hit_counts(
+                t["text_clean"], grams_ref, decon_n, gram_key=gram_key
+            )
+            t = t.filter(pa.array(np.asarray(hits) == 0))
+        host, _tld = extract_hosts(t["url"])
+        m = md5_mod(host.to_pandas(), 100)
+        split = np.where(
+            m < train_pct, "train",
+            np.where(m < train_pct + val_pct, "val", "test"),
+        )
+        txt = t["text_clean"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        return pa.table({
+            "url": pc.cast(t["url"], pa.string()),
+            "text": txt.cast(pa.large_string()),
+            "host": host,
+            "split": pa.array(split, pa.string()),
+        })
+
+    clean_dir = os.path.join(staging, "clean")
+    _clean_ds().map_batches(_funnel, batch_format="pyarrow").write_parquet(
+        clean_dir, partition_cols=["split"]
+    )
+
+    # ---- pass C: per-split packed token shards (train-only vocab) ---
+    def _split_ds(name: str):
+        return rd.read_parquet(clean_dir).filter(expr=f"split == '{name}'")
+
+    vocab_ref = unigram_count_ref(_split_ds("train"), "text")
+    summaries = {}
+    for name in ("train", "val", "test"):
+        ds = tokenize_ids(_split_ds(name), "text", vocab_ref)
+        shard_dir = os.path.join(staging, f"shards_{name}")
+        s = export_token_shards(
+            ds, shard_dir, order_col="url", ids_col="token_ids",
+            seq_len=seq_len, seqs_per_shard=seqs_per_shard,
+        )
+        summaries[name] = {
+            "n_seqs": s["n_seqs_total"],
+            "dropped_tail_tokens": s["dropped_tail_tokens"],
+            "n_shards": len(s["shards"]),
+        }
+
+    # funnel counts from the written outputs
+    kept = rd.read_parquet(clean_dir)
+    n_kept = kept.count()
+    per_split = {
+        name: _split_ds(name).count() for name in ("train", "val", "test")
+    }
+
+    # atomic promote (the curate.py two-rename contract)
+    if os.path.exists(out_dir):
+        os.replace(out_dir, old)
+    os.replace(staging, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+    return {
+        "out_dir": out_dir,
+        "docs_kept": int(n_kept),
+        "docs_per_split": {k: int(v) for k, v in per_split.items()},
+        "shards": summaries,
+        "seq_len": seq_len,
+    }

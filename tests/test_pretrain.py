@@ -1,0 +1,77 @@
+"""End-to-end pre-training prep funnel: store -> clean -> gate -> dedup ->
+decon -> host split -> packed token shards."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+import ray.data as rd
+
+from ocr_suite_ray.pipelines.extract import ExtractConfig, run_pipeline
+from ocr_suite_ray.pipelines.pretrain import run_pretrain_prep
+from ocr_suite_ray.sources.synthetic import generate_corpus
+from ocr_suite_ray.sources.token_shards import read_token_shards
+
+BASE = "/tmp/ocs_pretrain_test"
+
+
+@pytest.fixture(scope="module")
+def store():
+    shutil.rmtree(BASE, ignore_errors=True)
+    generate_corpus(f"{BASE}/pages", 600, seed=11, n_files=3)
+    run_pipeline(f"{BASE}/pages", f"{BASE}/out",
+                 ExtractConfig(wave_size=3, pool_size=4))
+    return f"{BASE}/out/final"
+
+
+def _eval_ds():
+    # eval corpus sharing one doc's text guarantees a decon hit
+    t = pads.dataset(f"{BASE}/out/final").to_table(columns=["text"])
+    leak = t["text"][0].as_py()
+    return rd.from_arrow(pa.table({"text": [leak, "benchmark eval prompt"]}))
+
+
+def test_funnel_end_to_end(store):
+    out = f"{BASE}/prep"
+    s = run_pretrain_prep(store, out, eval_ds=_eval_ds(),
+                          seq_len=64, seqs_per_shard=8)
+    # funnel monotone: kept docs <= store rows; splits partition the kept set
+    n_store = pads.dataset(store).to_table(columns=["url"]).num_rows
+    assert 0 < s["docs_kept"] <= n_store
+    assert sum(s["docs_per_split"].values()) == s["docs_kept"]
+    # outputs exist and are readable
+    clean = pads.dataset(os.path.join(out, "clean"), partitioning="hive").to_table()
+    assert clean.num_rows == s["docs_kept"]
+    # leakage-safety: every host in exactly one split
+    import pandas as pd
+    df = clean.select(["host", "split"]).to_pandas()
+    assert (df.groupby("host")["split"].nunique() == 1).all()
+    # dedup: cleaned text unique
+    texts = pads.dataset(os.path.join(out, "clean"), partitioning="hive").to_table(
+        columns=["text"]
+    )["text"].to_pylist()
+    assert len(texts) == len(set(texts))
+    # decon: the leaked eval text is gone
+    leak = _eval_ds().take(1)[0]["text"]
+    # (leaked text was cleaned before comparison: lower+ws-collapse)
+    assert all(leak.lower() not in x for x in texts) or leak not in texts
+    # shards readable for the train split
+    if s["shards"]["train"]["n_seqs"]:
+        back = read_token_shards(os.path.join(out, "shards_train"))
+        row = back.take(1)[0]
+        assert len(row["ids"]) == 64
+
+
+def test_rerun_is_deterministic_and_atomic(store):
+    out = f"{BASE}/prep2"
+    s1 = run_pretrain_prep(store, out, seq_len=64, seqs_per_shard=8)
+    t1 = pads.dataset(os.path.join(out, "clean"), partitioning="hive").to_table().sort_by("url")
+    s2 = run_pretrain_prep(store, out, seq_len=64, seqs_per_shard=8)
+    t2 = pads.dataset(os.path.join(out, "clean"), partitioning="hive").to_table().sort_by("url")
+    assert s1["docs_kept"] == s2["docs_kept"]
+    assert t1.equals(t2)
+    assert not os.path.exists(out + ".staging")
+    assert not os.path.exists(out + ".old")
