@@ -413,6 +413,22 @@ def drive_tokshards():
     return s["n_seqs_total"]
 
 
+def drive_pretrain():
+    """The full pre-training prep funnel at 10x: clean + Gopher gate +
+    exact dedup + host split + three packed-shard exports (train vocab
+    only). The heaviest single composition in the repo — two streaming
+    passes over the store plus the packing sort per split."""
+    import shutil
+
+    from ocr_suite_ray.pipelines.pretrain import run_pretrain_prep
+
+    out = os.path.join(BASE, "pretrain")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + ".staging", ignore_errors=True)
+    s = run_pretrain_prep(FINAL_DIR, out, seq_len=2048, seqs_per_shard=8192)
+    return s["docs_kept"]
+
+
 def drive_quota():
     """Per-domain contribution cap at 10x: real store hosts (~1k), 10M
     rows through the bucketed quota fold (many hosts per task)."""
@@ -972,6 +988,7 @@ DRIVES = {
     "unicode": drive_unicode,
     "colloc": drive_collocations,
     "tokshards": drive_tokshards,
+    "pretrain": drive_pretrain,
     "quota": drive_quota,
     "pagerank": drive_pagerank,
     "postings": drive_postings,
@@ -1009,7 +1026,7 @@ _TEXT_OPS = {
     "paragraph_hash", "cluster", "clusterbest", "badword", "hostpara",
     "decon", "decon_hash", "spanscrub",
     "c4", "hosts", "quota", "pagerank", "postings",
-    "rollup", "unicode", "colloc", "tokshards",
+    "rollup", "unicode", "colloc", "tokshards", "pretrain",
     "shuffle", "bpe",
     "gopher", "dup_ngrams", "ccnet", "mixture", "heavy", "bigram",
     "logistic",
