@@ -119,6 +119,8 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--seqs-per-shard", type=int, default=8192)
     pp.add_argument("--train-pct", type=int, default=90)
     pp.add_argument("--val-pct", type=int, default=5)
+    pp.add_argument("--near-dup", choices=("minhash",), default=None,
+                    help="optional fuzzy dedup stage (MinHash+LSH clusters, keep min id)")
 
     pi = sub.add_parser(
         "ingest", help="convert JSONL or WARC crawl dumps to the pages layout"
@@ -243,6 +245,7 @@ def main(argv: list[str] | None = None) -> int:
                         seqs_per_shard=a.seqs_per_shard,
                         train_pct=a.train_pct,
                         val_pct=a.val_pct,
+                        near_dup=a.near_dup,
                     )
                 )
             )

@@ -58,6 +58,7 @@ def run_pretrain_prep(
     val_pct: int = 5,
     decon_n: int = 5,
     gram_key: str = "exact",
+    near_dup: str | None = None,
 ) -> dict:
     import pyarrow.compute as pc
     import ray
@@ -187,9 +188,51 @@ def run_pretrain_prep(
         })
 
     clean_dir = os.path.join(staging, "clean")
+    raw_dir = clean_dir + "0" if near_dup else clean_dir
     _clean_ds().map_batches(_funnel, batch_format="pyarrow").write_parquet(
-        clean_dir, partition_cols=["split"]
+        raw_dir, partition_cols=["split"]
     )
+
+    # ---- pass B2 (optional): fuzzy dedup over the gated survivors -----
+    if near_dup:
+        if near_dup != "minhash":
+            raise ValueError(f"unknown near_dup mode {near_dup!r}")
+        from ocr_suite_ray.stages.components import dedup_keep_cluster_min
+        from ocr_suite_ray.stages.dedup_text import minhash_lsh_pairs
+        from ocr_suite_ray.state.dupset import dup_key_table_ref
+
+        def _nid(t: pa.Table) -> pa.Table:
+            # 64-bit url ids for the pair/cluster machinery (it exchanges
+            # int ids, never urls). Verified collision-free below —
+            # a collision could merge two unrelated clusters and drop a
+            # unique doc, so this fails fast instead of guessing (the
+            # Bloom-rejection argument of dedup_keep_cluster_min).
+            h = np.array(
+                [int.from_bytes(
+                    hashlib.md5(u.encode()).digest()[:8], "little",
+                 ) for u in t["url"].to_pylist()],
+                dtype=np.uint64,
+            ).astype(np.int64)
+            return t.append_column("nid", pa.array(h, pa.int64()))
+
+        with_ids = rd.read_parquet(raw_dir).map_batches(
+            _nid, batch_format="pyarrow"
+        )
+        dup_ids = ray.get(dup_key_table_ref(with_ids, key_col="nid"))
+        if dup_ids is not None and dup_ids.num_rows:
+            raise ValueError(
+                "url-hash collision in near-dup id assignment; rerun with "
+                "rank-based ids (shuffle_shards order keys)"
+            )
+        pairs = minhash_lsh_pairs(
+            with_ids, id_col="nid", text_col="text",
+            threshold=0.5, gram_hash="fast", max_bucket=1000,
+        )
+        kept_nd = dedup_keep_cluster_min(with_ids, pairs, id_col="nid")
+        kept_nd.map_batches(
+            lambda t: t.drop_columns(["nid"]), batch_format="pyarrow"
+        ).write_parquet(clean_dir, partition_cols=["split"])
+        shutil.rmtree(raw_dir, ignore_errors=True)
 
     # ---- pass C: per-split packed token shards (train-only vocab) ---
     def _split_ds(name: str):

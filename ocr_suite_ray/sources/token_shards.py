@@ -209,9 +209,12 @@ def export_token_shards(ds, out_dir: str, *, order_col: str = "doc_id",
         chunks.groupby("shard_id")
         .map_groups(_write, batch_format="pandas")
         .to_pandas()
-        .sort_values("shard_id")
-        .reset_index(drop=True)
     )
+    if meta.empty or "shard_id" not in meta.columns:  # empty input corpus
+        meta = pd.DataFrame(
+            {"shard_id": [], "n_seqs": [], "dropped_tail": [], "path": []}
+        )
+    meta = meta.sort_values("shard_id").reset_index(drop=True)
     return {
         "shards": meta[meta["n_seqs"] > 0].to_dict("records"),
         "n_seqs_total": int(meta["n_seqs"].sum()),

@@ -69,6 +69,15 @@ def prefix_sum(ds, order_col: str, value_col: str, out_col: str = "cum_before"):
     summaries = sorted_ds.map_batches(
         _summary, batch_size=None, batch_format="pandas"
     ).to_pandas()
+    if summaries.empty or "min_key" not in summaries.columns:
+        # empty input: no blocks produced a summary — the scan is the
+        # identity with a constant-zero out_col (schema preserved)
+        def _zero(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(**{out_col: pd.Series(dtype="int64")})
+
+        return sorted_ds.map_batches(
+            _zero, batch_size=None, batch_format="pandas"
+        )
     summaries = summaries.sort_values("min_key").reset_index(drop=True)
     _assert_unique_min_keys(summaries, order_col)
     offsets = summaries["total"].cumsum().shift(fill_value=0)

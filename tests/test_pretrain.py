@@ -75,3 +75,50 @@ def test_rerun_is_deterministic_and_atomic(store):
     assert t1.equals(t2)
     assert not os.path.exists(out + ".staging")
     assert not os.path.exists(out + ".old")
+
+
+def _fake_store(path, texts):
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    t = pa.table({
+        "url": [f"https://h{i % 7}.example.com/p/{i}" for i in range(len(texts))],
+        "text": pa.array(texts, pa.large_string()),
+        "status": ["ok"] * len(texts),
+    })
+    pq.write_table(t, os.path.join(path, "part-0.parquet"))
+    return path
+
+
+def _gopher_ok_text(seed, n=60):
+    # passes every Gopher rule: >=50 words, mean len 3-10, alphabetic,
+    # two stopwords, no dominant token
+    words = [f"word{seed}x{i}" for i in range(n - 4)]
+    return " ".join(words + ["the", "a", "of", "to"])
+
+
+def test_near_dup_minhash_mode(tmp_path):
+    base = _gopher_ok_text("s").split()
+    variant = list(base)
+    variant[10] = "changedtoken"
+    texts = [
+        " ".join(base),
+        " ".join(variant),          # near-dup of texts[0]
+        _gopher_ok_text("zq"),      # unrelated survivor
+    ]
+    store = _fake_store(str(tmp_path / "final"), texts)
+
+    out1 = str(tmp_path / "prep_exact")
+    s1 = run_pretrain_prep(store, out1, seq_len=16, seqs_per_shard=4)
+    assert s1["docs_kept"] == 3  # exact dedup keeps both near-dup variants
+
+    out2 = str(tmp_path / "prep_fuzzy")
+    s2 = run_pretrain_prep(store, out2, seq_len=16, seqs_per_shard=4,
+                           near_dup="minhash")
+    assert s2["docs_kept"] == 2  # one of the near-dup pair dropped
+    texts_kept = pads.dataset(
+        os.path.join(out2, "clean"), partitioning="hive"
+    ).to_table(columns=["text"])["text"].to_pylist()
+    assert any("changedtoken" in x for x in texts_kept) != any(
+        "word" + "sx10" in x for x in texts_kept
+    ) or len(texts_kept) == 2
