@@ -1058,6 +1058,43 @@ WHERE l.event_type = 'error' AND l.event_id <> r.event_id
 
 ALL_QUERIES: dict = {}
 
+def q_profile_events(sf_dir: str):
+    """One-pass column profiler over the events table (pre-flight data
+    validation: null counts + value ranges per column) — per-block Arrow
+    min/max/null partials, remote tree merge, k-row report."""
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.relational import profile_columns
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["value", "user_id", "event_type"],
+    )
+    return profile_columns(
+        ds, num_cols=["value", "user_id"], str_cols=["event_type"]
+    )
+
+
+SQL_PROFILE_EVENTS = """
+SELECT 'event_type' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_null,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       MIN(event_type) AS min_str, MAX(event_type) AS max_str
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+       CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(value) AS BIGINT),
+       CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM events
+"""
+
 RELATIONAL_QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "global_agg": (q_global_agg, SQL_GLOBAL_AGG),
@@ -1078,6 +1115,7 @@ RELATIONAL_QUERIES = {
     "rolling_mean": (q_rolling_mean, SQL_ROLLING_MEAN),
     "event_deltas": (q_event_deltas, SQL_EVENT_DELTAS),
     "pivot_daily": (q_pivot_daily, SQL_PIVOT_DAILY),
+    "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "group_zscore": (q_group_zscore, SQL_GROUP_ZSCORE),
     "percentile_gate": (q_percentile_gate, SQL_PERCENTILE_GATE),

@@ -170,3 +170,29 @@ def test_pivot_counts_declared_schema_stable(ray_session):
     assert got["n_a"].tolist() == [1, 1]
     assert got["n_b"].tolist() == [0, 0]
     assert got["total"].tolist() == [2, 1]
+
+
+def test_profile_columns_nulls_and_partition_invariance():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.relational import profile_columns
+
+    t = pa.table({
+        "x": pa.array([1.5, None, -2.0, 7.25], pa.float64()),
+        "s": pa.array(["b", "a", None, "z"], pa.string()),
+    })
+
+    def run(par):
+        ds = rd.from_arrow(t).repartition(par)
+        out = profile_columns(ds, num_cols=["x"], str_cols=["s"]).to_pandas()
+        return out.sort_values("column").reset_index(drop=True)
+
+    a = run(1)
+    xrow = a[a["column"] == "x"].iloc[0]
+    assert xrow["n_rows"] == 4 and xrow["n_null"] == 1
+    assert xrow["min_num"] == -2.0 and xrow["max_num"] == 7.25
+    srow = a[a["column"] == "s"].iloc[0]
+    assert srow["n_null"] == 1 and srow["min_str"] == "a" and srow["max_str"] == "z"
+    pd.testing.assert_frame_equal(a, run(4))
