@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "host_rollup",
     "unicode_normalize",
     "collocations",
+    "corpus_overlap",
+    "host_split",
+    "profile_events",
     "link_pagerank",
     "dup_ngrams",
     "ccnet_buckets",

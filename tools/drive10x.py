@@ -429,6 +429,39 @@ def drive_pretrain():
     return s["docs_kept"]
 
 
+def drive_overlap():
+    """Corpus-overlap diagnostic at 10x: distinct-trigram tables for two
+    ~5M-doc halves (split by site parity) tree-deduped, one index_in
+    intersection. Exercises the gram-table dedup at ~1e9 occurrences."""
+    import pyarrow.compute as pc
+
+    from ocr_suite_ray.stages.contamination import corpus_overlap
+
+    docs = store_docs()
+
+    def _side(parity):
+        def _f(t):
+            site = pc.cast(pc.replace_substring_regex(
+                t["url"], r"^https://site(\d+)\..*$", r"\1"
+            ), __import__("pyarrow").int64())
+            keep = pc.equal(pc.bit_wise_and(site, 1), parity)
+            return t.filter(keep)
+        return docs.map_batches(_f, batch_format="pyarrow")
+
+    return _consume(corpus_overlap(_side(0), _side(1), n=3))
+
+
+def drive_ev_profile():
+    """Column profiler over the 100M-event table: per-block min/max/null
+    partials, tree merge, 3-row report."""
+    from ocr_suite_ray.stages.relational import profile_columns
+
+    return _consume(profile_columns(
+        ev_ds(["value", "user_id", "event_type"]),
+        num_cols=["value", "user_id"], str_cols=["event_type"],
+    ))
+
+
 def drive_quota():
     """Per-domain contribution cap at 10x: real store hosts (~1k), 10M
     rows through the bucketed quota fold (many hosts per task)."""
@@ -989,6 +1022,8 @@ DRIVES = {
     "colloc": drive_collocations,
     "tokshards": drive_tokshards,
     "pretrain": drive_pretrain,
+    "overlap": drive_overlap,
+    "ev_profile": drive_ev_profile,
     "quota": drive_quota,
     "pagerank": drive_pagerank,
     "postings": drive_postings,
@@ -1026,7 +1061,7 @@ _TEXT_OPS = {
     "paragraph_hash", "cluster", "clusterbest", "badword", "hostpara",
     "decon", "decon_hash", "spanscrub",
     "c4", "hosts", "quota", "pagerank", "postings",
-    "rollup", "unicode", "colloc", "tokshards", "pretrain",
+    "rollup", "unicode", "colloc", "tokshards", "pretrain", "overlap",
     "shuffle", "bpe",
     "gopher", "dup_ngrams", "ccnet", "mixture", "heavy", "bigram",
     "logistic",
