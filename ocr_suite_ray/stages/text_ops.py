@@ -1717,21 +1717,36 @@ def unicode_clean(ds, col: str, out_col: str | None = None):
 
     def _clean(t: pa.Table) -> pa.Table:
         u = pc.utf8_lower(t[col])
-        ascii_ok = pc.match_substring_regex(u, _ASCII_RE)
-        if pc.any(pc.invert(pc.fill_null(ascii_ok, True))).as_py():
-            # preserve the input offset width (the extracted store is
-            # large_string; a silent string() downcast re-raises the
-            # int32-offset hazard the segment ops already fixed)
-            otype = u.type
-            vals = u.to_pylist()
-            mask = pc.fill_null(ascii_ok, True).to_pylist()
-            u = pa.array(
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        ascii_ok = pc.fill_null(
+            pc.match_substring_regex(u, _ASCII_RE), True
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        idx_bad = np.flatnonzero(~ascii_ok)
+        if len(idx_bad):
+            # only the non-ASCII subset is ever materialized in Python —
+            # the ASCII majority stays zero-copy Arrow and the two halves
+            # reassemble with one permutation take. Output keeps the input
+            # offset width (the extracted store is large_string; a silent
+            # string() downcast re-raises the int32-offset hazard the
+            # segment ops already fixed).
+            sub = u.take(pa.array(idx_bad, pa.int64()))
+            norm = pa.array(
                 [
-                    v if (m or v is None) else unicodedata.normalize("NFC", v)
-                    for v, m in zip(vals, mask)
+                    None if v is None else unicodedata.normalize("NFC", v)
+                    for v in sub.to_pylist()
                 ],
-                type=otype,
+                type=u.type,
             )
+            idx_ok = np.flatnonzero(ascii_ok)
+            combined = pa.concat_arrays(
+                [u.take(pa.array(idx_ok, pa.int64())), norm]
+            )
+            inv = np.empty(len(u), dtype=np.int64)
+            inv[np.concatenate([idx_ok, idx_bad])] = np.arange(
+                len(u), dtype=np.int64
+            )
+            u = combined.take(pa.array(inv, pa.int64()))
         u = pc.replace_substring_regex(u, r"\s+", " ")
         u = pc.utf8_trim_whitespace(u)
         return t.append_column(out_col, u)
