@@ -96,6 +96,11 @@ def export_token_shards(ds, out_dir: str, *, order_col: str = "doc_id",
         counts = pc.list_value_length(lists).to_numpy().astype(np.int64)
         flat = lists.flatten().to_numpy(zero_copy_only=False)
         data = flat.astype("<u4").tobytes()
+        if len(data) > 2**31 - 1:  # binary offsets are int32; fail loudly
+            raise ValueError(
+                f"block flat token payload {len(data)} B exceeds int32 "
+                "offsets — lower the read batch/block size"
+            )
         off = np.zeros(len(counts) + 1, dtype=np.int32)
         np.cumsum(counts * 4, out=off[1:])
         ids_bin = pa.Array.from_buffers(
@@ -149,6 +154,11 @@ def export_token_shards(ds, out_dir: str, *, order_col: str = "doc_id",
             tb_nz[doc_idx] + c_nz[doc_idx], (shard + 1) * shard_tokens
         )
         run_len = p_end - p_start
+        if int(run_len.sum()) * 4 > 2**31 - 1:
+            raise ValueError(
+                "block run payload exceeds int32 binary offsets — lower "
+                "the read batch/block size"
+            )
         off = np.zeros(total_p + 1, dtype=np.int32)
         np.cumsum(run_len * 4, out=off[1:])
         # flat token bytes of the block, in (doc, piece) order == run order
