@@ -64,12 +64,17 @@ def run_pretrain_prep(
     import ray
     import ray.data as rd
 
+    if not (0 <= train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError(
+            f"train_pct + val_pct must be within [0, 100] "
+            f"(got {train_pct} + {val_pct})"
+        )
+
     from ocr_suite_ray.functions.hashing import md5_mod
     from ocr_suite_ray.sources.token_shards import (
         export_token_shards,
         tokenize_ids,
     )
-    from ocr_suite_ray.stages._bcast import cached_get
     from ocr_suite_ray.stages.contamination import (
         eval_gram_ref,
         ngram_hit_counts,
@@ -127,8 +132,14 @@ def run_pretrain_prep(
         _winner_root,
         materialize=False,
     )
+    # the eval corpus is normalized through the SAME hygiene pass as the
+    # corpus being gated — decontamination over cleaned text with raw eval
+    # grams would silently match nothing (case/whitespace variants)
     grams_ref = (
-        eval_gram_ref(eval_ds, "text", decon_n, gram_key=gram_key)
+        eval_gram_ref(
+            unicode_clean(eval_ds, "text"), "text_clean", decon_n,
+            gram_key=gram_key,
+        )
         if eval_ds is not None else None
     )
 
@@ -253,14 +264,27 @@ def run_pretrain_prep(
             "n_shards": len(s["shards"]),
         }
 
-    # funnel counts from the written outputs
-    kept = rd.read_parquet(clean_dir)
-    n_kept = kept.count()
-    per_split = {
-        name: _split_ds(name).count() for name in ("train", "val", "test")
-    }
+    # funnel counts from the written outputs — ONE scan: per-block
+    # (split, n) partials, summed on the driver (O(blocks x 3) rows)
+    def _split_counts(t: pa.Table) -> pa.Table:
+        g = t.select(["split"]).group_by("split").aggregate([([], "count_all")])
+        return g.rename_columns(["split", "n"])
 
-    # atomic promote (the curate.py two-rename contract)
+    partials = (
+        rd.read_parquet(clean_dir, columns=["split"])
+        .map_batches(_split_counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = partials.groupby("split")["n"].sum() if len(partials) else {}
+    per_split = {
+        name: int(agg.get(name, 0)) for name in ("train", "val", "test")
+    }
+    n_kept = sum(per_split.values())
+
+    # atomic promote (the curate.py two-rename contract). A stale .old
+    # from a crash inside a PREVIOUS run's promote window must be cleared
+    # first or the rename below fails ENOTEMPTY after all the compute.
+    shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(out_dir):
         os.replace(out_dir, old)
     os.replace(staging, out_dir)

@@ -48,7 +48,10 @@ def tokenize_ids(ds, text_col: str, vocab_ref, out_col: str = "token_ids"):
     from ocr_suite_ray.stages._bcast import cached_build
     from ocr_suite_ray.stages.text_ops import _tokens
 
-    def _ids_series(tbl: pa.Table) -> pd.Series:
+    def _ids_series(tbl) -> pd.Series:
+        if tbl is None:  # empty vocab corpus: every token is OOV -> 0
+            return pd.Series(np.array([], dtype=np.int32),
+                             index=pd.Index([], dtype=object))
         df = tbl.select(["tok", "n"]).to_pandas()
         df = df.sort_values(["n", "tok"], ascending=[False, True],
                             kind="mergesort").reset_index(drop=True)
@@ -83,6 +86,14 @@ def export_token_shards(ds, out_dir: str, *, order_col: str = "doc_id",
     from ocr_suite_ray.stages.scan import prefix_sum
 
     os.makedirs(out_dir, exist_ok=True)
+    # clear previous shards: a smaller re-export must not leave stale
+    # higher-numbered shards for read_token_shards to silently include
+    for f in os.listdir(out_dir):
+        if f.startswith("shard_") and (
+            f.endswith(".bin") or f.endswith(".idx.json")
+            or f.endswith(".tmp")
+        ):
+            os.unlink(os.path.join(out_dir, f))
     shard_tokens = seq_len * seqs_per_shard
 
     def _with_counts(t: pa.Table) -> pa.Table:

@@ -699,10 +699,26 @@ def profile_columns(ds, num_cols: list | None = None,
             "max_str": pa.array([r["max_str"] for r in rows], pa.string()),
         })
 
+    import ray
+
+    _EMPTY = pa.table({
+        "column": pa.array([], pa.string()),
+        "n_rows": pa.array([], pa.int64()),
+        "n_null": pa.array([], pa.int64()),
+        "min_num": pa.array([], pa.float64()),
+        "max_num": pa.array([], pa.float64()),
+        "min_str": pa.array([], pa.string()),
+        "max_str": pa.array([], pa.string()),
+    })
+
     ref = coalesce_reduce(
         ds.map_batches(_partial, batch_format="pyarrow"),
         _merge, None, materialize=False,
     )
-    if ref is None:
-        return rd.from_arrow(_partial(pa.table({})))  # unreachable shape
-    return rd.from_arrow_refs([ref])
+
+    @ray.remote
+    def _norm(t):
+        # all-empty input: the tree root resolves to None
+        return t if t is not None else _EMPTY
+
+    return rd.from_arrow_refs([_norm.remote(ref)])

@@ -1774,8 +1774,16 @@ def collocations_pmi(ds, text_col: str = "text", min_count: int = 5,
 
     ref = bigram_count_ref(ds, text_col)
 
+    _EMPTY = pa.table({
+        "gram": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+        "pmi_e4": pa.array([], pa.int64()),
+    })
+
     @ray.remote
-    def _pmi(tbl: pa.Table) -> pa.Table:
+    def _pmi(tbl) -> pa.Table:
+        if tbl is None or tbl.num_rows == 0:  # no bigrams anywhere
+            return _EMPTY
         grams = tbl["gram"].to_pandas()
         n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         split = grams.str.split(" ", n=1)

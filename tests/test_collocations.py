@@ -42,3 +42,10 @@ def test_partition_invariance_and_k_cap():
     a, b = _run(1, k=5), _run(4, k=5)
     assert len(a) == 5
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_no_bigrams_returns_empty():
+    ds = rd.from_arrow(pa.table({"text": ["hello", "world"]}))
+    res = collocations_pmi(ds, "text", min_count=1, k=5)
+    assert sorted(res.schema().names) == ["gram", "n", "pmi_e4"]
+    assert len(res.to_pandas()) == 0

@@ -196,3 +196,17 @@ def test_profile_columns_nulls_and_partition_invariance():
     srow = a[a["column"] == "s"].iloc[0]
     assert srow["n_null"] == 1 and srow["min_str"] == "a" and srow["max_str"] == "z"
     pd.testing.assert_frame_equal(a, run(4))
+
+
+def test_profile_columns_empty_input():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.relational import profile_columns
+
+    t = pa.table({"x": pa.array([], pa.float64()),
+                  "s": pa.array([], pa.string())})
+    out = profile_columns(
+        rd.from_arrow(t), num_cols=["x"], str_cols=["s"]
+    ).to_pandas()
+    assert len(out) <= 2  # per-column zero rows or empty report, no crash

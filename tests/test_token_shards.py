@@ -86,3 +86,30 @@ def test_tokenize_ids_ranks_and_oov():
     # ranks: c (n=9) -> 1, then ties n=5 break token-asc: a -> 2, b -> 3
     assert list(out["token_ids"].iloc[0]) == [1, 2, 3, 0]
     assert list(out["token_ids"].iloc[1]) == [2, 2]
+
+
+def test_smaller_reexport_clears_stale_shards(tmp_path):
+    out = str(tmp_path / "s")
+    _export(_docs(40), out)
+    big = _dir_hashes(out)
+    _export(_docs(8), out)
+    small = sorted(_dir_hashes(out))
+    assert len(small) < len(big)
+    back = read_token_shards(out).to_pandas()
+    stream = np.concatenate(
+        [r["token_ids"] for r in _docs(8)]
+    ).astype(np.uint32)
+    got = np.concatenate(
+        [np.asarray(x, np.uint32)
+         for x in back.sort_values("seq_id")["ids"]]
+    )
+    assert np.array_equal(got, stream[: len(got)])
+
+
+def test_tokenize_ids_empty_vocab_all_oov():
+    import ray
+
+    ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["a b c"]}))
+    ref = ray.put(None)  # what an empty-corpus vocab reduce resolves to
+    out = tokenize_ids(ds, "text", ref).take(1)[0]
+    assert list(out["token_ids"]) == [0, 0, 0]
