@@ -86,24 +86,45 @@ def iter_warc_records(stream: io.BufferedIOBase):
 
 def _split_http_body(payload: bytes) -> bytes:
     """Strip the HTTP response envelope from a ``response`` record
-    payload. A payload without a status line is returned as-is."""
+    payload. A payload without a status line is returned as-is.
+
+    The header terminator is the FIRST blank line in either convention —
+    an LF-terminated header block with CRLF pairs later in the body must
+    not truncate the entity; a status line with no blank line at all
+    means an empty entity (headers only)."""
     if not payload.startswith(b"HTTP/"):
         return payload
-    sep = payload.find(b"\r\n\r\n")
-    if sep < 0:
-        sep = payload.find(b"\n\n")
-        return payload[sep + 2:] if sep >= 0 else b""
-    return payload[sep + 4:]
+    crlf = payload.find(b"\r\n\r\n")
+    lf = payload.find(b"\n\n")
+    if crlf < 0 and lf < 0:
+        return b""
+    if crlf >= 0 and (lf < 0 or crlf < lf):
+        return payload[crlf + 4:]
+    return payload[lf + 2:]
 
 
-def _warc_date_us(s: str) -> int:
+def _warc_date_us(s: str) -> int | None:
     """``2024-01-02T03:04:05Z`` (WARC-Date, always UTC per spec) →
-    epoch microseconds. Fractional seconds (WARC 1.1) honoured."""
+    epoch microseconds. Fractional seconds (WARC 1.1) and explicit
+    numeric offsets honoured; unparseable/missing dates return ``None``
+    (the caller SKIPS such records — fabricating an epoch-0 capture
+    would deterministically lose newest-capture-wins dedup)."""
     from datetime import datetime, timezone
 
-    s = s.strip().rstrip("Z")
-    fmt = "%Y-%m-%dT%H:%M:%S.%f" if "." in s else "%Y-%m-%dT%H:%M:%S"
-    dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+    s = s.strip()
+    if not s:
+        return None
+    try:
+        z = s.rstrip("Z")
+        fmt = "%Y-%m-%dT%H:%M:%S.%f" if "." in z else "%Y-%m-%dT%H:%M:%S"
+        dt = datetime.strptime(z, fmt).replace(tzinfo=timezone.utc)
+    except ValueError:
+        try:
+            dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+        except ValueError:
+            return None
     return int(dt.timestamp() * 1_000_000)
 
 
@@ -115,17 +136,15 @@ def _open_members(path: str):
         with open(path, "rb") as f:
             yield f
         return
+    # stdlib gzip streams CONCATENATED members transparently — one pass,
+    # peak memory one decompression window (the previous hand-rolled
+    # member walk read the whole file and re-sliced the remaining tail
+    # per member: O(members x file size) memcpy on the Common-Crawl
+    # one-member-per-record layout)
+    import gzip
+
     with open(path, "rb") as f:
-        d = f.read()
-    pos = 0
-    while pos < len(d):
-        dec = zlib.decompressobj(wbits=31)  # one gzip member
-        chunk = dec.decompress(d[pos:])
-        yield io.BufferedReader(io.BytesIO(chunk + dec.flush()))
-        consumed = len(d) - pos - len(dec.unused_data)
-        if consumed <= 0:
-            raise ValueError(f"{path}: gzip member made no progress")
-        pos += consumed
+        yield io.BufferedReader(gzip.GzipFile(fileobj=f))
 
 
 def read_warc_pages(path: str) -> list[dict]:
@@ -140,11 +159,14 @@ def read_warc_pages(path: str) -> list[dict]:
             url = headers.get("warc-target-uri")
             if not url:
                 continue
+            ts = _warc_date_us(headers.get("warc-date", ""))
+            if ts is None:
+                continue  # no/unparseable capture date: skip, don't fabricate
             body = _split_http_body(payload) if rtype == "response" else payload
             rows.append(
                 {
                     "url": url.strip("<>"),
-                    "warc_ts_us": _warc_date_us(headers.get("warc-date", "1970-01-01T00:00:00Z")),
+                    "warc_ts_us": ts,
                     "html": body,
                 }
             )

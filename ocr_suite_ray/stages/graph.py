@@ -63,11 +63,25 @@ def extract_links(ds, html_col: str = "html", url_col: str = "url"):
         if isinstance(html, pa.ChunkedArray):
             html = html.combine_chunks()
         if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
-            # invalid utf-8 payloads -> null (kept out of the split below)
-            html = html.cast(pa.large_string(), safe=False)
+            try:
+                # the safe cast VALIDATES utf-8; the common all-valid block
+                # stays one zero-copy kernel
+                html = html.cast(pa.large_string()).cast(pa.string())
+            except pa.lib.ArrowInvalid:
+                # rare block with invalid utf-8 (Latin-1 pages, gzip junk):
+                # per-row lossy decode so one bad payload can't fail the
+                # stage — hrefs in the valid regions stay findable
+                html = pa.array(
+                    [None if b is None else b.decode("utf-8", "replace")
+                     for b in html.to_pylist()],
+                    type=pa.string(),
+                )
         if pa.types.is_large_string(html.type):
             html = html.cast(pa.string())
         html = pc.fill_null(html, "")
+        # normalize attribute spelling once so the split below catches
+        # HREF= / Href= / href = "..." (all legal HTML, common in old crawls)
+        html = pc.replace_substring_regex(html, r"(?i)href\s*=\s*", "href=")
         src_host, _tld = extract_hosts(t[url_col])
         lst = pc.split_pattern(html, "href=")
         flat = pc.list_flatten(lst)
@@ -197,14 +211,6 @@ def pagerank_e9(
         _hosts_merge,
         materialize=False,
     )
-    if hosts_ref is None:  # empty edge list
-        return rd.from_arrow(
-            pa.table(
-                {"host": pa.array([], pa.string()),
-                 "rank_e9": pa.array([], pa.int64())}
-            )
-        )
-
     n_hosts = ray.get(ray.remote(lambda t: t.num_rows).remote(hosts_ref))
     if n_hosts > max_broadcast_rows:
         raise ValueError(

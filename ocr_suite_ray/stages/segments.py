@@ -252,10 +252,14 @@ def c4_line_signals(
         joined = joined.combine_chunks()
     joined = pc.fill_null(joined, "")
     n_kept = counts.astype(np.int64)
-    lorem = pc.match_substring(texts, "lorem ipsum", ignore_case=True).to_numpy(
-        zero_copy_only=False
-    )
-    brace = pc.match_substring(texts, "{").to_numpy(zero_copy_only=False)
+    # fill_null(False): a null text row must gate like an empty doc, not
+    # crash the batch on ~None (segment_table already treats it as k=0)
+    lorem = pc.fill_null(
+        pc.match_substring(texts, "lorem ipsum", ignore_case=True), False
+    ).to_numpy(zero_copy_only=False)
+    brace = pc.fill_null(
+        pc.match_substring(texts, "{"), False
+    ).to_numpy(zero_copy_only=False)
     keep = (~lorem) & (~brace) & (n_kept >= min_kept_lines)
     return pa.table(
         {
@@ -381,6 +385,79 @@ def dup_segment_ref(ds, text_col: str = "text", w: int = 3, key: str = "text"):
     return coalesce_reduce(partials, _combine, _final, materialize=False)
 
 
+
+def _probe_clean_stage(ds, ref, id_col, key, hash_rows, comp_rows):
+    """Shared pass-2 of the paragraph-dedup family: probe the broadcast
+    dup table and rebuild each doc's text from its kept segments. The
+    plain and grouped variants differ ONLY in how probe keys are built:
+
+    - ``hash_rows(t) -> (row_of, seg_len, flat, digests)`` (hash64 path:
+      sorted-uint64 searchsorted probe, no segment strings);
+    - ``comp_rows(t) -> (row_of, segs, probe_keys)`` (text path:
+      per-worker cached pd.Index probe; probe_keys may be the segments
+      themselves or a (group, segment) composite).
+    """
+    from ocr_suite_ray.stages._bcast import cached_build
+
+    if key == "hash64":
+
+        def _dup_sorted(tbl):
+            if tbl is None or tbl.num_rows == 0:
+                return None
+            # the dup table arrives pre-sorted — zero-copy plasma view
+            return tbl["seg"].combine_chunks().to_numpy(zero_copy_only=True)
+
+        def _clean_h(t: pa.Table) -> pa.Table:
+            row_of, seg_len, flat, digests = hash_rows(t)
+            dup = cached_build(ref, _dup_sorted) if ref is not None else None
+            if dup is None or len(dup) == 0:
+                keep = np.ones(len(row_of), dtype=bool)
+            else:
+                pos = np.searchsorted(dup, digests)
+                pos[pos == len(dup)] = 0  # any slot; equality check decides
+                keep = dup[pos] != digests
+            texts, n_removed = rejoin_kept_tokens(
+                flat, row_of, seg_len, keep, t.num_rows
+            )
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "text_clean": texts,
+                    "n_removed": pa.array(n_removed, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(_clean_h, batch_format="pyarrow")
+
+    def _dup_index(tbl):
+        # prebuilt per-worker hash index: pc.is_in rebuilds its value_set
+        # hash table on EVERY call (~74 s/block at 10M docs); the pd.Index
+        # builds once per worker, each block pays only C get_indexer probes
+        import pandas as pd_mod
+
+        if tbl is None or tbl.num_rows == 0:
+            return None
+        return pd_mod.Index(tbl["seg"].to_pandas())
+
+    def _clean(t: pa.Table) -> pa.Table:
+        row_of, segs, probe = comp_rows(t)
+        idx = cached_build(ref, _dup_index) if ref is not None else None
+        if idx is None:
+            keep = np.ones(len(row_of), dtype=bool)
+        else:
+            keep = idx.get_indexer(probe.to_pandas()) < 0
+        texts, n_removed = rejoin_segments(segs, row_of, keep, t.num_rows)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text_clean": texts,
+                "n_removed": pa.array(n_removed, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_clean, batch_format="pyarrow")
+
+
 def paragraph_dedup(
     ds, id_col: str = "doc_id", text_col: str = "text", w: int = 3,
     key: str = "text",
@@ -412,64 +489,18 @@ def paragraph_dedup(
     ref = dup_segment_ref(ds, text_col, w, key=key)
 
     if key == "hash64":
-
-        def _dup_sorted(tbl):
-            if tbl is None or tbl.num_rows == 0:
-                return None
-            # dup_segment_ref emits the hash64 table pre-sorted — this is
-            # a zero-copy view onto the shared plasma buffer
-            return tbl["seg"].combine_chunks().to_numpy(zero_copy_only=True)
-
-        def _clean_h(t: pa.Table) -> pa.Table:
-            row_of, seg_len, flat, hashes = seg_hash_table(t[text_col], w)
-            dup = cached_build(ref, _dup_sorted) if ref is not None else None
-            if dup is None or len(dup) == 0:
-                keep = np.ones(len(row_of), dtype=bool)
-            else:
-                pos = np.searchsorted(dup, hashes)
-                pos[pos == len(dup)] = 0  # any in-range slot; equality check decides
-                keep = dup[pos] != hashes
-            texts, n_removed = rejoin_kept_tokens(
-                flat, row_of, seg_len, keep, t.num_rows
-            )
-            return pa.table(
-                {
-                    id_col: t[id_col],
-                    "text_clean": texts,
-                    "n_removed": pa.array(n_removed, pa.int64()),
-                }
-            )
-
-        return ds.map_batches(_clean_h, batch_format="pyarrow")
-
-    def _dup_index(tbl):
-        # prebuilt per-worker hash index: pc.is_in rebuilds its value_set
-        # hash table on EVERY call, which at 10M docs (corpus-scale dup
-        # set) cost ~74 s/block — the pd.Index builds once per worker and
-        # each block pays only the C get_indexer probes
-        import pandas as pd
-
-        if tbl is None or tbl.num_rows == 0:
-            return None
-        return pd.Index(tbl["seg"].to_pandas())
-
-    def _clean(t: pa.Table) -> pa.Table:
-        row_of, _within, segs = segment_table(t[text_col], w)
-        idx = cached_build(ref, _dup_index) if ref is not None else None
-        if idx is None:
-            keep = np.ones(len(row_of), dtype=bool)
-        else:
-            keep = idx.get_indexer(segs.to_pandas()) < 0
-        texts, n_removed = rejoin_segments(segs, row_of, keep, t.num_rows)
-        return pa.table(
-            {
-                id_col: t[id_col],
-                "text_clean": texts,
-                "n_removed": pa.array(n_removed, pa.int64()),
-            }
+        return _probe_clean_stage(
+            ds, ref, id_col, "hash64",
+            hash_rows=lambda t: seg_hash_table(t[text_col], w),
+            comp_rows=None,
         )
 
-    return ds.map_batches(_clean, batch_format="pyarrow")
+    def _rows(t: pa.Table):
+        row_of, _within, segs = segment_table(t[text_col], w)
+        return row_of, segs, segs  # probe key IS the segment string
+
+    return _probe_clean_stage(ds, ref, id_col, "text",
+                              hash_rows=None, comp_rows=_rows)
 
 
 def grouped_paragraph_dedup(
@@ -611,7 +642,7 @@ def grouped_paragraph_dedup(
             def _occ(t: pa.Table, _s: int = s) -> pa.Table:
                 h = _hash_rows(t)[3]
                 if S > 1:
-                    h = h[(h >> np.uint64(58)) % np.uint64(S) == np.uint64(_s)]
+                    h = h[(h >> np.uint64(32)) % np.uint64(S) == np.uint64(_s)]
                 return pa.table({"seg": pa.array(h, pa.uint64())})
 
             r = dup_key_table_ref(
@@ -652,58 +683,16 @@ def grouped_paragraph_dedup(
         ref = coalesce_reduce(partials, _combine, _final, materialize=False)
 
     if key == "hash64":
-
-        def _dup_sorted(tbl):
-            if tbl is None or tbl.num_rows == 0:
-                return None
-            return tbl["seg"].combine_chunks().to_numpy(zero_copy_only=True)
-
-        def _clean_h(t: pa.Table) -> pa.Table:
-            row_of, seg_len, flat, combined = _hash_rows(t)
-            dup = cached_build(ref, _dup_sorted) if ref is not None else None
-            if dup is None or len(dup) == 0:
-                keep = np.ones(len(row_of), dtype=bool)
-            else:
-                pos = np.searchsorted(dup, combined)
-                pos[pos == len(dup)] = 0
-                keep = dup[pos] != combined
-            texts, n_removed = rejoin_kept_tokens(
-                flat, row_of, seg_len, keep, t.num_rows
-            )
-            return pa.table(
-                {
-                    id_col: t[id_col],
-                    "text_clean": texts,
-                    "n_removed": pa.array(n_removed, pa.int64()),
-                }
-            )
-
-        return ds.map_batches(_clean_h, batch_format="pyarrow")
-
-    def _dup_index(tbl):
-        import pandas as pd_mod
-
-        if tbl is None or tbl.num_rows == 0:
-            return None
-        return pd_mod.Index(tbl["seg"].to_pandas())
-
-    def _clean(t: pa.Table) -> pa.Table:
-        row_of, segs, comp = _composite_rows(t)
-        idx = cached_build(ref, _dup_index) if ref is not None else None
-        if idx is None:
-            keep = np.ones(len(row_of), dtype=bool)
-        else:
-            keep = idx.get_indexer(comp.to_pandas()) < 0
-        texts, n_removed = rejoin_segments(segs, row_of, keep, t.num_rows)
-        return pa.table(
-            {
-                id_col: t[id_col],
-                "text_clean": texts,
-                "n_removed": pa.array(n_removed, pa.int64()),
-            }
+        return _probe_clean_stage(
+            ds, ref, id_col, "hash64",
+            hash_rows=_hash_rows, comp_rows=None,
         )
 
-    return ds.map_batches(_clean, batch_format="pyarrow")
+    def _rows(t: pa.Table):
+        return _composite_rows(t)
+
+    return _probe_clean_stage(ds, ref, id_col, "text",
+                              hash_rows=None, comp_rows=_rows)
 
 
 def admitted_term_ref(ds, text_col: str, df_lo: int, df_hi: int):
@@ -765,7 +754,7 @@ def term_postings(
     """
     import pyarrow.compute as pc
 
-    from ocr_suite_ray.stages._bcast import cached_get
+    from ocr_suite_ray.stages._bcast import cached_build
     from ocr_suite_ray.stages.text_ops import _tokens
 
     ref = admitted_term_ref(ds, text_col, df_lo, df_hi)
@@ -780,12 +769,22 @@ def term_postings(
                 "tf": pa.array([], pa.int64()),
             }
         )
-        adm = cached_get(ref) if ref is not None else None
-        if adm is None or adm.num_rows == 0:
+        # per-worker cached pd.Index: pc.is_in rebuilds its value-set hash
+        # table on EVERY call (the paragraph_dedup 10x lesson: ~74 s/block
+        # against a corpus-scale set); get_indexer probes a prebuilt index
+        def _term_index(tbl):
+            import pandas as pd
+
+            if tbl is None or tbl.num_rows == 0:
+                return None
+            return pd.Index(tbl["term"].to_pandas())
+
+        idx = cached_build(ref, _term_index) if ref is not None else None
+        if idx is None:
             return empty
         n_tok, flat, _off = _tokens(t[text_col])
-        hit = pc.is_in(flat, value_set=adm["term"].combine_chunks())
-        hit_np = hit.to_numpy(zero_copy_only=False)
+        hit_np = idx.get_indexer(flat.to_pandas()) >= 0
+        hit = pa.array(hit_np)
         if not hit_np.any():
             return empty
         enc = pc.dictionary_encode(flat.filter(hit))

@@ -129,3 +129,24 @@ def test_pagerank_empty_and_guard(ray_session):
         pagerank_e9(rd.from_arrow(two), max_broadcast_rows=1)
     with pytest.raises(ValueError, match="d_e2"):
         pagerank_e9(rd.from_arrow(two), d_e2=101)
+
+
+def test_extract_links_tolerates_invalid_utf8_and_case_variants():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.graph import extract_links
+
+    pages = pa.table({
+        "url": ["https://a.example.com/1", "https://b.example.com/2"],
+        "html": pa.array([
+            b'junk \xff\xfe <a HREF="https://t1.example.org/x">l</a>',
+            b'<a href = "https://t2.example.org/y">l</a>',
+        ], pa.binary()),
+    })
+    out = extract_links(
+        rd.from_arrow(pages), url_col="url", html_col="html"
+    ).to_pandas()
+    dsts = set(out["dst_host"])
+    assert "t1.example.org" in dsts  # invalid bytes elsewhere didn't crash
+    assert "t2.example.org" in dsts  # spaced attr form

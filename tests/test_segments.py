@@ -508,3 +508,20 @@ def test_grouped_paragraph_dedup_sharded_shuffle_equivalent(ray_session):
         key=key,
     )
     assert one == sharded
+
+
+def test_c4_line_signals_null_text_row():
+    import pyarrow as pa
+
+    from ocr_suite_ray.stages.segments import c4_line_signals
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(
+            ["This is a terminal line.\nshort", None], pa.string()
+        ),
+    })
+    out = c4_line_signals(t)  # must not raise on the null row
+    assert out.num_rows == 2
+    null_row = out.to_pylist()[1]
+    assert null_row["n_kept"] == 0 and null_row["keep"] is False

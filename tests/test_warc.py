@@ -116,3 +116,33 @@ def test_warc_pipeline_parity(ray_session, small_corpus, tmp_path):
     b = pads.dataset(os.path.join(out_b, "final")).to_table().sort_by("url")
     for col in ("url", "warc_ts", "text", "spans", "n_blocks_kept", "status"):
         assert a[col].to_pylist() == b[col].to_pylist(), col
+
+
+def test_http_split_lf_headers_and_date_variants(tmp_path):
+    from ocr_suite_ray.sources.warc import _split_http_body, _warc_date_us
+
+    # LF-terminated headers with a CRLF pair later in the BODY
+    p = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<html>a\r\n\r\nb</html>"
+    assert _split_http_body(p) == b"<html>a\r\n\r\nb</html>"
+    # headers only, no separator: empty entity
+    assert _split_http_body(b"HTTP/1.1 204 No Content\r\nX: y") == b""
+    # numeric-offset date (spec-legal) parses; garbage returns None
+    assert _warc_date_us("2024-01-02T03:04:05+00:00") == _warc_date_us(
+        "2024-01-02T03:04:05Z"
+    )
+    assert _warc_date_us("not a date") is None
+    assert _warc_date_us("") is None
+
+
+def test_dateless_records_skipped_not_epoch(tmp_path):
+    from ocr_suite_ray.sources.warc import read_warc_pages
+
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Target-URI: https://x.example/1\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    path = tmp_path / "d.warc"
+    path.write_bytes(rec)
+    assert read_warc_pages(str(path)) == []  # no WARC-Date -> skipped
