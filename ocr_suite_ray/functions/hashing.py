@@ -40,3 +40,25 @@ def md5_mod(values, mod: int, *, suffix: str = "") -> np.ndarray:
     """``md5_u32(values) % mod`` — the keep-threshold form used by all
     deterministic samplers (keep iff ``md5_mod(id, m) < threshold``)."""
     return md5_u32(values, suffix=suffix) % mod
+
+# int64 max is 19 digits — a 20-wide pad can never truncate, so the
+# engine's zfill and DuckDB's lpad (which TRUNCATES longer inputs, unlike
+# zfill/Arrow lpad) stay byte-identical for every representable id
+ORDER_KEY_ID_WIDTH = 20
+
+
+def salted_order_keys(ids, salt: str) -> list:
+    """Deterministic unique order keys: md5-hex prefix (salted) + the
+    zero-padded id — the shared recipe of ``shuffle_shards`` and
+    ``token_budget_mixture`` (SQL twin:
+    ``substr(md5(id || salt), 1, 8) || '-' || lpad(id, 20, '0')``).
+    The md5 loop is the engine's one sanctioned per-row Python (DuckDB
+    hash parity, cf. ``md5_u32``)."""
+    import hashlib
+
+    return [
+        hashlib.md5((str(d) + salt).encode()).hexdigest()[:8]
+        + "-"
+        + str(d).zfill(ORDER_KEY_ID_WIDTH)
+        for d in ids
+    ]

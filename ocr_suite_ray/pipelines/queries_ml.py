@@ -1831,7 +1831,7 @@ SQL_MIXTURE_SAMPLE = """
 WITH base AS (
   SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
          substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8) || '-' ||
-         lpad(CAST(doc_id AS VARCHAR), 12, '0') AS okey
+         lpad(CAST(doc_id AS VARCHAR), 20, '0') AS okey
   FROM documents
 ),
 c AS (
@@ -2630,7 +2630,7 @@ SQL_SHUFFLE_SHARDS = """
 WITH h AS (
   SELECT doc_id,
          substr(md5(CAST(doc_id AS VARCHAR) || 'shuf'), 1, 8) || '-' ||
-         lpad(CAST(doc_id AS VARCHAR), 12, '0') AS okey
+         lpad(CAST(doc_id AS VARCHAR), 20, '0') AS okey
   FROM documents
 ),
 r AS (

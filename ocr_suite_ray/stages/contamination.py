@@ -24,20 +24,15 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _word_ngram_windows(texts, n: int):
-    """All word ``n``-grams (space-joined) of every row, vectorized, WITH
-    the flat-token geometry the span-scrub family needs.
-
-    Returns ``(row_idx, grams, flat, off, win_pos)``: int64 row index per
-    gram, a ``pa.StringArray`` of the grams, the flattened token array,
-    int64 per-row offsets into it, and each gram's START position in
-    ``flat`` (the gram covers ``win_pos[i] .. win_pos[i]+n-1``, always
-    within one row by the validity rule). Rows with fewer than ``n`` words
-    contribute nothing. The kernel is the flatten-plus-offsets shape of
-    ``text_ops._tokens``: one ``split_pattern``, ``n`` shifted zero-copy
-    slices of the flat token array, one ``binary_join_element_wise`` — no
-    per-row Python.
-    """
+def _window_geometry(texts, n: int):
+    """Shared windowing geometry of the exact and hash64 n-gram kernels:
+    one ``split_pattern`` + flatten, per-row offsets, and the window
+    validity rule (a window starting at flat position i belongs to row r
+    iff it ENDS inside r). Returns ``(flat, off, n_tokens, n_windows,
+    valid_idx, row_of_valid)``; ``n_windows <= 0`` means no row has
+    ``n`` words (valid_idx/row_of empty). Keeping this in ONE place is
+    what guarantees the exact and hash64 contamination tiers agree on
+    which windows exist."""
     import pyarrow.compute as pc
 
     if isinstance(texts, pa.ChunkedArray):
@@ -55,23 +50,36 @@ def _word_ngram_windows(texts, n: int):
     total = int(off[-1]) if len(off) else 0
     n_windows = total - n + 1
     if n_windows <= 0:
-        return (
-            np.empty(0, dtype=np.int64),
-            pa.array([], pa.string()),
-            flat,
-            off,
-            np.empty(0, dtype=np.int64),
-        )
-    parts = [flat.slice(j, n_windows) for j in range(n)]
-    grams = pc.binary_join_element_wise(*parts, " ")
-    # window starting at flat position i belongs to row r iff it ends
-    # inside r: i + n <= row_end[r]
+        e = np.empty(0, dtype=np.int64)
+        return flat, off, n_tokens, n_windows, e, e
     row_of = np.repeat(np.arange(len(n_tokens), dtype=np.int64), n_tokens)
     ends = np.repeat(off[1:], n_tokens)
     pos = np.arange(n_windows, dtype=np.int64)
     valid = pos + n <= ends[:n_windows]
     idx = np.nonzero(valid)[0]
-    return row_of[idx], grams.take(pa.array(idx, pa.int64())), flat, off, idx
+    return flat, off, n_tokens, n_windows, idx, row_of[idx]
+
+
+def _word_ngram_windows(texts, n: int):
+    """All word ``n``-grams (space-joined) of every row, vectorized, WITH
+    the flat-token geometry the span-scrub family needs.
+
+    Returns ``(row_idx, grams, flat, off, win_pos)``: int64 row index per
+    gram, a ``pa.StringArray`` of the grams, the flattened token array,
+    int64 per-row offsets into it, and each gram's START position in
+    ``flat`` (the gram covers ``win_pos[i] .. win_pos[i]+n-1``, always
+    within one row by the validity rule). Rows with fewer than ``n`` words
+    contribute nothing. One ``binary_join_element_wise`` over ``n``
+    shifted zero-copy slices of the flat token array — no per-row Python.
+    """
+    import pyarrow.compute as pc
+
+    flat, off, _nt, n_windows, idx, row_of = _window_geometry(texts, n)
+    if n_windows <= 0:
+        return (idx, pa.array([], pa.string()), flat, off, idx)
+    parts = [flat.slice(j, n_windows) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return row_of, grams.take(pa.array(idx, pa.int64())), flat, off, idx
 
 
 def _word_ngrams(texts, n: int):
@@ -83,37 +91,18 @@ def _word_ngrams(texts, n: int):
 
 def _word_ngram_hash_windows(texts, n: int):
     """64-bit hashes of all word ``n``-grams of every row — the SAME
-    windowing, validity rule and flat-geometry return shape as
-    :func:`_word_ngram_windows` (rows with fewer than ``n`` words
-    contribute nothing) but NO gram-string materialization: tokens are
+    windowing and validity rule as :func:`_word_ngram_windows` (shared
+    ``_window_geometry``) but NO gram-string materialization: tokens are
     hashed per block-DISTINCT token (pandas' C hasher over the
     dictionary), each window is a rolling multiply-add combine of its
     ``n`` token hashes + a SplitMix64 finalize (the
     ``dedup_text._fast_gram_hashes`` recipe). Returns
     ``(row_idx, uint64 hashes, flat, off, win_pos)``."""
-    import pyarrow.compute as pc
-
     from ocr_suite_ray.stages.dedup_text import _mix64
 
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    if pa.types.is_large_string(texts.type) or pa.types.is_large_binary(texts.type):
-        texts = texts.cast(pa.string())
-    lst = pc.split_pattern(texts, " ")
-    flat = pc.list_flatten(lst)
-    off = lst.offsets.to_numpy().astype(np.int64)
-    off = off - off[0]
-    n_tokens = off[1:] - off[:-1]
-    total = int(off[-1]) if len(off) else 0
-    n_windows = total - n + 1
+    flat, off, _nt, n_windows, idx, row_of = _window_geometry(texts, n)
     if n_windows <= 0:
-        return (
-            np.empty(0, dtype=np.int64),
-            np.empty(0, dtype=np.uint64),
-            flat,
-            off,
-            np.empty(0, dtype=np.int64),
-        )
+        return (idx, np.empty(0, dtype=np.uint64), flat, off, idx)
     enc = flat.dictionary_encode()
     dh = pd.util.hash_array(enc.dictionary.to_numpy(zero_copy_only=False))
     th = dh[enc.indices.to_numpy(zero_copy_only=False)]
@@ -122,12 +111,7 @@ def _word_ngram_hash_windows(texts, n: int):
     for j in range(1, n):
         h = h * M + th[j : j + n_windows]
     h = _mix64(h)
-    row_of = np.repeat(np.arange(len(n_tokens), dtype=np.int64), n_tokens)
-    ends = np.repeat(off[1:], n_tokens)
-    pos = np.arange(n_windows, dtype=np.int64)
-    valid = pos + n <= ends[:n_windows]
-    idx = np.nonzero(valid)[0]
-    return row_of[idx], h[idx], flat, off, idx
+    return row_of, h[idx], flat, off, idx
 
 
 def _word_ngram_hashes(texts, n: int):
@@ -404,7 +388,11 @@ def group_quota(
 
     def _cap(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([group_col] + sort_keys, kind="mergesort")
-        running = g.groupby(group_col, sort=False)[weight_col].cumsum()
+        # null weights contribute 0 to the running sum and stay eligible —
+        # SQL's SUM(w) OVER skips NULLs (a NaN cumsum would compare False
+        # and silently drop the row regardless of budget)
+        w = g[weight_col].fillna(0)
+        running = w.groupby(g[group_col], sort=False).cumsum()
         out = g[running <= budget].copy()
         out["running"] = running[running <= budget]
         return out
@@ -462,10 +450,16 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int, seed: str = "ws"):
         materialize=True,
     )
     if out is None:
+        # preserve the input id/weight types in the empty result (a
+        # hardcoded int64 id diverges from string-keyed datasets exactly
+        # and only in the empty case)
+        sch = ds.schema()
+        id_t = sch.base_schema.field(id_col).type
+        w_t = sch.base_schema.field(weight_col).type
         return pa.table(
             {
-                id_col: pa.array([], pa.int64()),
-                weight_col: pa.array([], pa.float64()),
+                id_col: pa.array([], id_t),
+                weight_col: pa.array([], w_t),
                 "score": pa.array([], pa.float64()),
             }
         )
@@ -497,6 +491,13 @@ def temperature_resample(
     from ocr_suite_ray.state.dupset import coalesce_reduce
 
     def _cnt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_mod
+
+        # drop null-group rows from the counts: stratified_sample routes
+        # them to default_e4=0 (always dropped), so counting them into Z
+        # would shrink every real group's keep fraction for rows that can
+        # never be kept
+        t = t.filter(pc_mod.is_valid(t[group_col]))
         g = (
             t.select([group_col])
             .append_column("_n", pa.array(np.ones(t.num_rows, dtype=np.int64)))
@@ -564,16 +565,9 @@ def token_budget_mixture(
     from ocr_suite_ray.stages.scan import grouped_prefix_sum
 
     def _key(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        # md5-hex prefix + zero-padded id: unique, DuckDB-expressible
-        # (substr(md5(..),1,8) || '-' || lpad(id, 12, '0')); the md5 loop
-        # is the engine's one sanctioned per-row Python (hash parity)
-        okey = [
-            hashlib.md5((str(d) + salt).encode()).hexdigest()[:8]
-            + "-"
-            + str(d).zfill(12)
-            for d in ids
-        ]
+        from ocr_suite_ray.functions.hashing import salted_order_keys
+
+        okey = salted_order_keys(t[id_col].to_pylist(), salt)
         return pa.table(
             {
                 id_col: t[id_col],

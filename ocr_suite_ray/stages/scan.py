@@ -125,15 +125,21 @@ def grouped_prefix_sum(
 
     # pass 1: per-(block, group) partial sums — tiny
     def _summary(df: pd.DataFrame) -> pd.DataFrame:
+        import uuid
+
         if df.empty:
             return pd.DataFrame(
-                {"blk_g": [], "blk_k": [], "grp": [], "total": []}
+                {"blk_g": [], "blk_k": [], "blk_uid": [], "grp": [],
+                 "total": []}
             )
-        per_g = df.groupby(group_col, sort=True)[value_col].sum()
+        # dropna=False: null groups get offsets too (string/object group
+        # keys; None is hashable and maps consistently in both passes)
+        per_g = df.groupby(group_col, sort=True, dropna=False)[value_col].sum()
         return pd.DataFrame(
             {
                 "blk_g": df[group_col].iloc[0],
                 "blk_k": df[order_col].iloc[0],
+                "blk_uid": uuid.uuid4().hex,  # guard-only block identity
                 "grp": per_g.index.to_numpy(),
                 "total": per_g.to_numpy(),
             }
@@ -142,7 +148,24 @@ def grouped_prefix_sum(
     summaries = sorted_ds.map_batches(
         _summary, batch_size=None, batch_format="pandas"
     ).to_pandas()
-    if summaries[["blk_g", "blk_k"]].drop_duplicates().duplicated().any():
+    if summaries.empty or "blk_g" not in summaries.columns:
+        # empty input: identity with a constant-zero out_col
+        def _zero(df: pd.DataFrame) -> pd.DataFrame:
+            return df.assign(**{out_col: pd.Series(dtype="int64")})
+
+        return sorted_ds.map_batches(
+            _zero, batch_size=None, batch_format="pandas"
+        )
+    # tie-straddle guard: two DIFFERENT blocks (distinct uids) must never
+    # share a first-row key, or the offset map collides and silently
+    # corrupts bases (the old drop_duplicates().duplicated() form could
+    # never fire — a just-deduplicated frame has no duplicates)
+    if (
+        summaries.groupby(["blk_g", "blk_k"], dropna=False)["blk_uid"]
+        .nunique()
+        .gt(1)
+        .any()
+    ):
         raise ValueError(
             "grouped_prefix_sum: two sorted blocks share a first row key — "
             f"({group_col}, {order_col}) must be unique"
@@ -211,13 +234,9 @@ def shuffle_shards(
     import pyarrow as pa
 
     def _key(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        okey = [
-            hashlib.md5((str(d) + salt).encode()).hexdigest()[:8]
-            + "-"
-            + str(d).zfill(12)
-            for d in ids
-        ]
+        from ocr_suite_ray.functions.hashing import salted_order_keys
+
+        okey = salted_order_keys(t[id_col].to_pylist(), salt)
         return pa.table(
             {
                 id_col: t[id_col],

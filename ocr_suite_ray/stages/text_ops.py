@@ -1108,7 +1108,7 @@ def ccnet_perplexity_buckets(
             )
         okey = pc.binary_join_element_wise(
             pc.utf8_lpad(pc.cast(s, pa.string()), 12, "0"),
-            pc.utf8_lpad(pc.cast(t[id_col], pa.string()), 14, "0"),
+            pc.utf8_lpad(pc.cast(t[id_col], pa.string()), 20, "0"),
             "-",
         )
         return pa.table(

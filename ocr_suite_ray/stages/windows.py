@@ -92,12 +92,16 @@ def tumbling_window_agg(
         from ocr_suite_ray.stages.relational import grouped_reduce_c
 
         def _fold(g: "pd.DataFrame") -> "pd.DataFrame":
-            return (
-                g.groupby([key_col, "window_start"], sort=False, as_index=False)[
-                    ["sum_value", "n_events", "n_valid"]
-                ]
-                .sum()
-            )
+            # min_count=1 on sum_value: an all-null window's SUM must stay
+            # NULL (SQL semantics; the narrow exchange's Arrow re-agg keeps
+            # it NULL — plain .sum() would coerce it to 0 and the two
+            # exchange modes would disagree)
+            gb = g.groupby([key_col, "window_start"], sort=False)
+            out = gb[["n_events", "n_valid"]].sum()
+            out["sum_value"] = gb["sum_value"].sum(min_count=1)
+            return out.reset_index()[
+                [key_col, "window_start", "sum_value", "n_events", "n_valid"]
+            ]
 
         return grouped_reduce_c(
             partials, [key_col, "window_start"], _fold
