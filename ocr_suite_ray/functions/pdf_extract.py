@@ -38,13 +38,20 @@ from ocr_suite_ray.schemas import KIND_PDF_BLOCK
 PDF_MAGIC = b"%PDF-"
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
-# A PDF literal string with escapes, followed by the Tj (show text) operator.
-_TJ_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+# A PDF literal string with escapes, followed by the Tj (show text)
+# operator. ISO 32000-1 §7.3.4.2 allows BALANCED unescaped parens inside
+# a literal; the alternation admits one nesting level (the overwhelmingly
+# common case — deeper nesting would need a real parser and is dropped).
+_TJ_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.|\((?:[^()\\]|\\.)*\))*)\)\s*Tj",
+    re.DOTALL,  # an escaped EOL (line continuation) sits INSIDE a literal
+)
 # filter name list from the stream's dict: /Filter /Flate… or /Filter [ … ]
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 _EARLY_RE = re.compile(rb"/EarlyChange\s+(\d+)")
 _IMAGE_RE = re.compile(rb"/Subtype\s*/Image\b")
+_STREAM_OPEN_RE = re.compile(rb">>\s*stream\r?\n")
 
 
 def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
@@ -142,6 +149,21 @@ def _unescape(lit: bytes) -> bytes:
         c = lit[i : i + 1]
         if c == b"\\" and i + 1 < len(lit):
             nxt = lit[i + 1 : i + 2]
+            if nxt in b"01234567":
+                # octal escape \d, \dd or \ddd (ISO 32000-1 Table 3)
+                j = i + 1
+                while j < min(i + 4, len(lit)) and lit[j : j + 1] in b"01234567":
+                    j += 1
+                out.append(int(lit[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            if nxt in (b"\n", b"\r"):
+                # backslash-EOL line continuation: both bytes vanish
+                # (\r\n counts as one EOL)
+                i += 2
+                if nxt == b"\r" and lit[i : i + 1] == b"\n":
+                    i += 1
+                continue
             out += _ESCAPES.get(nxt, nxt)
             i += 2
         else:
@@ -198,7 +220,18 @@ def extract_pdf(payload: bytes, ocr=None) -> dict:
 
     if not payload.startswith(PDF_MAGIC):
         raise ValueError("not a PDF payload")
-    if b"stream" in payload and b"endstream" not in payload:
+    # unterminated-stream guard, STRUCTURAL: a stream keyword always
+    # follows its object dict's ">>". The last such opener must have an
+    # "endstream" after it — a bare substring-presence check passes when
+    # any EARLIER stream terminated (silently dropping the truncated
+    # one), and raw byte counting false-positives on content text that
+    # merely contains the word "stream".
+    last_open = None
+    for _m in _STREAM_OPEN_RE.finditer(payload):
+        last_open = _m
+    if last_open is not None and payload.find(b"endstream", last_open.end()) < 0:
+        raise ValueError("unterminated PDF stream")
+    if last_open is None and b"stream" in payload and b"endstream" not in payload:
         raise ValueError("unterminated PDF stream")
 
     pieces: list[str] = []

@@ -5,8 +5,8 @@ Chains the hygiene operators over ``<out>/final``: ok-status gate →
 quality gate → exact text dedup (keep the lexicographically-first url per
 distinct text) → unigram-LM score annotation → optional deterministic
 subsample — then writes partitioned parquet (one directory per hash bucket
-of the url, so a re-run or a downstream reader can address shards
-independently; a re-run replaces the output atomically: the write lands in
+of the TEXT — the post-dedup row identity IS the distinct text, so a
+reader can address the single shard a given text can live in; a re-run replaces the output atomically: the write lands in
 a fresh staging directory that is renamed over the previous one).
 
 Reference analogue: the viewer's export path (SURVEY §3) — the reference
@@ -28,12 +28,14 @@ def run_curation(
     quality_min: int = 70,
     sample_e4: int | None = None,
     n_buckets: int = 16,
+    dup_exchange: str = "tree",
 ) -> dict:
     """Returns a summary dict: rows out + output dir.
 
-    100-TB shape — ZERO corpus shuffles (rewritten after a 10M-doc run
-    showed the previous keyed top-1 reduce pushing the full text corpus
-    through a sort exchange, BASELINE.md round-3 section):
+    100-TB shape — ZERO corpus shuffles in the default tier (rewritten
+    after a 10M-doc run showed the previous keyed top-1 reduce pushing
+    the full text corpus through a sort exchange, BASELINE.md round-3
+    section):
 
     1. ONE fused narrow pass over the ok rows builds BOTH broadcast
        artifacts (the curation_v2 fusion pattern): per-block partials
@@ -43,6 +45,17 @@ def run_curation(
        count > 1 only, so it is DUP-RATE bound, the flagship dup-set
        contract) and (b) the vocab count table. Text payloads never leave
        their read tasks.
+
+       TIER CONTRACT: the fused tree's ROOT holds one row per corpus-
+       DISTINCT text (the vocab side is vocab-bound, the winner side is
+       not) — right while the distinct-text hash+url table fits one
+       worker. Beyond that, ``dup_exchange="shuffle"`` splits pass 1:
+       the winner table routes through ONE bucket shuffle + per-bucket
+       C folds (``dupset.winner_table_ref``) where only the dup-rate-
+       bound count>1 survivors reach the final merge, and the vocab
+       keeps its (vocab-bound) tree — at the cost of a second narrow
+       read pass. Both tiers produce identical output (equivalence-
+       tested).
     2. ONE enrichment + filter + write pass: quality, LM score, text hash
        per batch; keep a row iff quality passes AND (its text is unique OR
        this url IS the winner). Exact dedup (keep lexicographically-first
@@ -132,19 +145,29 @@ def run_curation(
         g = t.group_by(["kind", "s"]).aggregate([("n", "sum"), ("u", "min")])
         return g.rename_columns(["kind", "s", "n", "u"])
 
-    combined_ref = coalesce_reduce(
-        ok.map_batches(_partial, batch_format="pyarrow"),
-        _merge,
-        None,
-        materialize=False,
+    if dup_exchange not in ("tree", "shuffle"):
+        raise ValueError(f"dup_exchange must be tree|shuffle, got {dup_exchange!r}")
+    combined_ref = None
+    if dup_exchange == "tree":
+        combined_ref = coalesce_reduce(
+            ok.map_batches(_partial, batch_format="pyarrow"),
+            _merge,
+            None,
+            materialize=False,
+        )
+
+    _NO_DUPS = pa.table(
+        {"s": pa.array([], pa.string()), "u": pa.array([], pa.string())}
     )
 
     @ray.remote
     def _split_dups(t):
+        # an EMPTY table, not None: cached_get treats None as a cache
+        # miss, so a dedup-clean corpus would re-fetch the ref per batch
         if t is None:
-            return None
+            return _NO_DUPS
         d = t.filter(pc.and_(pc.equal(t["kind"], 0), pc.greater(t["n"], 1)))
-        return d.select(["s", "u"]) if d.num_rows else None
+        return d.select(["s", "u"]) if d.num_rows else _NO_DUPS
 
     @ray.remote
     def _split_counts(t):
@@ -154,10 +177,37 @@ def run_curation(
             ["tok", "n"]
         )
 
-    dup_ref = _split_dups.remote(combined_ref) if combined_ref is not None else None
-    counts_ref = (
-        _split_counts.remote(combined_ref) if combined_ref is not None else None
-    )
+    if dup_exchange == "shuffle":
+        from ocr_suite_ray.stages.text_ops import unigram_count_ref
+        from ocr_suite_ray.state.dupset import winner_table_ref
+
+        def _win_partial(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "s": [_hl.md5(x.encode()).hexdigest()
+                      for x in t["text"].to_pylist()],
+                "u": t["url"].to_pandas(),
+            })
+            g = df.groupby("s", as_index=False).agg(
+                n=("u", "size"), u=("u", "min")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        raw_ref = winner_table_ref(
+            ok.map_batches(_win_partial, batch_format="pyarrow"),
+            key_col="s", n_col="n", win_col="u",
+        )
+        # normalize a None root to the empty table so the per-worker
+        # cache can hold it (None is a cache miss)
+        dup_ref = (
+            _split_dups.remote(None) if raw_ref is None
+            else ray.remote(lambda t: t if t is not None else _NO_DUPS).remote(raw_ref)
+        )
+        counts_ref = unigram_count_ref(ok, "text")
+    else:
+        dup_ref = _split_dups.remote(combined_ref) if combined_ref is not None else None
+        counts_ref = (
+            _split_counts.remote(combined_ref) if combined_ref is not None else None
+        )
 
     # ---- pass 2: enrich + gate + dedup-filter + write ----------------
     def _final(t: pa.Table) -> pa.Table:
@@ -179,9 +229,19 @@ def run_curation(
         texts = t["text"].to_pylist()
         th = [_hl.md5(x.encode()).hexdigest() for x in texts]
         urls = np.asarray(t["url"].to_pylist(), dtype=object)
-        dup = cached_get(dup_ref) if dup_ref is not None else None
-        if dup is not None:
-            w = pd.Series(dup["u"].to_pylist(), index=dup["s"].to_pylist())
+
+        def _dup_series(tbl):
+            # per-worker cached winner index (rebuilding the Series per
+            # batch paid two to_pylist passes + an O(dups) hash build on
+            # every block)
+            if tbl is None or tbl.num_rows == 0:
+                return None
+            return pd.Series(tbl["u"].to_pylist(), index=tbl["s"].to_pylist())
+
+        from ocr_suite_ray.stages._bcast import cached_build
+
+        w = cached_build(dup_ref, _dup_series) if dup_ref is not None else None
+        if w is not None:
             wu = w.reindex(th).to_numpy()
             keep_dup = pd.isna(wu) | (wu == urls)
         else:

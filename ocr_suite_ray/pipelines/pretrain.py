@@ -59,6 +59,7 @@ def run_pretrain_prep(
     decon_n: int = 5,
     gram_key: str = "exact",
     near_dup: str | None = None,
+    dup_exchange: str = "tree",
 ) -> dict:
     import pyarrow.compute as pc
     import ray
@@ -126,12 +127,42 @@ def run_pretrain_prep(
         # dup-rate bound: only hashes seen more than once gate anything
         return t.filter(pc.greater(t["n"], 1)).select(["h", "url"])
 
-    winners_ref = coalesce_reduce(
-        _clean_ds().map_batches(_winner_partial, batch_format="pyarrow"),
-        _winner_merge,
-        _winner_root,
-        materialize=False,
-    )
+    # TIER CONTRACT (same as curate.py): the tree's root holds one row
+    # per corpus-DISTINCT cleaned text — right while that table fits one
+    # worker; "shuffle" routes the winner build through ONE bucket
+    # exchange + per-bucket C folds where only count>1 survivors merge
+    # (dupset.winner_table_ref). Identical output either way.
+    if dup_exchange not in ("tree", "shuffle"):
+        raise ValueError(
+            f"dup_exchange must be tree|shuffle, got {dup_exchange!r}"
+        )
+    if dup_exchange == "shuffle":
+        from ocr_suite_ray.state.dupset import winner_table_ref
+
+        def _wp(t: pa.Table) -> pa.Table:
+            g = _winner_partial(t)
+            return g.rename_columns(
+                [{"h": "s", "n": "n", "url": "u"}[c] for c in g.column_names]
+            )
+
+        raw = winner_table_ref(
+            _clean_ds().map_batches(_wp, batch_format="pyarrow"),
+            key_col="s", n_col="n", win_col="u",
+        )
+        winners_ref = (
+            None if raw is None
+            else ray.remote(
+                lambda t: t.rename_columns(["h", "url"])
+                if t is not None and t.num_rows else None
+            ).remote(raw)
+        )
+    else:
+        winners_ref = coalesce_reduce(
+            _clean_ds().map_batches(_winner_partial, batch_format="pyarrow"),
+            _winner_merge,
+            _winner_root,
+            materialize=False,
+        )
     # the eval corpus is normalized through the SAME hygiene pass as the
     # corpus being gated — decontamination over cleaned text with raw eval
     # grams would silently match nothing (case/whitespace variants)

@@ -66,8 +66,20 @@ def ingest_jsonl(src_dir: str, pages_dir: str, row_group_size: int = 4096) -> li
         elif pa.types.is_timestamp(ts_col.type):
             ts = pc.cast(ts_col, pa.timestamp("us"))
         else:
+            # normalize to one parseable shape: optional trailing Z
+            # stripped, a fractional-seconds part added when absent —
+            # pyarrow's JSON reader leaves fractional ISO-8601 strings
+            # string-typed, and a single fraction-less strptime format
+            # would crash the whole ingest on one such record
+            sv = pc.cast(ts_col, pa.string())
+            sv = pc.replace_substring_regex(sv, r"Z$", "")
+            has_frac = pc.match_substring_regex(sv, r"\.\d+$")
+            sv = pc.if_else(
+                has_frac, sv,
+                pc.binary_join_element_wise(sv, ".000000", ""),
+            )
             ts = pc.cast(
-                pc.strptime(ts_col, format="%Y-%m-%dT%H:%M:%S", unit="us"),
+                pc.strptime(sv, format="%Y-%m-%dT%H:%M:%S.%f", unit="us"),
                 pa.timestamp("us"),
             )
         out = pa.table({"url": pc.cast(t["url"], pa.string()),
@@ -81,6 +93,14 @@ def ingest_jsonl(src_dir: str, pages_dir: str, row_group_size: int = 4096) -> li
         os.path.join(pages_dir, f"pages_{k:05d}.parquet")
         for k in range(len(src_files))
     ]
+    # positional names: a re-run over a SHRUNK input set must not leave
+    # stale higher-numbered pages files polluting downstream reads
+    import re as _re
+
+    for f in os.listdir(pages_dir):
+        m = _re.fullmatch(r"pages_(\d{5})\.parquet", f)
+        if m and int(m.group(1)) >= len(src_files):
+            os.unlink(os.path.join(pages_dir, f))
     return list(
         ray.get([
             _one.remote(s, d, row_group_size) for s, d in zip(src_files, outs)
@@ -138,11 +158,32 @@ def export_jsonl(src_dir: str, dst_dir: str, gzip_output: bool = False) -> list[
             else:
                 cols[name] = col.to_pylist()
         names = list(cols)
+
+        def _default(v):
+            # NESTED temporal/binary values (inside list/struct columns):
+            # same encoding rules as the top-level dispatch — epoch micros
+            # for datetimes, base64 for bytes. Lossy on re-ingest for
+            # nested fields (types aren't restored below top level);
+            # without this a single nested timestamp aborts the export.
+            import datetime as _dt
+
+            if isinstance(v, _dt.datetime):
+                if v.tzinfo is None:  # parquet timestamps are UTC-naive
+                    v = v.replace(tzinfo=_dt.timezone.utc)
+                return int(v.timestamp() * 1_000_000)
+            if isinstance(v, (bytes, bytearray)):
+                return base64.b64encode(bytes(v)).decode()
+            raise TypeError(f"not JSON serializable: {type(v)}")
+
         tmp = dst + f".tmp{os.getpid()}"
         opener = (lambda p: gzip_mod.open(p, "wt")) if gz else (lambda p: open(p, "w"))
         with opener(tmp) as fh:
             for row in zip(*cols.values()):
-                fh.write(json.dumps(dict(zip(names, row)), separators=(",", ":")) + "\n")
+                fh.write(
+                    json.dumps(dict(zip(names, row)), separators=(",", ":"),
+                               default=_default)
+                    + "\n"
+                )
         os.replace(tmp, dst)
         return dst
 

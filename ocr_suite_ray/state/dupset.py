@@ -341,3 +341,35 @@ class DupMembership:
     def mask(self, key_col) -> pa.Array:
         """boolean per row (for filter())."""
         return pc.cast(self.flags(key_col), pa.bool_())
+
+def winner_table_ref(partials_ds, key_col: str = "s", n_col: str = "n",
+                     win_col: str = "u", num_buckets: int = 64):
+    """ObjectRef[pa.Table | None]: the (key, winner) table of keys whose
+    total count exceeds 1, from per-block partial tables ``(key_col,
+    n_col, win_col)`` (count + min-winner per block-distinct key).
+
+    The SHUFFLE-tier sibling of the fused tree reduce used by
+    curate/pretrain pass 1: a tree funnels one row per corpus-DISTINCT
+    key into a single root task — corpus-cardinality, the exact overflow
+    the grouped paragraph dedup hit at 10x (BASELINE.md round-4) — while
+    this path bucket-shuffles the partials (ONE exchange, rows spread
+    over ``num_buckets`` folds), folds each bucket in C (sum count, min
+    winner), filters to count>1 INSIDE the bucket, and only the
+    dup-rate-bound survivors reach the final coalesce. Use it whenever
+    the corpus's distinct-key table may exceed one worker."""
+    import pandas as pd
+
+    from ocr_suite_ray.stages.relational import grouped_reduce_c
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_col, as_index=False).agg(
+            **{n_col: (n_col, "sum"), win_col: (win_col, "min")}
+        )
+        return out[out[n_col] > 1][[key_col, win_col]]
+
+    dups = grouped_reduce_c(partials_ds, [key_col], _fold)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return t  # buckets are disjoint: concat only
+
+    return coalesce_reduce(dups, _merge, None, materialize=False)

@@ -41,3 +41,30 @@ def test_curation_matches_sequential_oracle(ray_session, small_corpus, tmp_path)
     assert got.text.nunique() == len(got)
     assert (got.quality >= 70).all()
     assert s["rows_out"] == len(df)
+
+
+def test_dup_exchange_tiers_equivalent(tmp_path):
+    import pyarrow.dataset as pads
+
+    from ocr_suite_ray.pipelines.curate import run_curation
+
+    final = "/tmp/ocs_curate_test/out/final"
+    import os
+    if not os.path.isdir(final):
+        import shutil
+
+        from ocr_suite_ray.pipelines.extract import ExtractConfig, run_pipeline
+        from ocr_suite_ray.sources.synthetic import generate_corpus
+
+        shutil.rmtree("/tmp/ocs_curate_test", ignore_errors=True)
+        generate_corpus("/tmp/ocs_curate_test/pages", 400, seed=5, n_files=2)
+        run_pipeline("/tmp/ocs_curate_test/pages", "/tmp/ocs_curate_test/out",
+                     ExtractConfig(wave_size=2, pool_size=4))
+    a = str(tmp_path / "tree")
+    b = str(tmp_path / "shuf")
+    run_curation(final, a, dup_exchange="tree")
+    run_curation(final, b, dup_exchange="shuffle")
+    ta = pads.dataset(a, partitioning="hive").to_table().sort_by("url")
+    tb = pads.dataset(b, partitioning="hive").to_table().sort_by("url")
+    assert ta.equals(tb)
+    assert ta.num_rows > 0

@@ -257,3 +257,36 @@ def test_pdf_nested_decodeparms_dict_still_decodes():
     out = extract_payload(pdf)
     assert out["status"] == "ok"
     assert out["text"] == "nested dict"
+
+
+def test_pdf_literal_string_edge_cases():
+    from ocr_suite_ray.functions.pdf_extract import extract_pdf
+
+    def pdf(content):
+        return (b"%PDF-1.4\n1 0 obj\n<<>>\nstream\n" + content
+                + b"\nendstream\ntrailer")
+
+    # balanced unescaped parens (ISO 32000-1 7.3.4.2) + octal escapes
+    out = extract_pdf(pdf(b"BT (see figure (1) below) Tj ET"))
+    assert "see figure (1) below" in out["text"]
+    out = extract_pdf(pdf(rb"BT (\101bc \167orld) Tj ET"))
+    assert "Abc world" in out["text"]
+    # backslash-EOL line continuation vanishes
+    out = extract_pdf(pdf(b"BT (ab\\\ncd) Tj ET"))
+    assert "abcd" in out["text"]
+
+
+def test_pdf_unterminated_last_stream_raises():
+    import pytest as _pt
+
+    from ocr_suite_ray.functions.pdf_extract import extract_pdf
+
+    ok = (b"%PDF-1.4\n1 0 obj\n<<>>\nstream\nBT (a) Tj ET\nendstream\n")
+    truncated = ok + b"2 0 obj\n<<>>\nstream\nBT (cut of"
+    with _pt.raises(ValueError):
+        extract_pdf(truncated)
+    # content containing the WORD stream must not trip the guard
+    out = extract_pdf(
+        b"%PDF-1.4\n1 0 obj\n<<>>\nstream\nBT (two streams flow) Tj ET\nendstream\n"
+    )
+    assert "two streams flow" in out["text"]

@@ -142,3 +142,16 @@ def test_pct_validation_and_stale_old_recovery(tmp_path):
     s = run_pretrain_prep(store, out, seq_len=16, seqs_per_shard=4)
     assert s["docs_kept"] == 1
     assert not os.path.exists(out + ".old")
+
+
+def test_pretrain_dup_exchange_tiers_equivalent(tmp_path):
+    texts = [_gopher_ok_text("a"), _gopher_ok_text("a"), _gopher_ok_text("b")]
+    store = _fake_store(str(tmp_path / "final"), texts)
+    s1 = run_pretrain_prep(store, str(tmp_path / "t"), seq_len=16,
+                           seqs_per_shard=4, dup_exchange="tree")
+    s2 = run_pretrain_prep(store, str(tmp_path / "s"), seq_len=16,
+                           seqs_per_shard=4, dup_exchange="shuffle")
+    assert s1["docs_kept"] == s2["docs_kept"] == 2  # dup pair collapsed
+    t1 = pads.dataset(str(tmp_path / "t/clean"), partitioning="hive").to_table().sort_by("url")
+    t2 = pads.dataset(str(tmp_path / "s/clean"), partitioning="hive").to_table().sort_by("url")
+    assert t1.equals(t2)
