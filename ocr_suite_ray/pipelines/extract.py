@@ -182,10 +182,13 @@ def _read_wave(wave: list[tuple[int, str]], cfg: ExtractConfig):
     read parallelism)."""
     import ray.data as rd
 
-    pid_by_path = {path: pid for pid, path in wave}
+    # key by resolved ABSOLUTE path: Ray's include_paths exposes the
+    # filesystem-resolved path, so a relative pages_dir would KeyError
+    pid_by_path = {os.path.abspath(path): pid for pid, path in wave}
 
     def _attach_pid(batch: pa.Table) -> pa.Table:
-        pids = [pid_by_path[p] for p in batch["path"].to_pylist()]
+        pids = [pid_by_path[os.path.abspath(p)]
+                for p in batch["path"].to_pylist()]
         batch = batch.drop_columns(["path"])
         return batch.append_column("partition_id", pa.array(pids, pa.int64()))
 
@@ -554,6 +557,24 @@ def _run_extract_phase_locked(
                         continue
                     if int(d.split("=", 1)[1]) not in reused_pids:
                         shutil.rmtree(os.path.join(tmp_dir, d))
+                # ... and their ORPHANED markers: a pruned pid's marker
+                # left behind could be "reused" by a later resume whose
+                # input list shifted back, committing a done partition
+                # whose output files this rmtree just deleted (silently
+                # missing rows). Marker pid not in reused set -> delete.
+                udir = os.path.join(tmp_dir, _UNITS_DIR)
+                if os.path.isdir(udir):
+                    for f in os.listdir(udir):
+                        if not f.endswith(".json"):
+                            continue
+                        fp_path = os.path.join(udir, f)
+                        try:
+                            with open(fp_path) as fh:
+                                mpid = json.load(fh).get("pid")
+                        except (OSError, ValueError):
+                            mpid = None
+                        if mpid not in reused_pids:
+                            os.unlink(fp_path)
             if cfg.fused_compute == "tasks":
                 # task pool + per-worker warm cache: reuses the session's
                 # warm workers (no per-wave actor spawn/import ramp)
@@ -974,7 +995,12 @@ def _link_partition_task(pfull: str, pid: str, tmp_final: str) -> list[str]:
                 try:
                     os.link(src, dst)
                 except OSError:
-                    shutil.copy2(src, dst)
+                    try:
+                        shutil.copy2(src, dst)
+                    except shutil.SameFileError:
+                        # a retried task re-links a file it already
+                        # hardlinked: dst IS src's inode — done
+                        pass
     ddir = os.path.join(pfull, "is_dup=1")
     if not os.path.isdir(ddir):
         return []

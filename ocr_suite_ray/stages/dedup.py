@@ -15,7 +15,13 @@ several code paths) and re-nested zero-copy on the way out.
 
 Strategies (same result):
 
-- ``bucket`` (default, scale path): classic hash-partitioned reduce.
+- ``partial`` (default): broadcast dup-url membership splits the corpus
+  into unique rows (pass through untouched) and the dup-rate-bound
+  subset, which alone takes a ``groupby(url)`` reduce — the flagship's
+  O(dup-rate) path. ``num_partitions`` is not used here (the dup subset
+  is small by contract); the membership exchange is ``narrow``.
+- ``bucket`` (scale path for high dup rates): classic hash-partitioned
+  reduce.
   1. within-block combiner: vectorized keep-max-per-url (cuts duplicate
      captures before any data moves);
   2. add ``bucket = hash(url) % P``;
@@ -39,7 +45,6 @@ import pyarrow.compute as pc
 
 from ocr_suite_ray.schemas import EXTRACTED_SCHEMA, SPAN_TYPE
 
-RANK_COL = "__rank"  # legacy name: rank is now implicit in ORDER_KEYS (no column)
 BUCKET_COL = "__bucket"
 _SP_START = "__spans_start"
 _SP_STOP = "__spans_stop"
@@ -123,7 +128,12 @@ def _keep_last_per_url(t: pa.Table) -> pa.Table:
     n = len(u)
     if n == 1:
         return t
-    boundary = pc.not_equal(u.slice(0, n - 1), u.slice(1, n - 1))
+    # fill_null(True): not_equal against a NULL url yields null, and
+    # Table.filter DROPS null-mask rows — a null url adjacent to a group
+    # would silently delete that group's winning row
+    boundary = pc.fill_null(
+        pc.not_equal(u.slice(0, n - 1), u.slice(1, n - 1)), True
+    )
     mask = pa.chunked_array([boundary, pa.array([True])])
     return t.filter(mask)
 
@@ -224,12 +234,16 @@ def _dedup_partial(ds, max_exact: int = 1_000_000):
     uniques = ds.map_batches(_uniques, batch_format="pyarrow")
 
     def _best_group(t: pa.Table) -> pa.Table:
-        return decode_spans(
-            _local_best(encode_spans(t.combine_chunks()))
-        )
+        return decode_spans(_local_best(t.combine_chunks()))
 
+    # encode spans BEFORE the groupby exchange (module invariant: raw
+    # list<struct> must never cross a shuffle — the map_groups strategy
+    # already does this; the partial path previously shuffled dup-subset
+    # rows with their struct spans intact)
     winners = (
-        ds.map_batches(_dups, batch_format="pyarrow")
+        ds.map_batches(
+            lambda t: encode_spans(_dups(t)), batch_format="pyarrow"
+        )
         .groupby("url")
         .map_groups(_best_group, batch_format="pyarrow")
     )

@@ -20,6 +20,7 @@ real cluster each record is an independent tiny object on shared storage.
 from __future__ import annotations
 
 import hashlib
+import dataclasses
 import json
 import os
 from dataclasses import asdict, dataclass, field
@@ -41,20 +42,34 @@ class LineageRecord:
     schema_version: int = SCHEMA_VERSION
 
 
+_FP_CACHE: dict = {}
+
+
 def partition_fingerprint(path: str) -> str:
     """Cheap content fingerprint: basename + size + parquet footer length
     bytes. Guards stale resumes when an input file is regenerated in place
     (the reference's analogue is re-checking frame presence per store,
     database.cpp:58-60). Reading the last 64 KiB keeps this O(1) per file
-    regardless of file size."""
-    h = hashlib.sha256()
+    regardless of file size. Memoized per (path, mtime_ns, size): one run
+    fingerprints each input ~3x (inputs_fp, pending_partitions, wave
+    specs) and the opens are serial on the driver's pre-wave critical
+    path; a stat change invalidates the entry."""
     st = os.stat(path)
+    ck = (path, st.st_mtime_ns, st.st_size)
+    hit = _FP_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    if len(_FP_CACHE) > 1_000_000:  # bound driver memory on huge inputs
+        _FP_CACHE.clear()
+    h = hashlib.sha256()
     h.update(os.path.basename(path).encode())
     h.update(str(st.st_size).encode())
     with open(path, "rb") as fh:
         fh.seek(max(0, st.st_size - 65536))
         h.update(fh.read(65536))
-    return h.hexdigest()[:32]
+    fp = h.hexdigest()[:32]
+    _FP_CACHE[ck] = fp
+    return fp
 
 
 def _lineage_dir(out_dir: str) -> str:
@@ -83,7 +98,17 @@ def load_records(out_dir: str) -> dict[int, LineageRecord]:
         if not (name.startswith("part-") and name.endswith(".json")):
             continue
         with open(os.path.join(d, name)) as fh:
-            rec = LineageRecord(**json.load(fh))
+            raw = json.load(fh)
+        # tolerate records written by a NEWER build with extra fields:
+        # constructing with unknown kwargs would raise TypeError before
+        # the schema_version migration guard ever ran — filter to known
+        # fields so the version check (pending_partitions) can reject
+        # the record and trigger a clean re-process instead
+        known = {f.name for f in dataclasses.fields(LineageRecord)}
+        try:
+            rec = LineageRecord(**{k: v for k, v in raw.items() if k in known})
+        except TypeError:
+            continue  # missing required fields (older build): not done
         out[rec.partition_id] = rec
     return out
 
