@@ -40,14 +40,24 @@ def connected_components(pairs_ds, max_rounds: int = 16) -> pd.DataFrame:
 
     edges = pairs_ds.select_columns(["id_a", "id_b"])
 
-    # initial labels: every node labels itself
+    # initial labels: every node labels itself. Per-batch np.unique +
+    # columnar to_pandas: raw take_all of un-deduplicated endpoints built
+    # a 2x|edges| list of per-row dicts on the driver (duplicate-heavy
+    # pair lists inflated driver heap far beyond the node-map contract)
     first = edges.map_batches(
-        lambda t: pa.table(
-            {"node": pa.concat_arrays([t["id_a"].combine_chunks(), t["id_b"].combine_chunks()])}
-        ),
+        lambda t: pa.table({
+            "node": pa.array(np.unique(np.concatenate([
+                t["id_a"].to_numpy(zero_copy_only=False),
+                t["id_b"].to_numpy(zero_copy_only=False),
+            ])), pa.int64())
+        }),
         batch_format="pyarrow",
-    ).take_all()
-    nodes = np.unique(np.array([r["node"] for r in first], dtype=np.int64))
+    ).to_pandas()
+    nodes = (
+        np.empty(0, dtype=np.int64)
+        if first.empty or "node" not in first.columns  # empty pair set
+        else np.unique(first["node"].to_numpy())
+    )
     labels = pd.Series(nodes, index=nodes)
 
     converged = len(nodes) == 0
@@ -55,7 +65,9 @@ def connected_components(pairs_ds, max_rounds: int = 16) -> pd.DataFrame:
         ref = ray.put(labels)
 
         def _updates(t: pa.Table) -> pa.Table:
-            lab = ray.get(ref)
+            from ocr_suite_ray.stages._bcast import cached_get
+
+            lab = cached_get(ref)  # once per worker per round, not per batch
             a = t["id_a"].to_numpy(zero_copy_only=False)
             b = t["id_b"].to_numpy(zero_copy_only=False)
             la = lab.loc[a].to_numpy()
@@ -67,11 +79,11 @@ def connected_components(pairs_ds, max_rounds: int = 16) -> pd.DataFrame:
             out = out.groupby("node", as_index=False)["lab"].min()
             return pa.Table.from_pandas(out, preserve_index=False)
 
-        upd = edges.map_batches(_updates, batch_format="pyarrow").take_all()
-        if not upd:
+        upd = edges.map_batches(_updates, batch_format="pyarrow").to_pandas()
+        if upd.empty or "node" not in upd.columns:
             converged = True
             break
-        df = pd.DataFrame(upd).groupby("node")["lab"].min()
+        df = upd.groupby("node")["lab"].min()
         new = labels.copy()
         new.loc[df.index] = np.minimum(new.loc[df.index].to_numpy(), df.to_numpy())
         if new.equals(labels):

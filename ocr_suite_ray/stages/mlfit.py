@@ -178,7 +178,13 @@ def fit_logistic_ref(
 
         partials = ds.map_batches(_partial, batch_format="pyarrow")
         w_ref = coalesce_reduce(partials, _combine, _solve, materialize=False)
-        if w_ref is None:
+        # the ref itself is never None (tree_reduce_refs always returns a
+        # root ref); its VALUE is None on an empty corpus — check the tiny
+        # O(d) weight table once per round so the failure is a clear
+        # ValueError here, not a NoneType subscript inside a later task
+        import ray as _ray
+
+        if _ray.get(w_ref) is None:
             raise ValueError("fit_logistic_ref: empty corpus, nothing to fit")
     return w_ref
 

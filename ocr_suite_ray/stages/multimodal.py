@@ -38,8 +38,14 @@ MEDIA_META_TYPE = pa.struct(
 def attach_media_meta(batch: pa.Table, payload_col: str = "payload") -> pa.Table:
     """Stateless metadata projection over a binary column (no decode)."""
     metas = []
-    for v in batch[payload_col].to_pylist():
-        v = v or b""
+    col = batch[payload_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # one row at a time: the content hash needs the FULL bytes, but
+    # holding every body as Python bytes alongside the Arrow buffers
+    # doubles peak task memory (the stages/extract.py PageExtractor rule)
+    for cell in col:
+        v = cell.as_py() or b""
         kind = "image" if v[:2] == b"\xff\xd8" or v[:4] == b"\x89PNG" else "binary"
         metas.append(
             {
@@ -117,7 +123,11 @@ class ImageDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         kernel = self._decode_real if self._codec == "real" else self._decode
         status, widths, heights, chans, feats = [], [], [], [], []
-        for v in batch["payload"].to_pylist():
+        col = batch["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for cell in col:  # one body in Python at a time (peak-memory rule)
+            v = cell.as_py()
             try:
                 w, hgt, c, f = kernel(v)
                 status.append("ok")
@@ -229,6 +239,12 @@ def parse_media_header(v: bytes | None) -> dict:
         out["format"] = "jpeg"
         i, n = 2, len(v)
         while i + 9 <= n and v[i] == 0xFF:
+            # skip 0xFF fill/padding bytes (legal between segments): the
+            # byte after a run of FFs is the marker; treating a fill FF
+            # as a marker would misread the next bytes as a segment
+            # length and jump to garbage
+            while i + 1 < n and v[i + 1] == 0xFF:
+                i += 1
             marker = v[i + 1]
             if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
                 i += 2
@@ -272,8 +288,15 @@ def probe_media(ds, payload_col: str = "payload"):
     sample_rate) without decoding payloads. The header slice is the only
     per-row materialization — payload bodies never convert to Python."""
 
+    _PROBE_WINDOW = 65536  # JPEG SOF can sit after multi-KB APP/EXIF segs
+
     def _probe(t: pa.Table) -> pa.Table:
-        metas = [parse_media_header(v.as_py()) for v in t[payload_col]]
+        import pyarrow.compute as pc
+
+        # one vectorized slice — full multi-MB bodies never convert to
+        # Python; a SOF beyond the window degrades to width/height 0
+        heads = pc.binary_slice(t[payload_col], 0, _PROBE_WINDOW)
+        metas = [parse_media_header(v.as_py()) for v in heads]
         for name, typ in (
             ("format", pa.string()), ("width", pa.int32()), ("height", pa.int32()),
             ("bit_depth", pa.int32()), ("channels", pa.int32()),

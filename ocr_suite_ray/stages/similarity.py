@@ -57,11 +57,15 @@ def knn_brute(ds, query_df: pd.DataFrame, k: int = 10, id_col: str = "vec_id",
         rows = []
         ids = batch[id_col].to_numpy()
         for qi, qid in enumerate(qids_l):
-            s = scores[:, qi]
-            top = np.argsort(-s, kind="stable")[:k]  # local top-k combiner
+            # local selection on the SAME key the global reduce orders by
+            # — (rounded score desc, id asc). Raw-float selection with a
+            # batch-position tiebreak can drop a score-tied row with the
+            # smaller id before the global reduce ever sees it, breaking
+            # the oracle-exact contract
+            se = np.floor(scores[:, qi] * mult + 0.5).astype(np.int64)
+            top = np.lexsort((ids, -se))[:k]
             for t in top:
-                rows.append((int(qid), int(ids[t]),
-                             int(np.floor(s[t] * mult + 0.5))))
+                rows.append((int(qid), int(ids[t]), int(se[t])))
         return pd.DataFrame(
             rows, columns=["query_id", id_col, f"score_e{scale}"]
         ).astype("int64")
@@ -223,12 +227,13 @@ def ivf_knn(ds, query_df: pd.DataFrame, k: int = 10, n_lists: int = 16,
             sub, sub_ids = m[sel], ids[sel]
             scores = sub @ qm_l[qis].T  # (rows_in_list, probing queries)
             for j, qi in enumerate(qis):
-                s = scores[:, j]
-                top = np.argsort(-s, kind="stable")[:k]
+                # same rounded-key local selection as knn_brute (the
+                # raw-float argsort could drop a tied smaller id)
+                se = np.floor(scores[:, j] * mult + 0.5).astype(np.int64)
+                top = np.lexsort((sub_ids, -se))[:k]
                 for t in top:
                     rows.append(
-                        (int(qids_l[qi]), int(sub_ids[t]),
-                         int(np.floor(s[t] * mult + 0.5)))
+                        (int(qids_l[qi]), int(sub_ids[t]), int(se[t]))
                     )
         return pd.DataFrame(
             rows, columns=["query_id", id_col, f"score_e{scale}"]
@@ -243,14 +248,26 @@ def ivf_knn(ds, query_df: pd.DataFrame, k: int = 10, n_lists: int = 16,
 
 def lsh_bucket_pairs(ds, n_planes: int = 12, threshold_e4: int = 4000,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     dim: int = 64, seed: int = 42):
+                     dim: int | None = None, seed: int = 42,
+                     max_bucket: int = 100_000, pair_chunk: int = 4096):
     """Approximate near-dup: random-hyperplane signature buckets + exact
     cosine verification inside each bucket (ONE groupby shuffle). The scale
-    path when the full matrix cannot be broadcast."""
-    planes = np.random.RandomState(seed).normal(size=(dim, n_planes))
+    path when the full matrix cannot be broadcast.
+
+    ``dim`` is inferred from the data by default (planes are a pure
+    function of (seed, dim), so every worker derives the same matrix).
+    Verification is a CHUNKED slab scan (O(chunk x bucket) memory, the
+    semantic_dedup shape — a full n x n matrix on a skewed 200k-row
+    bucket would be ~320 GB); ``max_bucket`` fails fast on degenerate
+    signatures (near-identical corpora) instead of letting one bucket
+    run quadratically — raise the cap or pre-dedup exactly first."""
+
+    def _planes_for(d: int) -> np.ndarray:
+        return np.random.RandomState(seed).normal(size=(d, n_planes))
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
         m = _norm(_mat(df[vec_col]))
+        planes = _planes_for(m.shape[1] if dim is None else dim)
         bits = (m @ planes) > 0
         keys = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
         out = df[[id_col]].copy()
@@ -262,16 +279,39 @@ def lsh_bucket_pairs(ds, n_planes: int = 12, threshold_e4: int = 4000,
 
     def _verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].tolist()
+        ids = g[id_col].to_numpy()
+        n = len(ids)
+        if n > max_bucket:
+            raise ValueError(
+                f"lsh bucket of {n} rows exceeds max_bucket={max_bucket} "
+                "(degenerate signature — near-identical corpus?); raise "
+                "the cap or exact-dedup first"
+            )
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cosine_e4": pd.Series(dtype="int64")}
+        )
+        if n < 2:
+            return empty
         m = np.stack([np.asarray(v) for v in g["vec"]])
-        s = m @ m.T
-        e4 = np.floor(s * 10000 + 0.5).astype(np.int64)
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if e4[i, j] >= threshold_e4:
-                    rows.append((ids[i], ids[j], int(e4[i, j])))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine_e4"]).astype("int64")
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, n, pair_chunk):
+            hi = min(lo + pair_chunk, n)
+            e4 = np.floor(m[lo:hi] @ m.T * 10000 + 0.5).astype(np.int64)
+            ii, jj = np.nonzero(e4 >= threshold_e4)
+            gi = ii + lo
+            keep = gi < jj  # upper triangle only, a < b by sorted ids
+            out_a.append(ids[gi[keep]])
+            out_b.append(ids[jj[keep]])
+            out_s.append(e4[ii[keep], jj[keep]])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cosine_e4": np.concatenate(out_s),
+        }).astype("int64")
 
     pairs = bucketed.groupby("bucket").map_groups(_verify, batch_format="pandas")
     from ocr_suite_ray.stages.relational import distinct

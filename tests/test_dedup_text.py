@@ -1063,3 +1063,50 @@ def test_host_stats_counts_only(ray_session):
     assert list(got.n_docs) == [3, 1]
     assert list(got.tld) == ["com", "org"]
     assert "sum_weight" not in got.columns
+
+
+def test_knn_local_combiner_rounded_tiebreak():
+    """Score-tied rows (after e4 rounding) must keep the SMALLER id — the
+    local combiner selects on the same rounded key the oracle orders by."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.similarity import knn_brute
+
+    v = [1.0, 0.0]
+    # ids 9,3 identical vectors (exact tie); one distinct lower-score row
+    t = pa.table({
+        "vec_id": pa.array([9, 3, 7], pa.int64()),
+        "embedding": pa.array([v, v, [0.0, 1.0]],
+                              pa.list_(pa.float32())),
+    })
+    q = pd.DataFrame({"query_id": [0], "embedding": [np.array(v)]})
+    out = knn_brute(rd.from_arrow(t), q, k=2).to_pandas()
+    out = out.sort_values(["score_e6", "vec_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    assert out["vec_id"].tolist()[:2] == [3, 9]  # id 3 must survive
+
+
+def test_lsh_infers_dim_and_chunked_verify():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.similarity import lsh_bucket_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=128)
+    rows = [base + rng.normal(scale=0.01, size=128) for _ in range(6)]
+    t = pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows],
+                              pa.list_(pa.float32())),
+    })
+    # 128-dim with the default dim=None must work; tiny pair_chunk forces
+    # multiple slabs through the chunked verify
+    out = lsh_bucket_pairs(rd.from_arrow(t), threshold_e4=9000,
+                           pair_chunk=2).to_pandas()
+    assert len(out) == 15  # all C(6,2) near-identical pairs
+    assert (out["id_a"] < out["id_b"]).all()

@@ -202,3 +202,12 @@ def test_probe_media_stage(ray_session):
     out = {r["media_id"]: r for r in probe_media(rd.from_items(rows)).take_all()}
     assert out[0]["format"] == "png" and out[0]["width"] == 64
     assert out[1]["format"] == "unknown"
+
+
+def test_jpeg_fill_bytes_before_sof():
+    from ocr_suite_ray.stages.multimodal import parse_media_header
+
+    j = bytes([0xFF, 0xD8, 0xFF, 0xFF, 0xC0, 0x00, 0x0B,
+               8, 0, 2, 0, 3, 1, 0x11, 0])
+    m = parse_media_header(j)
+    assert (m["format"], m["width"], m["height"]) == ("jpeg", 3, 2)
