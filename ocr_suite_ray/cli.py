@@ -26,8 +26,12 @@ def _init_ray(num_cpus: int | None) -> None:
     import ray
 
     if not ray.is_initialized():
+        # no explicit address: ray.init() honours RAY_ADDRESS / an
+        # existing cluster (ray job submit), and starts a local instance
+        # otherwise — forcing "local" would silently nest a single-node
+        # Ray inside a cluster job and leave the cluster idle
         kwargs = dict(
-            address="local", include_dashboard=False, ignore_reinit_error=True,
+            include_dashboard=False, ignore_reinit_error=True,
             logging_level="ERROR",
         )
         if num_cpus:

@@ -79,8 +79,27 @@ def view_document(pages_dir: str, final_dir: str, url: str) -> dict:
     if ext.num_rows == 0:
         raise KeyError(f"url not in extracted store: {url}")
     rec = ext.slice(0, 1).to_pylist()[0]
-    # the dedup winner is the newest capture; pair it with that payload
-    rec["payload"] = src["html"][0].as_py() if src.num_rows else None
+    # the dedup winner is the newest capture. On exact warc_ts TIES the
+    # winner is chosen by the extracted-content tuple (dedup ORDER_KEYS),
+    # which file-order payload sorting cannot see — re-extract the tied
+    # captures (a handful, point-lookup context) and pair the one whose
+    # extraction matches the stored record, so the viewer never renders a
+    # source that doesn't correspond to the shown text.
+    payload = src["html"][0].as_py() if src.num_rows else None
+    if src.num_rows > 1 and "warc_ts" in src.column_names:
+        newest = src["warc_ts"][0]
+        tied = src.filter(pc.equal(src["warc_ts"], newest))
+        if tied.num_rows > 1:
+            from ocr_suite_ray.functions.extract import extract_payload
+
+            for cand in tied["html"].to_pylist():
+                try:
+                    if extract_payload(cand)["text"] == rec.get("text"):
+                        payload = cand
+                        break
+                except Exception:
+                    continue
+    rec["payload"] = payload
     rec["n_captures"] = src.num_rows
     return rec
 

@@ -20,16 +20,11 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ocr_suite_ray.functions.extract import (
-    KIND_PDF,
-    extract_payload,
-    sniff_kind,
-)
+from ocr_suite_ray.functions.extract import KIND_PDF, extract_payload
 from ocr_suite_ray.functions.html_extract import extract_html  # noqa: F401 (warm import)
 from ocr_suite_ray.functions.pdf_extract import PDF_MAGIC
-from ocr_suite_ray.schemas import EXTRACTED_SCHEMA, SPAN_TYPE
+from ocr_suite_ray.schemas import EXTRACTED_SCHEMA
 
-_PASSTHROUGH = ("url", "warc_ts")
 
 
 def _result_table(batch: pa.Table, results: list[dict]) -> pa.Table:
@@ -109,17 +104,6 @@ class PageExtractor:
         return _result_table(batch, results)
 
 
-class HtmlExtractor:
-    """Fast-lane pool: assumes every payload is HTML (pre-split upstream)."""
-
-    def __init__(self) -> None:
-        self._extract = extract_payload
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ext = self._extract
-        results = [ext(v.as_py(), "html") for v in batch["html"]]
-        return _result_table(batch, results)
-
 
 class PdfExtractor:
     """Slow-lane pool (high-memory analogue of the VisionKit provider).
@@ -147,15 +131,11 @@ def sniff_batch(batch: pa.Table) -> pa.Table:
     prefix = pc.binary_slice(pc.cast(html_col, pa.large_binary()), 0, 5)
     is_pdf = pc.equal(prefix, pa.scalar(PDF_MAGIC, pa.large_binary()))
     kinds = pc.if_else(is_pdf, pa.scalar("pdf"), pa.scalar("html"))
+    # null payloads sniff as "html" (sniff_kind(None) parity): a null kind
+    # would be dropped by BOTH split-pool lane filters — silent row loss —
+    # instead of surfacing as the error:EmptyPayload record
+    kinds = pc.fill_null(kinds, "html")
     out = batch.append_column("payload_kind", kinds)
     return out.append_column("payload_bytes", pc.cast(sizes, pa.int64()))
 
 
-def split_by_kind(ds, kind: str):
-    """Predicate split used to route payload classes to dedicated pools."""
-    import pyarrow.compute as pc
-
-    return ds.map_batches(
-        lambda t, k=kind: t.filter(pc.equal(t["payload_kind"], k)),
-        batch_format="pyarrow",
-    )

@@ -49,10 +49,18 @@ def hierarchy_counts(ds, ts_col: str = "ts"):
     from ocr_suite_ray.stages.relational import narrow_grouped_sum
 
     def _partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["day", "hour", "minute"]).aggregate([("day", "count")])
+        # count_all, not ("day","count"): counting the group key itself
+        # reports 0 for a null-ts group (pyarrow counts valid values only)
+        g = t.group_by(["day", "hour", "minute"]).aggregate([([], "count_all")])
         return g.rename_columns(["day", "hour", "minute", "n"])
 
     partials = add_time_buckets(ds, ts_col).map_batches(
         _partial, batch_format="pyarrow"
     )
-    return narrow_grouped_sum(partials, ["day", "hour", "minute"], ["n"])
+    return narrow_grouped_sum(
+        partials, ["day", "hour", "minute"], ["n"],
+        empty_schema=pa.schema([
+            ("day", pa.timestamp("us")), ("hour", pa.int32()),
+            ("minute", pa.int32()), ("n", pa.int64()),
+        ]),
+    )

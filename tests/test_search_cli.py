@@ -87,8 +87,16 @@ def test_fetch_payload_point_lookup(ray_session, small_corpus, final_store):
     rec = view_document(pages_dir, final, dup_url)
     assert rec["url"] == dup_url
     assert rec["n_captures"] == counts[dup_url]
-    # the paired payload is the newest capture's raw bytes
-    assert rec["payload"] == t["html"][0].as_py()
+    # the paired payload is a NEWEST capture whose extraction reproduces
+    # the stored winner text (on exact-ts ties file order is arbitrary;
+    # the winner is chosen by the extracted-content tuple)
+    newest_ts = t["warc_ts"][0].as_py()
+    tied = [h.as_py() for h, ts in zip(t["html"], t["warc_ts"])
+            if ts.as_py() == newest_ts]
+    assert rec["payload"] in tied
+    from ocr_suite_ray.functions.extract import extract_payload
+
+    assert extract_payload(rec["payload"])["text"] == rec["text"]
     with pytest.raises(KeyError):
         view_document(pages_dir, final, "https://not.a.real/url")
 
