@@ -8,7 +8,11 @@ web store to packed training shards, one CLI/API call.
                                                 byte-variant pages collapse)
       -> decontamination vs an eval corpus     (distinct 5-gram hits = drop)
       -> leakage-safe host split               (train/val/test by md5(host))
-      -> staging parquet, split-partitioned    (atomic promote, resumable)
+      -> staging parquet, split-partitioned    (atomic promote; a crashed
+                                                run restarts from scratch —
+                                                promote is atomic, the
+                                                staging passes are not
+                                                checkpointed)
       -> per-split packed uint32 token shards  (vocab from TRAIN only)
 
 Scale shape (the curate.py contract, extended):
@@ -245,16 +249,14 @@ def run_pretrain_prep(
 
         def _nid(t: pa.Table) -> pa.Table:
             # 64-bit url ids for the pair/cluster machinery (it exchanges
-            # int ids, never urls). Verified collision-free below —
+            # int ids, never urls). Vectorized hash (the dedup_text
+            # gram-hash path) — no oracle needs md5 parity here, the ids
+            # only need to be distinct. Verified collision-free below —
             # a collision could merge two unrelated clusters and drop a
             # unique doc, so this fails fast instead of guessing (the
             # Bloom-rejection argument of dedup_keep_cluster_min).
-            h = np.array(
-                [int.from_bytes(
-                    hashlib.md5(u.encode()).digest()[:8], "little",
-                 ) for u in t["url"].to_pylist()],
-                dtype=np.uint64,
-            ).astype(np.int64)
+            u = t["url"].to_pandas().to_numpy(dtype=object)
+            h = pd.util.hash_array(u).astype(np.int64)
             return t.append_column("nid", pa.array(h, pa.int64()))
 
         with_ids = rd.read_parquet(raw_dir).map_batches(
@@ -278,7 +280,18 @@ def run_pretrain_prep(
 
     # ---- pass C: per-split packed token shards (train-only vocab) ---
     def _split_ds(name: str):
-        return rd.read_parquet(clean_dir).filter(expr=f"split == '{name}'")
+        # the staging store is hive-partitioned by split: a directory-
+        # scoped read prunes for free, where filter(expr=...) over the
+        # full store is not guaranteed to push down into partition dirs
+        # on this Ray version (3 full-store scans at funnel scale)
+        d = os.path.join(clean_dir, f"split={name}")
+        if not os.path.isdir(d):  # split got zero rows -> no dir written
+            return rd.from_arrow(pa.table({
+                "url": pa.array([], pa.string()),
+                "text": pa.array([], pa.large_string()),
+                "host": pa.array([], pa.string()),
+            }))
+        return rd.read_parquet(d)
 
     vocab_ref = unigram_count_ref(_split_ds("train"), "text")
     summaries = {}

@@ -12,9 +12,9 @@ import pandas as pd
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from ocr_suite_ray.sources.readers import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------------------

@@ -72,16 +72,41 @@ def ingest_jsonl(src_dir: str, pages_dir: str, row_group_size: int = 4096) -> li
             # string-typed, and a single fraction-less strptime format
             # would crash the whole ingest on one such record
             sv = pc.cast(ts_col, pa.string())
-            sv = pc.replace_substring_regex(sv, r"Z$", "")
-            has_frac = pc.match_substring_regex(sv, r"\.\d+$")
-            sv = pc.if_else(
-                has_frac, sv,
-                pc.binary_join_element_wise(sv, ".000000", ""),
+            norm = pc.replace_substring_regex(sv, r"Z$", "")
+            has_frac = pc.match_substring_regex(norm, r"\.\d+$")
+            norm = pc.if_else(
+                has_frac, norm,
+                pc.binary_join_element_wise(norm, ".000000", ""),
             )
-            ts = pc.cast(
-                pc.strptime(sv, format="%Y-%m-%dT%H:%M:%S.%f", unit="us"),
-                pa.timestamp("us"),
-            )
+            try:
+                ts = pc.cast(
+                    pc.strptime(
+                        norm, format="%Y-%m-%dT%H:%M:%S.%f", unit="us"
+                    ),
+                    pa.timestamp("us"),
+                )
+            except pa.ArrowInvalid:
+                # explicit numeric offsets ('+00:00') and >6 fraction
+                # digits fail the single strptime; mirror the tolerant
+                # warc._warc_date_us fallback per row instead of
+                # aborting the whole file on one such record
+                from datetime import datetime, timezone
+
+                def _iso_us(v):
+                    if v is None:
+                        return None
+                    dt = datetime.fromisoformat(
+                        v.strip().replace("Z", "+00:00")
+                    )
+                    if dt.tzinfo is not None:
+                        dt = dt.astimezone(timezone.utc).replace(
+                            tzinfo=None
+                        )
+                    return dt
+                ts = pa.array(
+                    [_iso_us(v) for v in sv.to_pylist()],
+                    pa.timestamp("us"),
+                )
         out = pa.table({"url": pc.cast(t["url"], pa.string()),
                         "warc_ts": ts, "html": html})
         tmp = dst + f".tmp{os.getpid()}"

@@ -77,7 +77,9 @@ def export_token_shards(ds, out_dir: str, *, order_col: str = "doc_id",
                         seqs_per_shard: int = 1024) -> dict:
     """Write the corpus as packed uint32 token shards (see module doc).
 
-    ``ds`` needs ``order_col`` (unique int64) and ``ids_col``
+    ``ds`` needs ``order_col`` (a UNIQUE, totally ordered key — int64 or
+    string both work; the packing scan sorts generically, pretrain's
+    pass C orders by the string ``url``) and ``ids_col``
     (list<int32/uint32>). Returns a summary dict with per-shard metadata
     (shard_id, n_seqs, path) and the dropped-tail token count.
     """

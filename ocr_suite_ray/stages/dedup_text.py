@@ -1004,6 +1004,13 @@ class _ProbeVerifier:
         )
 
 
+# auto-route boundary for minhash_lsh_pairs: at/below this many docs the
+# md5-parity kernel finishes comfortably (sf oracles, unit corpora); above
+# it the scale tier (fast grams + bucket cap) is the only shape that
+# completed the 10M-doc drive inside budget (BASELINE.md round 4)
+_MINHASH_AUTO_MD5_LIMIT = 2_000_000
+
+
 def minhash_lsh_pairs(
     ds,
     id_col: str = "doc_id",
@@ -1012,8 +1019,8 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_partitions: int = 16,
     narrow_verify_limit: int = 200_000,
-    max_bucket: int | None = None,
-    gram_hash: str = "md5",
+    max_bucket: int | None | str = "auto",
+    gram_hash: str = "auto",
     wide_verify: str = "auto",
     probe_budget_bytes: int = 24 << 30,
     pair_scope: str = "all",
@@ -1038,7 +1045,15 @@ def minhash_lsh_pairs(
 
     ``gram_hash`` selects the shingle hash family:
 
-    - ``"md5"`` (default): low-8-bytes-of-md5 per gram — DuckDB's
+    - ``"auto"`` (default): SIZE-ROUTED, the ``cross_corpus_dedup`` tier
+      pattern — corpora at or below ``_MINHASH_AUTO_MD5_LIMIT`` docs run
+      the md5-parity kernel uncapped (identical to the SQL oracle), and
+      larger corpora take the scale tier (``"fast"`` grams +
+      ``max_bucket=1000``) that the round-4 10M-doc drive needed explicit
+      flags for. The probe is ``ds.count()`` — metadata-only for
+      parquet-backed inputs; derived inputs pay one extra pass, so
+      composing pipelines (curate/pretrain) pass the flags explicitly.
+    - ``"md5"``: low-8-bytes-of-md5 per gram — DuckDB's
       ``md5_number_lower``, so the FULL chain carries a value-hash SQL
       oracle. Cost: every gram string must be materialized and the
       distinct ones md5-ed (~5.2 s per 10M-scale block, the round-3
@@ -1062,8 +1077,17 @@ def minhash_lsh_pairs(
     # fail fast on typos: an unknown value would otherwise silently take the
     # md5 / shuffle route, whose 10x failure modes (blown signature budget,
     # object-store exhaustion) are exactly what these flags exist to avoid
-    if gram_hash not in ("md5", "fast"):
-        raise ValueError(f"gram_hash must be 'md5' or 'fast', got {gram_hash!r}")
+    if gram_hash not in ("auto", "md5", "fast"):
+        raise ValueError(
+            f"gram_hash must be 'auto', 'md5' or 'fast', got {gram_hash!r}"
+        )
+    if gram_hash == "auto" or max_bucket == "auto":
+        n_docs = ds.count()
+        small = n_docs <= _MINHASH_AUTO_MD5_LIMIT
+        if gram_hash == "auto":
+            gram_hash = "md5" if small else "fast"
+        if max_bucket == "auto":
+            max_bucket = None if small else 1000
     if wide_verify not in ("auto", "probe", "shuffle"):
         raise ValueError(
             f"wide_verify must be 'auto', 'probe' or 'shuffle', got {wide_verify!r}"
@@ -1111,8 +1135,9 @@ def minhash_lsh_pairs(
             # thousands of docs means mass near-identical duplicates (run
             # exact/cluster dedup first) and would explode the candidate
             # set — the standard LSH cap (cf. Spark MinHashLSH) skips such
-            # buckets. Opt-in: the sf-scale SQL oracle uses None so engine
-            # and DuckDB enumerate identical pair sets.
+            # buckets. The "auto" route resolves this to None at sf-oracle
+            # scale (engine and DuckDB enumerate identical pair sets) and
+            # to 1000 past the md5 limit.
             sz = multi.groupby("key")[id_col].transform("size")
             multi = multi[sz.to_numpy() <= max_bucket]
         if multi.empty:

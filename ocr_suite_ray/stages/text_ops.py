@@ -771,7 +771,7 @@ def host_stats(ds, url_col: str = "url", weight_col: str | None = None,
         return g.rename_columns(names)
 
     def _fold(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["host", "tld"], as_index=False).sum()
+        return _sum_fold(df, ["host", "tld"])
 
     return grouped_reduce_c(
         ds.map_batches(_partial, batch_format="pyarrow"),
@@ -779,6 +779,18 @@ def host_stats(ds, url_col: str = "url", weight_col: str | None = None,
         _fold,
         num_buckets=num_buckets,
     )
+
+
+def _sum_fold(df: pd.DataFrame, keys: list) -> pd.DataFrame:
+    """Partial-summing fold with SQL SUM semantics on ``sum_weight``: an
+    all-NULL group stays NULL (``min_count=1``) instead of NaN-coercing
+    to 0, and the nullable Int64 detour keeps the column integer-typed
+    through pandas so the output schema matches the no-null case."""
+    aggs = {"n_docs": ("n_docs", "sum")}
+    if "sum_weight" in df.columns:
+        df = df.assign(sum_weight=df["sum_weight"].astype("Int64"))
+        aggs["sum_weight"] = ("sum_weight", lambda s: s.sum(min_count=1))
+    return df.groupby(keys, as_index=False).agg(**aggs)
 
 
 def host_rollup(ds, url_col: str = "url", weight_col: str | None = None,
@@ -818,12 +830,13 @@ def host_rollup(ds, url_col: str = "url", weight_col: str | None = None,
             pieces.append(g.append_column(
                 "level", pa.array([level] * g.num_rows, pa.string())
             ))
-        # corpus-total partial: one row per block
+        # corpus-total partial: one row per block. SUM keeps SQL
+        # semantics: an all-NULL weight block contributes NULL (not 0)
         tot = {"key": pa.array([""], pa.string()),
                "n_docs": pa.array([base.num_rows], pa.int64()),
                "level": pa.array(["all"], pa.string())}
         if weight_col is not None:
-            s = pc.sum(base["w"]).as_py() or 0
+            s = pc.sum(base["w"]).as_py()
             tot["sum_weight"] = pa.array([s], pa.int64())
         order = ["level", "key", "n_docs"] + (
             ["sum_weight"] if weight_col is not None else []
@@ -832,7 +845,7 @@ def host_rollup(ds, url_col: str = "url", weight_col: str | None = None,
         return pa.concat_tables([p.select(order) for p in pieces])
 
     def _fold(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["level", "key"], as_index=False).sum()
+        return _sum_fold(df, ["level", "key"])
 
     return grouped_reduce_c(
         ds.map_batches(_partial, batch_format="pyarrow"),

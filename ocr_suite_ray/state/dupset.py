@@ -367,7 +367,7 @@ def winner_table_ref(partials_ds, key_col: str = "s", n_col: str = "n",
         )
         return out[out[n_col] > 1][[key_col, win_col]]
 
-    dups = grouped_reduce_c(partials_ds, [key_col], _fold)
+    dups = grouped_reduce_c(partials_ds, [key_col], _fold, num_buckets=num_buckets)
 
     def _merge(t: pa.Table) -> pa.Table:
         return t  # buckets are disjoint: concat only

@@ -109,3 +109,31 @@ def test_export_jsonl_empty_dir_raises(ray_session, tmp_path):
     d.mkdir()
     with pytest.raises(FileNotFoundError):
         export_jsonl(str(d), str(tmp_path / "o"))
+
+
+def test_ingest_tolerant_iso_timestamps(ray_session, tmp_path):
+    """ISO-8601 variants the single strptime cannot parse — explicit
+    numeric offsets and >6 fraction digits — fall back per row instead
+    of aborting the file (mirrors warc._warc_date_us tolerance)."""
+    import datetime as dt
+
+    jl_dir = str(tmp_path / "jl")
+    os.makedirs(jl_dir)
+    rows = [
+        {"url": "https://a.com/1", "warc_ts": "2024-01-02T03:04:05+00:00",
+         "html": "<html>a</html>"},
+        {"url": "https://a.com/2", "warc_ts": "2024-01-02T04:04:05.1234567Z",
+         "html": "<html>b</html>"},
+        {"url": "https://a.com/3", "warc_ts": "2024-01-02T06:04:05+02:00",
+         "html": "<html>c</html>"},
+    ]
+    with open(os.path.join(jl_dir, "d.jsonl"), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    out = ingest_jsonl(jl_dir, str(tmp_path / "pages"))
+    t = pq.read_table(out[0]).sort_by("url")
+    got = t["warc_ts"].to_pylist()
+    assert got[0] == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert got[1] == dt.datetime(2024, 1, 2, 4, 4, 5, 123456)
+    # +02:00 offset normalizes to UTC-naive
+    assert got[2] == dt.datetime(2024, 1, 2, 4, 4, 5)

@@ -60,3 +60,19 @@ def test_host_split_is_group_consistent():
     per_host = out.groupby("host")["split"].nunique()
     assert (per_host == 1).all()
     assert set(out["split"].unique()) <= {"train", "val", "test"}
+
+
+def test_null_weight_sql_sum_semantics():
+    """SQL SUM: an all-NULL-weight group yields NULL, not 0; partial
+    NULLs are skipped. Output stays integer-typed either way."""
+    t = pa.table({
+        "url": ["https://a.com/x", "https://a.com/y", "https://b.com/z"],
+        "w": pa.array([None, None, 5], pa.int64()),
+    })
+    out = host_rollup(
+        rd.from_arrow(t).repartition(2), "url", weight_col="w"
+    ).to_pandas()
+    hosts = out[out["level"] == "host"].set_index("key")
+    assert pd.isna(hosts.loc["a.com", "sum_weight"])
+    assert hosts.loc["b.com", "sum_weight"] == 5
+    assert out[out["level"] == "all"]["sum_weight"].tolist() == [5]

@@ -121,3 +121,33 @@ def test_heavy_hitters_empty(ray_session):
     # NOTE: Dataset.to_pandas() drops columns on a 0-row dataset; the
     # schema is the stable contract
     assert got.schema().names == ["item", "n"]
+
+
+def test_approx_distinct_sparse_exact_regime(ray_session):
+    """exact_threshold above the corpus cardinality -> EXACT count
+    (the regime the catalog query runs under its COUNT(DISTINCT) twin),
+    at any parallelism."""
+    import ray.data as rd
+
+    vals = [int(x) for x in np.arange(500) % 37] + [None] * 10
+    for parallelism in (1, 8):
+        ds = rd.from_arrow(
+            pa.table({"v": pa.array(vals, pa.int64())})
+        ).repartition(parallelism)
+        assert approx_distinct(ds, "v", exact_threshold=1000) == 37
+
+
+def test_approx_distinct_sparse_promotes_to_dense(ray_session):
+    """Union overflowing the threshold promotes to HLL registers — the
+    estimate degrades to the dense sketch's accuracy, not garbage."""
+    import ray.data as rd
+
+    n = 5000
+    ds = rd.from_arrow(
+        pa.table({"v": pa.array(np.arange(n), pa.int64())})
+    ).repartition(8)
+    est = approx_distinct(ds, "v", exact_threshold=100)
+    assert abs(est - n) / n < 0.05
+    # threshold=0 (dense-only) stays on the old path, same ballpark
+    est0 = approx_distinct(ds, "v", exact_threshold=0)
+    assert abs(est0 - n) / n < 0.05
