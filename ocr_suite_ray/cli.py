@@ -147,6 +147,15 @@ def main(argv: list[str] | None = None) -> int:
         help="output format (default jsonl)",
     )
 
+    pm = sub.add_parser(
+        "migrate",
+        help="schema-migrate a store through the registered version ladder "
+             "(lineage carried: resume skips every partition afterwards)",
+    )
+    pm.add_argument("--out", required=True, help="source store dir (read-only)")
+    pm.add_argument("--dst", required=True, help="migrated store dir")
+    pm.add_argument("--to-version", type=int, required=True)
+
     pg = sub.add_parser("gen", help="generate a synthetic pages corpus")
     pg.add_argument("--pages", required=True)
     pg.add_argument("--n-pages", type=int, default=10_000)
@@ -209,6 +218,12 @@ def main(argv: list[str] | None = None) -> int:
 
             files = generate_corpus(a.pages, a.n_pages, seed=a.seed, n_files=a.n_files)
             print(json.dumps({"files": len(files), "dir": a.pages}))
+        elif a.cmd == "migrate":
+            from ocr_suite_ray.state.migrate import migrate_store
+
+            print(json.dumps(
+                migrate_store(a.out, a.dst, to_version=a.to_version)
+            ))
         elif a.cmd == "extract":
             from ocr_suite_ray.pipelines.extract import ExtractConfig, run_pipeline
 

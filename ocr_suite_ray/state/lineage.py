@@ -114,7 +114,8 @@ def load_records(out_dir: str) -> dict[int, LineageRecord]:
 
 
 def pending_partitions(
-    files: list[str], out_dir: str, salt: str | dict = ""
+    files: list[str], out_dir: str, salt: str | dict = "",
+    schema_version: int = SCHEMA_VERSION,
 ) -> list[tuple[int, str]]:
     """(pid, path) for every input partition that is not verifiably done.
 
@@ -134,7 +135,7 @@ def pending_partitions(
         if (
             rec is not None
             and rec.status == STATUS_DONE
-            and rec.schema_version == SCHEMA_VERSION
+            and rec.schema_version == schema_version
             and rec.input_fingerprint == fingerprint_with_salt(path, salt)
         ):
             continue
