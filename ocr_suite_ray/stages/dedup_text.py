@@ -21,6 +21,7 @@ layout.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -437,9 +438,10 @@ def dup_span_scrub(
     k: int = 5,
     min_count: int = 2,
     gram_key: str = "exact",
-    num_buckets: int = 64,
     max_broadcast_rows: int = 100_000_000,
-    num_shards: int = 1,
+    num_shards: int = 16,
+    scratch_dir: str | None = None,
+    fold_budget_bytes: int = 2 << 30,
 ):
     """Exact duplicated-span REMOVAL (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better" — public method, at word-
@@ -450,16 +452,20 @@ def dup_span_scrub(
     ``(id, text, n_kept, n_removed)`` where ``text`` is the kept tokens
     re-joined with single spaces.
 
-    Scale shape: pass 1 exchanges only sub-threshold ``(gram[, count])``
-    partials — per-block ``value_counts`` combiners; grams already
-    duplicated >= ``min_count`` times within a block skip the exchange
-    entirely (dup-rate-bound tree union); the remainder takes one bucket
-    shuffle per gram-space shard (``num_shards``, see the pass-1 comment:
-    serial shards bound the sort shuffle's transient spill on gram-dense
-    corpora at the cost of extra gram-hash passes) -> a within-bucket C
-    fold + the ``>= min_count`` filter. The reduced table is the DUP-gram
-    set (dup-rate bound, never corpus bound), merged off-driver and
-    broadcast once. Pass 2 streams: each
+    Scale shape: pass 1 is an EXTERNAL-SORT count exchange — ONE corpus
+    scan writes per-block ``(gram, n)`` ``value_counts`` partials as
+    slot-sharded zstd parquet runs on scratch storage (``num_shards``
+    slots by high hash bits), then memory-budgeted fold tasks
+    (``fold_budget_bytes`` each, reserved via Ray's memory resource, run
+    in parallel) stream the runs back, segment-sum counts in numpy C and
+    keep the ``>= min_count`` survivors. The exchange never touches the
+    object store, so there is no sort-shuffle transient spill (the
+    round-4 serial-shard form existed to bound that spill and paid
+    ``num_shards-1`` extra corpus passes for it) and run files are the
+    compact 16 B/row form. The reduced table is the DUP-gram set
+    (dup-rate bound, never corpus bound), merged off-driver and
+    broadcast once. ``scratch_dir`` must be shared storage on a
+    multi-node cluster. Pass 2 streams: each
     batch probes its gram windows with one ``is_in`` C kernel; span
     coverage is a +/-1 delta cumsum over the flat token array; kept text
     is rebuilt with ``ListArray.from_arrays`` + one ``binary_join`` — no
@@ -505,87 +511,126 @@ def dup_span_scrub(
             vals = vals.combine_chunks()
         return vals, pc.cast(vc.field("counts"), pa.int64()).to_numpy()
 
-    # Pass 1, split two ways (the 10M-drive disk lessons):
+    # Pass 1 — EXTERNAL-SORT count exchange (replaces the round-4 serial-
+    # shard form, which paid num_shards-1 extra full-corpus gram passes
+    # and still peaked at 98% box RAM):
     #
-    # (a) heavy/light: a gram already occurring >= min_count times WITHIN
-    #     one block is provably a corpus dup — it skips the exchange and
-    #     rides a dup-rate-bound tree union. A gram can land on both
-    #     sides (heavy in one block, light in another); the final union
-    #     dedups, so correctness is unaffected.
-    # (b) gram-space sharding (``num_shards`` > 1): the light exchange is
-    #     O(sum of per-block distinct sub-threshold grams) — on a
-    #     gram-dense corpus (the synthetic worst case: ~every window
-    #     globally duplicated but block-locally singleton) that is
-    #     ~window-count rows and the ONE sort shuffle's transient spill
-    #     exceeds a single box's disk. Sharding partitions the GRAM space
-    #     and runs the count exchange once per shard, serially: peak
-    #     spill drops by num_shards while total work stays constant
-    #     (plus num_shards-1 extra gram-hash passes over the corpus —
-    #     compute traded for bounded disk, the classic multi-pass
-    #     out-of-core trade). Shard key uses high hash bits so it stays
-    #     independent of the ``num_buckets`` fold key (low bits).
+    # map: ONE corpus scan. Each block's per-block-distinct (gram, n)
+    #   partial is written straight to slot-sharded zstd parquet RUN
+    #   FILES on scratch storage (slot = high hash bits, ``num_shards``
+    #   slots) — Ray's object store never holds the window-bound
+    #   exchange, so there is no sort-shuffle transient spill to blow
+    #   the disk (the 10x gram-dense corpus did, twice, at ~70 GB) and
+    #   no plasma pressure. Heavy within-block dups need no separate
+    #   pass/tree: their explicit n rides the same runs (n compresses to
+    #   ~nothing under zstd RLE — it is almost always 1).
+    # reduce: slots are grouped into memory-budgeted fold tasks
+    #   (``fold_budget_bytes`` of in-memory gram data each, reserved via
+    #   Ray's memory resource so concurrent folds can't oversubscribe
+    #   the box). Each fold streams its runs back, segment-sums counts
+    #   in numpy C, and emits only the >= min_count survivors — dup-rate
+    #   bound. Folds run in PARALLEL; total extra corpus scans: zero.
     #
-    # The min_count == 2 light row is slimmed to (gram, bucket): each
-    # light partial has within-block count exactly 1, so the fold can
-    # count rows instead of summing a constant-1 column.
-    def _heavy_partial(t: pa.Table) -> pa.Table:
-        gram_arr, counts = _gram_counts(t)
-        return pa.table({"gram": gram_arr.filter(pa.array(counts >= min_count))})
+    # Cluster note: scratch_dir must be shared storage on a multi-node
+    # cluster (the standard distributed external-sort contract); the
+    # single-box default is /tmp.
+    import tempfile
+    import uuid
 
-    def _light_partial(t: pa.Table, shard: int) -> pa.Table:
-        gram_arr, counts = _gram_counts(t)
-        m = counts < min_count
-        gram_l = gram_arr.filter(pa.array(m))
-        if hash_mode:
-            # hashes are SplitMix64-finalized — all bits are mixed
-            gv = gram_l.to_numpy(zero_copy_only=False)
-            hv = gv
-        else:
-            hv = pd.util.hash_array(gram_l.to_pandas().to_numpy(dtype=object))
-        if num_shards > 1:
-            sm = ((hv >> np.uint64(32)) % np.uint64(num_shards)).astype(
-                np.int64
-            ) == shard
-            gram_l = gram_l.filter(pa.array(sm))
-            hv = hv[sm]
-            m_counts = counts[m][sm]
-        else:
-            m_counts = counts[m]
-        bucket = (hv % np.uint64(num_buckets)).astype(np.int32)
-        cols = {"gram": gram_l, "__gbucket": pa.array(bucket, pa.int32())}
-        if min_count > 2:
-            cols["n"] = pa.array(m_counts, pa.int64())
-        return pa.table(cols)
-
-    def _sum_filter(g: pd.DataFrame) -> pd.DataFrame:
-        if min_count > 2:
-            s = g.groupby("gram", as_index=False)["n"].sum()
-            return s.loc[s["n"] >= min_count, ["gram"]]
-        s = g.groupby("gram", as_index=False).size()
-        return s.loc[s["size"] >= min_count, ["gram"]]
-
-    def _uniq_cat(t: pa.Table) -> pa.Table:
-        return pa.table({"gram": pc.unique(t["gram"].combine_chunks())})
-
-    heavy_ref = coalesce_reduce(
-        ds.map_batches(_heavy_partial, batch_format="pyarrow"),
-        _uniq_cat,
-        materialize=False,
+    n_slots = max(1, int(num_shards))
+    run_root = os.path.join(
+        scratch_dir or tempfile.gettempdir(),
+        f"ocs_span_runs_{uuid.uuid4().hex}",
     )
-    shard_refs = []
-    for shard in range(num_shards):
-        light_ds = (
-            ds.map_batches(
-                _light_partial,
-                batch_format="pyarrow",
-                fn_args=(shard,),
+    os.makedirs(run_root, exist_ok=True)
+
+    def _write_runs(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        gram_arr, counts = _gram_counts(t)
+        if hash_mode:
+            hv = gram_arr.to_numpy(zero_copy_only=False)
+        else:
+            hv = pd.util.hash_array(
+                gram_arr.to_pandas().to_numpy(dtype=object)
             )
-            .groupby("__gbucket")
-            .map_groups(_sum_filter, batch_format="pandas")
+        # high bits: independent of any low-bit use downstream
+        slot = ((hv >> np.uint64(32)) % np.uint64(n_slots)).astype(np.int64)
+        uid = uuid.uuid4().hex
+        slots, paths, sizes, rows = [], [], [], []
+        for s in np.unique(slot):
+            sm = slot == s
+            tbl = pa.table({
+                "gram": gram_arr.filter(pa.array(sm)),
+                "n": pa.array(counts[sm], pa.int64()),
+            })
+            p = os.path.join(run_root, f"run-{uid}-s{int(s):04d}.parquet")
+            pq.write_table(tbl, p, compression="zstd")
+            slots.append(int(s))
+            paths.append(p)
+            sizes.append(os.path.getsize(p))
+            rows.append(tbl.num_rows)
+        return pa.table({
+            "slot": pa.array(slots, pa.int32()),
+            "path": pa.array(paths, pa.string()),
+            "bytes": pa.array(sizes, pa.int64()),
+            "rows": pa.array(rows, pa.int64()),
+        })
+
+    # O(blocks x slots) metadata rows — driver-safe
+    meta = ds.map_batches(_write_runs, batch_format="pyarrow").to_pandas()
+
+    @ray.remote
+    def _fold(files: list) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        if hash_mode:
+            v = t["gram"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = t["n"].combine_chunks().to_numpy(zero_copy_only=False)
+            order = np.argsort(v, kind="stable")
+            sv, sn = v[order], n[order]
+            if len(sv) == 0:
+                return pa.table({"gram": pa.array([], pa.uint64())})
+            new = np.ones(len(sv), bool)
+            new[1:] = sv[1:] != sv[:-1]
+            idx = np.nonzero(new)[0]
+            sums = np.add.reduceat(sn, idx)
+            return pa.table(
+                {"gram": pa.array(sv[idx][sums >= min_count], pa.uint64())}
+            )
+        df = t.to_pandas()
+        g = df.groupby("gram", as_index=False)["n"].sum()
+        return pa.table(
+            {"gram": pa.array(g.loc[g["n"] >= min_count, "gram"], pa.string())}
         )
-        # coalesce_reduce executes the shard's shuffle HERE, serially —
-        # one shard's spill on disk at a time
-        shard_refs.append(coalesce_reduce(light_ds, _uniq_cat, materialize=False))
+
+    fold_refs = []
+    if len(meta):
+        per_slot = meta.groupby("slot").agg(
+            rows=("rows", "sum"), bytes=("bytes", "sum")
+        )
+        files_by_slot = meta.groupby("slot")["path"].apply(list)
+        group, cost = [], 0
+        groups = []
+        for s, r in per_slot.iterrows():
+            # in-memory cost estimate: 16 B/row hash mode (gram+n),
+            # ~6x compressed bytes for gram strings
+            c = int(r["rows"] * 16) if hash_mode else int(r["bytes"] * 6)
+            if group and cost + c > fold_budget_bytes:
+                groups.append((group, cost))
+                group, cost = [], 0
+            group.append(int(s))
+            cost += c
+        if group:
+            groups.append((group, cost))
+        for slot_group, est in groups:
+            files = [f for s in slot_group for f in files_by_slot[s]]
+            # reserve ~3x the data (sort temporaries) so parallel folds
+            # can't oversubscribe the box
+            fold_refs.append(
+                _fold.options(memory=max(64 << 20, 3 * est)).remote(files)
+            )
 
     @ray.remote
     def _merge_dups(*tbls):
@@ -598,29 +643,35 @@ def dup_span_scrub(
             # membership test against the plasma-backed buffer — zero
             # per-worker copy and no per-batch hash-set build, which is
             # what makes a corpus-bound dup table (the gram-dense worst
-            # case) probe-able at all
+            # case) probe-able at all. Slots are disjoint, so this is a
+            # sorted concat of already-distinct tables.
             vals = np.unique(
                 merged["gram"].combine_chunks().to_numpy(zero_copy_only=False)
             )
             return pa.table({"gram": pa.array(vals, pa.uint64())})
         return pa.table({"gram": pc.unique(merged["gram"].combine_chunks())})
 
-    all_refs = [heavy_ref] + shard_refs
-    dup_ref = (
-        _merge_dups.remote(*all_refs)
-        if any(r is not None for r in all_refs)
-        else None
-    )
-    if dup_ref is not None:
-        n_dup = ray.get(
-            ray.remote(lambda t: 0 if t is None else t.num_rows).remote(dup_ref)
-        )
-        if n_dup > max_broadcast_rows:
-            raise ValueError(
-                f"dup_span_scrub broadcast tier: {n_dup} dup grams exceed the "
-                f"{max_broadcast_rows}-row budget; use gram_key='hash64' "
-                "(8 B/gram) or shard the scrub by gram bucket."
+    dup_ref = _merge_dups.remote(*fold_refs) if fold_refs else None
+    try:
+        if dup_ref is not None:
+            n_dup = ray.get(
+                ray.remote(
+                    lambda t: 0 if t is None else t.num_rows
+                ).remote(dup_ref)
             )
+            if n_dup > max_broadcast_rows:
+                raise ValueError(
+                    f"dup_span_scrub broadcast tier: {n_dup} dup grams "
+                    f"exceed the {max_broadcast_rows}-row budget; use "
+                    "gram_key='hash64' (8 B/gram) or shard the scrub by "
+                    "gram bucket."
+                )
+    finally:
+        # the count above forced every fold to completion (dup_ref is
+        # its downstream), so the runs are dead weight now
+        import shutil
+
+        shutil.rmtree(run_root, ignore_errors=True)
 
     def _value_set(tbl):
         if tbl is None or not tbl.num_rows:
@@ -674,7 +725,11 @@ def dup_span_scrub(
             }
         )
 
-    return ds.map_batches(_scrub, batch_format="pyarrow")
+    # batch_size caps the probe temporaries (window hashes + delta
+    # cumsum are O(batch tokens)); windows never cross rows, so the
+    # output is batch-size invariant — this is purely a RAM ceiling for
+    # the gram-dense worst case (the 10x drive's 98% peak)
+    return ds.map_batches(_scrub, batch_format="pyarrow", batch_size=8192)
 
 
 # ---------------------------------------------------------------------------

@@ -117,18 +117,15 @@ def _consume(res) -> int:
 
 
 def drive_minhash():
-    """The round-3 open finding: 10M-doc minhash_lsh_pairs inside 25 min.
-    gram_hash="fast" (md5-free engine path; the md5 path stays pinned to
-    the sf-scale SQL oracle), max_bucket=1000 (the synthetic corpus carries
-    a 12k-doc identical-text cluster — mass exact dups are exact-dedup's
-    job; the cap is the standard LSH mass-duplicate guard, cf. Spark
-    MinHashLSH)."""
+    """The round-3 open finding: 10M-doc minhash_lsh_pairs inside 25 min
+    — now with NO flags passed (round-5 criterion): the "auto" defaults
+    size-route past _MINHASH_AUTO_MD5_LIMIT to the scale tier
+    (gram_hash="fast", max_bucket=1000) that round 4 needed explicit
+    flags for; the md5 path stays pinned to the sf-scale SQL oracle."""
     from ocr_suite_ray.stages.dedup_text import minhash_lsh_pairs
 
     ds = store_docs()
-    pairs = minhash_lsh_pairs(
-        ds, threshold=0.5, gram_hash="fast", max_bucket=1000
-    )
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
     return _consume(pairs)
 
 
@@ -307,24 +304,89 @@ def drive_decon_hash():
 
 
 def drive_spanscrub():
-    """Exact duplicated-span removal over the full store (hash64 tier +
-    4 gram-space shards). The 50-word vocab is the adversarial case: ~all
-    of the ~3.3B windows are corpus-wide dups yet block-locally singleton
-    (measured: 99.8% of a block's distinct grams are block-singletons),
-    so the count exchange is window-bound — the unsharded sort shuffle's
-    transient spill exceeded this box's disk twice (~70 GB). Shards bound
-    the spill; on real web text the sub-threshold exchange is far smaller
-    and num_shards=1 is right."""
+    """Exact duplicated-span removal over the full store (hash64 tier,
+    round-5 external-sort count exchange at its defaults). The 50-word
+    vocab is the adversarial case: ~all of the ~3.3B windows are
+    corpus-wide dups yet block-locally singleton (measured: 99.8% of a
+    block's distinct grams are block-singletons), so the count exchange
+    is window-bound — the round-3 unsharded sort shuffle's transient
+    spill exceeded this box's disk twice (~70 GB), and the round-4
+    serial-shard fix paid 3 extra corpus passes and peaked at 98% RAM.
+    The external-sort form writes slot-sharded zstd runs in ONE pass
+    (~8 B/window on disk — bounded and predictable) and folds them in
+    memory-budgeted parallel tasks."""
     from ocr_suite_ray.stages.dedup_text import dup_span_scrub
 
     return _consume(
         dup_span_scrub(
             store_docs(),
             gram_key="hash64",
-            num_shards=4,
             max_broadcast_rows=500_000_000,
         )
     )
+
+
+def drive_extract_skew() -> dict:
+    """Flagship under a PDF-HEAVY (20%) + giant-DOM (5%) skewed corpus —
+    the VisionKit-serialization lesson (SURVEY §4) at scale: the same
+    corpus through the single shared pool and through
+    ``split_pdf_pool=True`` (dedicated slow-lane PDF pool) must be
+    byte-identical, with the wave-wall distribution bounded (a PDF
+    straggler stalls a shared pool's whole wave). Returns the full
+    comparison record."""
+    import shutil
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from ocr_suite_ray.pipelines.extract import ExtractConfig, run_pipeline
+    from ocr_suite_ray.sources.synthetic_skew import generate_skew_corpus
+    from ocr_suite_ray.state import lineage as lin
+
+    n = int(os.environ.get("OCS_SKEW_PAGES", 2_000_000))
+    pages = os.path.join(BASE, "pages_skew")
+    generate_skew_corpus(pages, n, seed=42, n_files=64)
+
+    def _final_table(out):
+        import glob as _g
+
+        import pyarrow.compute as pc_
+
+        files = sorted(_g.glob(os.path.join(out, "final", "uniq-*.parquet")))
+        t = pads.dataset(files).to_table()
+        return t.take(
+            pc_.sort_indices(t, sort_keys=[("url", "ascending")])
+        )
+
+    rec: dict = {"metric": "extract_skew_10x", "n_pages": n,
+                 "num_cpus": NUM_CPUS}
+    tables = {}
+    for name, cfg in (
+        ("single", ExtractConfig(pool_size=max(4, NUM_CPUS - 4))),
+        ("split", ExtractConfig(
+            pool_size=max(4, NUM_CPUS - 10),
+            split_pdf_pool=True, pdf_pool_size=6,
+        )),
+    ):
+        out = os.path.join(BASE, f"out_skew_{name}")
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.monotonic()
+        run_pipeline(pages, out, cfg)
+        wall = time.monotonic() - t0
+        walls = sorted(
+            r.stage_metrics.get("wave_wall_s", 0.0)
+            for r in lin.load_records(out).values()
+        )
+        rec[name] = {
+            "wall_s": round(wall, 1),
+            "wave_wall_p50": round(float(np.percentile(walls, 50)), 2),
+            "wave_wall_p99": round(float(np.percentile(walls, 99)), 2),
+            "wave_wall_max": round(max(walls), 2),
+        }
+        tables[name] = _final_table(out)
+    rec["byte_identical"] = tables["single"].equals(tables["split"])
+    rec["rows"] = tables["single"].num_rows
+    return rec
 
 
 def drive_c4():
@@ -999,6 +1061,7 @@ def drive_ev_pivot():
 
 DRIVES = {
     "extract": None,  # special-cased
+    "extract_skew": None,  # special-cased
     "minhash": drive_minhash,
     "simhash": drive_simhash,
     "substring": drive_substring,
@@ -1087,6 +1150,11 @@ def main():
                 "docs_per_sec": round(r["docs"] / r["sec"], 1),
                 "num_cpus": NUM_CPUS,
             }
+        elif op == "extract_skew":
+            t0 = time.monotonic()
+            rec = drive_extract_skew()
+            rec["value"] = round(time.monotonic() - t0, 3)
+            rec["unit"] = "sec"
         elif op == "embgen":
             t0 = time.monotonic()
             ensure_embeddings()
