@@ -190,7 +190,7 @@ def run_curation(
             g = df.groupby("s", as_index=False).agg(
                 n=("u", "size"), u=("u", "min")
             )
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
         raw_ref = winner_table_ref(
             ok.map_batches(_win_partial, batch_format="pyarrow"),

@@ -119,13 +119,13 @@ def run_pretrain_prep(
         g = df.groupby("h", as_index=False).agg(
             n=("url", "size"), url=("url", "min")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def _winner_merge(t: pa.Table) -> pa.Table:
         df = t.to_pandas().groupby("h", as_index=False).agg(
             n=("n", "sum"), url=("url", "min")
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def _winner_root(t: pa.Table) -> pa.Table:
         # dup-rate bound: only hashes seen more than once gate anything

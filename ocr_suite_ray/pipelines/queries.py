@@ -1023,7 +1023,7 @@ def q_streaming_state(sf_dir: str):
     df = df.copy()
     for c, scale in (("sum", 100), ("max", 100), ("ema", 10000)):
         df[c] = np.floor(df[c] * scale + 0.5).astype("int64")
-    return pa_mod.Table.from_pandas(df, preserve_index=False)
+    return pa_mod.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
 SQL_STREAMING_STATE = """

@@ -77,7 +77,7 @@ def connected_components(pairs_ds, max_rounds: int = 16) -> pd.DataFrame:
                 {"node": np.concatenate([a, b]), "lab": np.concatenate([m, m])}
             )
             out = out.groupby("node", as_index=False)["lab"].min()
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
         upd = edges.map_batches(_updates, batch_format="pyarrow").to_pandas()
         if upd.empty or "node" not in upd.columns:

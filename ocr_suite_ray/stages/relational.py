@@ -602,7 +602,7 @@ def pivot_counts(ds, key_col: str, pivot_col: str, values: list,
             df.groupby(key_col, sort=False)["_n"].sum()
             .reindex(wide.index).to_numpy().astype("int64")
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     empty_fields = (
         [pa.field(key_col, key_type or pa.string())]

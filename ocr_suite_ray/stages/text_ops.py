@@ -1814,7 +1814,8 @@ def collocations_pmi(ds, text_col: str = "text", min_count: int = 5,
         out = out[out["n"] >= min_count]
         out = out.sort_values(["pmi_e4", "gram"], ascending=[False, True],
                               kind="mergesort").head(k)
-        return pa.Table.from_pandas(out.reset_index(drop=True),
-                                    preserve_index=False)
+        return pa.Table.from_pandas(
+            out.reset_index(drop=True), preserve_index=False
+        ).replace_schema_metadata(None)
 
     return rd.from_arrow_refs([_pmi.remote(ref)])

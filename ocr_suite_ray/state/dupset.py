@@ -60,7 +60,7 @@ def tree_reduce_refs(refs: list, combine_fn, final_fn=None, materialize: bool = 
                 # coalesce_reduce for why that API is avoided)
                 if len(t) == 0:
                     continue
-                t = pa.Table.from_pandas(t, preserve_index=False)
+                t = pa.Table.from_pandas(t, preserve_index=False).replace_schema_metadata(None)
             elif t.num_rows == 0:
                 continue
             live.append(t)
