@@ -63,7 +63,7 @@ def run_pretrain_prep(
     decon_n: int = 5,
     gram_key: str = "exact",
     near_dup: str | None = None,
-    dup_exchange: str = "tree",
+    dup_exchange: str = "auto",
 ) -> dict:
     import pyarrow.compute as pc
     import ray
@@ -135,11 +135,19 @@ def run_pretrain_prep(
     # per corpus-DISTINCT cleaned text — right while that table fits one
     # worker; "shuffle" routes the winner build through ONE bucket
     # exchange + per-bucket C folds where only count>1 survivors merge
-    # (dupset.winner_table_ref). Identical output either way.
-    if dup_exchange not in ("tree", "shuffle"):
+    # (dupset.winner_table_ref). Identical output either way. "auto"
+    # size-routes (the minhash pattern): beyond ~2M docs the tree's
+    # serial root merge is the funnel's single largest stage (~6 min of
+    # the round-5 10x drive's 621 s was ONE task pandas-groupby-ing the
+    # corpus-distinct winner table), while the bucket exchange folds it
+    # in parallel. The count probe is metadata-only (direct parquet read).
+    if dup_exchange not in ("auto", "tree", "shuffle"):
         raise ValueError(
-            f"dup_exchange must be tree|shuffle, got {dup_exchange!r}"
+            f"dup_exchange must be auto|tree|shuffle, got {dup_exchange!r}"
         )
+    if dup_exchange == "auto":
+        n_store = rd.read_parquet(final_dir, columns=["url"]).count()
+        dup_exchange = "tree" if n_store <= 2_000_000 else "shuffle"
     if dup_exchange == "shuffle":
         from ocr_suite_ray.state.dupset import winner_table_ref
 

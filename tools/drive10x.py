@@ -389,6 +389,30 @@ def drive_extract_skew() -> dict:
     return rec
 
 
+def drive_migrate():
+    """migrate_store at 10x: the 10.57M-capture store v1 -> v2 with an
+    added derived column — one copy pass, one Ray task per partition,
+    lineage carried. The alternative this op exists to avoid is a full
+    re-extraction (96+ s of extraction vs a copy)."""
+    import shutil
+
+    from ocr_suite_ray.state.migrate import migrate_store
+
+    def _v2(t):
+        import pyarrow as pa_
+        import pyarrow.compute as pc_
+
+        return t.append_column(
+            "text_len", pc_.cast(pc_.utf8_length(t["text"]), pa_.int32())
+        )
+
+    dst = os.path.join(BASE, "out_v2")
+    shutil.rmtree(dst, ignore_errors=True)
+    s = migrate_store(OUT_DIR, dst, to_version=2, steps={2: _v2})
+    shutil.rmtree(dst, ignore_errors=True)  # scratch hygiene (9 GB)
+    return s["rows_migrated"] + s["final_rows_migrated"]
+
+
 def drive_c4():
     """C4 line-level cleaning over the full store with synthesized line
     structure (8-token lines, terminal '.' by (doc_id + ord) % 3 — the
@@ -1078,6 +1102,7 @@ DRIVES = {
     "decon": drive_decon,
     "decon_hash": drive_decon_hash,
     "spanscrub": drive_spanscrub,
+    "migrate": drive_migrate,
     "c4": drive_c4,
     "hosts": drive_hosts,
     "rollup": drive_rollup,
