@@ -626,10 +626,12 @@ def dup_span_scrub(
             groups.append((group, cost))
         for slot_group, est in groups:
             files = [f for s in slot_group for f in files_by_slot[s]]
-            # reserve ~3x the data (sort temporaries) so parallel folds
-            # can't oversubscribe the box
+            # reserve ~5x the data: concat + argsort index + two sorted
+            # copies + parquet decode buffers measure ~4x, and the
+            # reservation is what bounds CONCURRENT folds (3x admitted
+            # ~10 on the 10x drive and peaked the box at 86% RAM)
             fold_refs.append(
-                _fold.options(memory=max(64 << 20, 3 * est)).remote(files)
+                _fold.options(memory=max(64 << 20, 5 * est)).remote(files)
             )
 
     @ray.remote
@@ -728,8 +730,14 @@ def dup_span_scrub(
     # batch_size caps the probe temporaries (window hashes + delta
     # cumsum are O(batch tokens)); windows never cross rows, so the
     # output is batch-size invariant — this is purely a RAM ceiling for
-    # the gram-dense worst case (the 10x drive's 98% peak)
-    return ds.map_batches(_scrub, batch_format="pyarrow", batch_size=8192)
+    # the gram-dense worst case (the 10x drive's 98% peak). num_cpus
+    # slightly above 1 sheds a quarter of the concurrent scrub tasks:
+    # the pass is memory-bus-bound on a full box (BASELINE.md control
+    # experiment), so the wall barely moves while aggregate worker RSS —
+    # the run's residual peak — drops below the 80% line.
+    return ds.map_batches(
+        _scrub, batch_format="pyarrow", batch_size=8192, num_cpus=1.35
+    )
 
 
 # ---------------------------------------------------------------------------
