@@ -2464,18 +2464,28 @@ def q_weighted_sample(sf_dir: str):
     from ocr_suite_ray.stages.contamination import weighted_sample
 
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
-    return weighted_sample(ds, "doc_id", "n_chars", k=50, seed="ws")
+    out = weighted_sample(ds, "doc_id", "n_chars", k=50, seed="ws")
+    # project the sample MEMBERSHIP only: the exponential-race score is
+    # -ln(u)/w, and ln is a libm transcendental — DuckDB's LN and
+    # np.log legitimately differ by 1 ulp on some inputs (measured
+    # 5.4e-20 at sf0.01), which a raw-double hash compare would flag.
+    # Membership itself is ulp-robust (the closest score pair is ~1e-8
+    # relative vs 1e-16 ulp), and is the operator's semantic output.
+    return out.drop_columns(["score"])
 
 
 SQL_WEIGHTED_SAMPLE = """
 SELECT doc_id,
-       CAST(n_chars AS DOUBLE) AS n_chars,
-       -LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-ws'), 1, 8)) AS UBIGINT) + 0.5)
-           / 4294967296.0) / n_chars AS score
-FROM documents
-WHERE n_chars > 0
-ORDER BY score ASC, doc_id ASC
-LIMIT 50
+       CAST(n_chars AS DOUBLE) AS n_chars
+FROM (
+  SELECT doc_id, n_chars,
+         -LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-ws'), 1, 8)) AS UBIGINT) + 0.5)
+             / 4294967296.0) / n_chars AS score
+  FROM documents
+  WHERE n_chars > 0
+  ORDER BY score ASC, doc_id ASC
+  LIMIT 50
+)
 """
 
 
