@@ -1637,7 +1637,8 @@ def simhash_table(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3, max_bucket: int | None = None):
+                  max_hamming: int = 3,
+                  max_bucket: int | None | str = "auto"):
     """Near-dup pairs by SimHash: band the 64 bits into max_hamming+1 chunks
     (pigeonhole: any pair within the radius shares >= 1 exact chunk), ONE
     groupby on (chunk_idx, chunk_value), verify Hamming inside buckets.
@@ -1647,8 +1648,11 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     bucket holding thousands of docs means near-identical mass duplicates
     (the 10M drive corpus carries a 12k-doc identical-text cluster —
     ~74M pairs x 4 chunks from that one cluster alone; run exact/cluster
-    dedup first). Opt-in: ``None`` (the sf oracle setting) enumerates
-    every pair."""
+    dedup first). ``"auto"`` (default) size-routes like minhash: ``None``
+    at/below ``_MINHASH_AUTO_MD5_LIMIT`` docs (the sf oracle enumerates
+    every pair) and 1000 above it."""
+    if max_bucket == "auto":
+        max_bucket = None if ds.count() <= _MINHASH_AUTO_MD5_LIMIT else 1000
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
 

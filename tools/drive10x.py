@@ -130,10 +130,13 @@ def drive_minhash():
 
 
 def drive_simhash():
+    """Flag-free since round 5: max_bucket="auto" size-routes to the
+    1000-doc cap past the md5 limit (the 12k-doc identical cluster's
+    ~74M-pair explosion is exact-dedup's job)."""
     from ocr_suite_ray.stages.dedup_text import simhash_pairs
 
     ds = store_docs()
-    return _consume(simhash_pairs(ds, max_hamming=3, max_bucket=1000))
+    return _consume(simhash_pairs(ds, max_hamming=3))
 
 
 def drive_substring():
