@@ -20,6 +20,11 @@ store's dedup output files migrate the same way. No shuffle, no driver
 materialization; wall time is one copy pass. Output is staged and
 atomically promoted (two-rename, the curate.py contract), so a killed
 migration leaves either the old store or the new one — never a hybrid.
+The staging itself is RESUMABLE: each migrated unit (store partition /
+final set) writes a marker keyed by its source lineage fingerprint, and
+a re-run under the identical plan (same version hop, same source
+done-set digest) skips completed units — at 100 TB a migration killed
+at 90% costs 10% to finish, not 100%.
 """
 
 from __future__ import annotations
@@ -93,11 +98,46 @@ def migrate_store(
     old_aside = new_dir.rstrip("/") + ".old"
     if not os.path.exists(new_dir) and os.path.exists(old_aside):
         os.replace(old_aside, new_dir)  # crash inside a prior promote
-    shutil.rmtree(staging, ignore_errors=True)
-    os.makedirs(staging)
+    # RESUMABLE staging (the lineage machinery, reused): a prior killed
+    # migration's staging is kept iff its plan matches this one — same
+    # version hop, same source store (done-set digest). Completed units
+    # carry a marker keyed by the source partition's lineage fingerprint
+    # and are skipped; everything else rewrites. A plan mismatch wipes.
+    plan = {
+        "from_version": from_version,
+        "to_version": to_version,
+        "source_dir": os.path.abspath(old_dir),
+        "source_done": lin.done_fingerprint_set(old_dir),
+    }
+    plan_path = os.path.join(staging, "_migration_plan.json")
+    if os.path.isdir(staging):
+        prior = None
+        try:
+            with open(plan_path) as fh:
+                prior = json.load(fh)
+        except (OSError, ValueError):
+            pass
+        if prior != plan:
+            shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(os.path.join(staging, "_mig_done"), exist_ok=True)
+    with open(plan_path + ".tmp", "w") as fh:
+        json.dump(plan, fh, sort_keys=True)
+    os.replace(plan_path + ".tmp", plan_path)
+
+    def _marker(unit: str) -> str:
+        return os.path.join(staging, "_mig_done", f"{unit}.json")
+
+    def _unit_done(unit: str, fp: str) -> bool:
+        try:
+            with open(_marker(unit)) as fh:
+                return json.load(fh).get("fp") == fp
+        except (OSError, ValueError):
+            return False
 
     @ray.remote
-    def _migrate_files(files: list[str], src_root: str, dst_root: str) -> int:
+    def _migrate_files(
+        files: list[str], src_root: str, dst_root: str, marker: str, fp: str
+    ) -> int:
         import pyarrow.parquet as pq
 
         n = 0
@@ -121,7 +161,20 @@ def migrate_store(
             pq.write_table(t, tmp, row_group_size=4096, use_dictionary=False)
             os.replace(tmp, dst)
             n += rows_in
+        # unit marker LAST: a kill mid-unit leaves no marker and the
+        # next run rewrites the whole unit (files are tmp+rename, so a
+        # partial unit is invisible downstream either way)
+        mtmp = marker + f".tmp{os.getpid()}"
+        with open(mtmp, "w") as fh:
+            json.dump({"fp": fp, "rows": n}, fh)
+        os.replace(mtmp, marker)
         return n
+
+    @ray.remote
+    def _count_done(files: list[str]) -> int:
+        import pyarrow.parquet as pq
+
+        return sum(pq.read_metadata(f).num_rows for f in files)
 
     # data files that carry the EXTRACTED schema: per-partition extracted
     # dirs (nested is_dup= hive level included) + ALL final-store files —
@@ -129,16 +182,34 @@ def migrate_store(
     # migrates too. dup_urls.parquet (url/ts membership) is
     # schema-independent state, copied verbatim below.
     tasks = []
+    skipped = 0
     for pid in sorted(records):
         part_glob = os.path.join(
             old_dir, "extracted", f"partition_id={pid}", "**", "*.parquet"
         )
         files = sorted(glob.glob(part_glob, recursive=True))
-        tasks.append(_migrate_files.remote(files, old_dir, staging))
+        unit = f"part-{pid:05d}"
+        fp = records[pid].input_fingerprint
+        if _unit_done(unit, fp):
+            skipped += 1
+            tasks.append(_count_done.remote(files))
+            continue
+        tasks.append(
+            _migrate_files.remote(files, old_dir, staging, _marker(unit), fp)
+        )
     final_files = sorted(
         glob.glob(os.path.join(old_dir, "final", "*.parquet"))
     )
-    tasks.append(_migrate_files.remote(final_files, old_dir, staging))
+    if _unit_done("final", plan["source_done"]):
+        skipped += 1
+        tasks.append(_count_done.remote(final_files))
+    else:
+        tasks.append(
+            _migrate_files.remote(
+                final_files, old_dir, staging,
+                _marker("final"), plan["source_done"],
+            )
+        )
     rows = ray.get(tasks)
 
     # verbatim state carry: dup-url membership, manifests
@@ -169,6 +240,13 @@ def migrate_store(
             "source_dir": os.path.abspath(old_dir),
         }, fh, sort_keys=True)
 
+    # staging-only bookkeeping must not land in the promoted store
+    shutil.rmtree(os.path.join(staging, "_mig_done"), ignore_errors=True)
+    try:
+        os.unlink(plan_path)
+    except OSError:
+        pass
+
     shutil.rmtree(old_aside, ignore_errors=True)
     if os.path.exists(new_dir):
         os.replace(new_dir, old_aside)
@@ -178,6 +256,7 @@ def migrate_store(
         "from_version": from_version,
         "to_version": to_version,
         "partitions": len(records),
+        "partitions_resumed": skipped,
         "rows_migrated": int(sum(rows[:-1])),
         "final_rows_migrated": int(rows[-1]),
         "new_dir": new_dir,

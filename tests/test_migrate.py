@@ -170,3 +170,87 @@ def test_migrate_records_provenance(v1_store):
     with open(os.path.join(dst, "_migration.json")) as fh:
         m = json.load(fh)
     assert m["from_version"] == 1 and m["to_version"] == 2
+
+
+def test_migrate_staging_resume_skips_done_units(v1_store, tmp_path):
+    """A killed migration's staging is reusable: units with a matching
+    marker (same plan, same source fingerprint) are skipped; a plan
+    mismatch wipes the staging instead."""
+    import shutil
+
+    pages, out, root = v1_store
+    cnt_dir = str(tmp_path / "calls")
+    os.makedirs(cnt_dir)
+
+    def _make_counting_step(cnt):
+        def _step(t):
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow.compute as pc_
+
+            open(_os.path.join(cnt, f"c-{_uuid.uuid4().hex}"), "w").close()
+            return t.append_column(
+                "text_len", pc_.cast(pc_.utf8_length(t["text"]), pa.int32())
+            )
+
+        return _step
+
+    step = _make_counting_step(cnt_dir)
+    dst_a = os.path.join(root, "res_a")
+    migrate_store(out, dst_a, to_version=2, steps={2: step})
+    calls_full = len(os.listdir(cnt_dir))
+    assert calls_full > 0
+
+    # fabricate a partial staging for dst_b: plan + partition-0 files +
+    # its marker, exactly what a kill after one completed unit leaves
+    recs = lin.load_records(out)
+    dst_b = os.path.join(root, "res_b")
+    staging = dst_b + ".staging"
+    os.makedirs(os.path.join(staging, "_mig_done"))
+    plan = {
+        "from_version": 1,
+        "to_version": 2,
+        "source_dir": os.path.abspath(out),
+        "source_done": lin.done_fingerprint_set(out),
+    }
+    with open(os.path.join(staging, "_migration_plan.json"), "w") as fh:
+        json.dump(plan, fh, sort_keys=True)
+    shutil.copytree(
+        os.path.join(dst_a, "extracted", "partition_id=0"),
+        os.path.join(staging, "extracted", "partition_id=0"),
+    )
+    n_p0_files = len(glob.glob(
+        os.path.join(dst_a, "extracted", "partition_id=0", "**", "*.parquet"),
+        recursive=True,
+    ))
+    with open(os.path.join(staging, "_mig_done", "part-00000.json"), "w") as fh:
+        json.dump({"fp": recs[0].input_fingerprint, "rows": 0}, fh)
+
+    for f in os.listdir(cnt_dir):
+        os.unlink(os.path.join(cnt_dir, f))
+    s = migrate_store(out, dst_b, to_version=2, steps={2: step})
+    assert s["partitions_resumed"] == 1
+    assert len(os.listdir(cnt_dir)) == calls_full - n_p0_files
+    # identical promoted output either way
+    a = pads.dataset(
+        glob.glob(os.path.join(dst_a, "final", "*.parquet"))
+    ).to_table().sort_by("url")
+    b = pads.dataset(
+        glob.glob(os.path.join(dst_b, "final", "*.parquet"))
+    ).to_table().sort_by("url")
+    assert a.equals(b)
+    # no staging bookkeeping leaked into the promoted store
+    assert not os.path.exists(os.path.join(dst_b, "_mig_done"))
+    assert not os.path.exists(os.path.join(dst_b, "_migration_plan.json"))
+
+    # plan mismatch (different to_version in staging) -> wiped, full run
+    dst_c = os.path.join(root, "res_c")
+    staging_c = dst_c + ".staging"
+    os.makedirs(os.path.join(staging_c, "_mig_done"))
+    with open(os.path.join(staging_c, "_migration_plan.json"), "w") as fh:
+        json.dump({**plan, "to_version": 3}, fh, sort_keys=True)
+    with open(os.path.join(staging_c, "_mig_done", "part-00000.json"), "w") as fh:
+        json.dump({"fp": recs[0].input_fingerprint, "rows": 0}, fh)
+    s2 = migrate_store(out, dst_c, to_version=2, steps={2: step})
+    assert s2["partitions_resumed"] == 0
