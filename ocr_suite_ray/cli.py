@@ -125,6 +125,10 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--val-pct", type=int, default=5)
     pp.add_argument("--near-dup", choices=("minhash",), default=None,
                     help="optional fuzzy dedup stage (MinHash+LSH clusters, keep min id)")
+    pp.add_argument("--dup-exchange", choices=("auto", "tree", "shuffle"),
+                    default="auto",
+                    help="winner-table exchange tier (auto size-routes: "
+                         "tree <= 2M docs, shuffle above)")
 
     pi = sub.add_parser(
         "ingest", help="convert JSONL or WARC crawl dumps to the pages layout"
@@ -265,6 +269,7 @@ def main(argv: list[str] | None = None) -> int:
                         train_pct=a.train_pct,
                         val_pct=a.val_pct,
                         near_dup=a.near_dup,
+                        dup_exchange=a.dup_exchange,
                     )
                 )
             )
