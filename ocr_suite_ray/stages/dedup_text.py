@@ -403,6 +403,11 @@ def cross_corpus_near_dup(
     tagged = ds.map_batches(_tag(0), batch_format="pyarrow").union(
         ref_ds.map_batches(_tag(1), batch_format="pyarrow")
     )
+    # max_bucket pinned unless the caller overrides: the union is a
+    # DERIVED dataset, so minhash's "auto" probe would pay a full extra
+    # tag pass just to pick the cap — and this operator's pair volume is
+    # already cross-parity bound (the r4 10x drive ran uncapped)
+    minhash_kw.setdefault("max_bucket", None)
     pairs = minhash_lsh_pairs(
         tagged,
         id_col=id_col,
