@@ -1110,3 +1110,61 @@ def test_lsh_infers_dim_and_chunked_verify():
                            pair_chunk=2).to_pandas()
     assert len(out) == 15  # all C(6,2) near-identical pairs
     assert (out["id_a"] < out["id_b"]).all()
+
+
+def test_dup_span_scrub_randomized_config_sweep(ray_session):
+    """External-sort count exchange: randomized corpora x (slot count,
+    fold budget, gram_key) grid must all equal a pure-Python oracle —
+    the partition/shard/budget knobs are performance-only."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.dedup_text import dup_span_scrub
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+
+    def _py_oracle(texts, k, min_count):
+        toks = [t.split(" ") for t in texts]
+        c = Counter()
+        for ts in toks:
+            for i in range(len(ts) - k + 1):
+                c[tuple(ts[i:i + k])] += 1
+        outs = []
+        for ts in toks:
+            cover = [False] * len(ts)
+            for i in range(len(ts) - k + 1):
+                if c[tuple(ts[i:i + k])] >= min_count:
+                    for j in range(i, i + k):
+                        cover[j] = True
+            kept = [t for t, cv in zip(ts, cover) if not cv]
+            outs.append((" ".join(kept), len(kept), len(ts) - len(kept)))
+        return outs
+
+    for trial in range(2):
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+            for _ in range(60)
+        ]
+        k, mc = 3, int(rng.integers(2, 4))
+        want = _py_oracle(texts, k, mc)
+        df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                           "text": texts})
+        for kw in (
+            {"num_shards": 1},
+            {"num_shards": 3, "fold_budget_bytes": 1},  # one fold per slot
+            {"num_shards": 16},
+            {"gram_key": "hash64", "num_shards": 5},
+        ):
+            got = (
+                dup_span_scrub(
+                    rd.from_pandas(df).repartition(4), k=k, min_count=mc, **kw
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            assert list(got["text"]) == [w[0] for w in want], (trial, kw)
+            assert list(got["n_kept"]) == [w[1] for w in want], (trial, kw)
+            assert list(got["n_removed"]) == [w[2] for w in want], (trial, kw)
