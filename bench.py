@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "cluster_dedup",
     "cluster_dedup_best",
     "embedding_near_dup",
+    "rank_windows",
+    "graph_components",
 ]
 
 

@@ -570,6 +570,44 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q_rank_windows(sf_dir: str):
+    """Per-part rank family over lineitem quantity (RANK / DENSE_RANK on
+    the value, ROW_NUMBER / NTILE(4) on the deterministic total order) —
+    the leaderboard/quota-tier window primitives. Group sampling keeps
+    the result driver-sized while every group stays COMPLETE (the filter
+    is on the partition key, so window semantics are unaffected)."""
+    from ocr_suite_ray.stages.windows import group_ranks
+
+    def _sample(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(pc.bit_wise_and(t["l_partkey"], 7), pa.scalar(0, pa.int64()))
+        )
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_orderkey", "l_linenumber", "l_quantity"],
+    ).map_batches(_sample, batch_format="pyarrow")
+    return group_ranks(
+        ds, "l_partkey", "l_quantity",
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+        n_tiles=4, descending=True,
+    )
+
+
+SQL_RANK_WINDOWS = """
+SELECT l_partkey, l_orderkey, l_linenumber, l_quantity,
+       CAST(RANK() OVER w1 AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w1 AS BIGINT) AS drnk,
+       CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS rn,
+       CAST(NTILE(4) OVER w2 AS BIGINT) AS nt
+FROM lineitem
+WHERE (l_partkey & 7) = 0
+WINDOW w1 AS (PARTITION BY l_partkey ORDER BY l_quantity DESC),
+       w2 AS (PARTITION BY l_partkey
+              ORDER BY l_quantity DESC, l_orderkey, l_linenumber)
+"""
+
+
 def q_pivot_daily(sf_dir: str):
     """Daily event counts pivoted to a declared fixed column set (one count
     column per event type + total) — SQL COUNT(*) FILTER semantics with a
@@ -1143,6 +1181,7 @@ RELATIONAL_QUERIES = {
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "rolling_mean": (q_rolling_mean, SQL_ROLLING_MEAN),
     "event_deltas": (q_event_deltas, SQL_EVENT_DELTAS),
+    "rank_windows": (q_rank_windows, SQL_RANK_WINDOWS),
     "pivot_daily": (q_pivot_daily, SQL_PIVOT_DAILY),
     "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
     "heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
@@ -1182,6 +1221,8 @@ ALL_QUERIES.update(EXTRACT_QUERIES)
 # Everything past the window has at least one green external row; the
 # full catalog stays oracle-checked locally by tests/test_queries_oracle.
 _SAMPLING_PRIORITY = [
+    # round-5 additions (no external row yet by construction)
+    "rank_windows", "graph_components",
     # never externally sampled (rounds 1-4)
     "logistic_fit", "ccnet_buckets", "mixture_sample", "bpe_merges",
     "segment_dedup", "paragraph_dedup", "host_paragraph_dedup",

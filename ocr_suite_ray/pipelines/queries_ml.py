@@ -1544,6 +1544,62 @@ r{k} AS (SELECT hosts.h,
 SQL_LINK_PAGERANK = _pagerank_sql()
 
 
+def q_graph_components(sf_dir: str):
+    """Connected components over a deterministically-derived link graph
+    (same derive-then-operate pattern as :func:`q_link_pagerank`: one
+    edge per doc via a Knuth-multiplier bit mix over a 1024-node space —
+    at sf0.01 that yields 144 components with up to 18 nodes and 9
+    propagation rounds, so the fixpoint is exercised well past one hop).
+    Components are THE grouping primitive under near-dup cluster dedup
+    (`dedup_keep_cluster_min`/`_best`); this entry gives the op its own
+    externally-checkable row."""
+    import pyarrow as pa_mod
+    import pyarrow.compute as pc_mod
+
+    from ocr_suite_ray.stages.components import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _mk(t: pa_mod.Table) -> pa_mod.Table:
+        m = pc_mod.multiply_checked(
+            pc_mod.cast(t["doc_id"], pa_mod.int64()),
+            pa_mod.scalar(2654435761, pa_mod.int64()),
+        )
+        return pa_mod.table(
+            {
+                "id_a": pc_mod.bit_wise_and(m, 1023),
+                "id_b": pc_mod.bit_wise_and(pc_mod.shift_right(m, 10), 1023),
+            }
+        )
+
+    return connected_components(
+        ds.map_batches(_mk, batch_format="pyarrow"), max_rounds=32
+    )
+
+
+# Min-label reachability closure: labels of every node in a component
+# reach every other member (edges are symmetrized), so MIN(lab) per node
+# is the component's minimum node id — exactly what label propagation
+# converges to. Row bound: sum of squared component sizes (tiny for the
+# sparse derived graph; the oracle only ever runs at oracle scale).
+SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE e0 AS (
+  SELECT (doc_id * 2654435761) & 1023 AS a,
+         ((doc_id * 2654435761) >> 10) & 1023 AS b
+  FROM documents
+),
+edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+walk(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node AS node_id, MIN(lab) AS component_id
+FROM walk GROUP BY node ORDER BY node_id
+"""
+
+
 SQL_URL_NORMALIZE = """
 WITH d AS (
   SELECT doc_id,
@@ -2855,6 +2911,7 @@ ML_QUERIES = {
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "host_stats": (q_host_stats, SQL_HOST_STATS),
     "link_pagerank": (q_link_pagerank, SQL_LINK_PAGERANK),
+    "graph_components": (q_graph_components, SQL_GRAPH_COMPONENTS),
     "host_quota": (q_host_quota, SQL_HOST_QUOTA),
     "unicode_normalize": (q_unicode_normalize, SQL_UNICODE_NORMALIZE),
     "host_rollup": (q_host_rollup, SQL_HOST_ROLLUP),

@@ -471,3 +471,57 @@ def event_deltas(ds, key_col: str, ts_col: str, value_col: str,
         return out
 
     return grouped_reduce_c(ds, [key_col], _deltas)
+
+
+def group_ranks(ds, key_col: str, value_col: str, tiebreak_cols: list,
+                n_tiles: int = 4, descending: bool = True):
+    """SQL window-rank family per key: ``RANK`` / ``DENSE_RANK`` over
+    ``value_col`` and ``ROW_NUMBER`` / ``NTILE(n_tiles)`` over the
+    deterministic total order (value, *tiebreak_cols) — the ranking
+    primitives behind per-group leaderboards, quota tiers and
+    quantile-bucket assignment (``percentile_gate``'s discrete cousin).
+
+    Execution shape: ONE hash-bucket shuffle (``grouped_reduce_c``) +
+    per-bucket mergesort + ``groupby.rank``/``cumcount`` — MANY keys per
+    task, all pandas C kernels, no per-group dispatch. Skew contract
+    matches ``event_deltas``: a bucket holds its keys' full groups; a
+    pathologically hot key bounds the task (pre-split on a secondary
+    bucket and re-rank with offsets if one group outgrows a worker).
+
+    NTILE follows the SQL rule exactly: bucket sizes differ by at most
+    one, larger buckets first (``count % n_tiles`` buckets get
+    ``count // n_tiles + 1`` rows).
+
+    All four rank columns are int64 (DuckDB window functions return
+    BIGINT; pandas ``rank`` returns float64 and is cast back).
+    """
+    import numpy as np
+
+    from ocr_suite_ray.stages.relational import grouped_reduce_c
+
+    asc = not descending
+
+    def _ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col, value_col, *tiebreak_cols],
+            ascending=[True, asc] + [True] * len(tiebreak_cols),
+            kind="mergesort",
+        )
+        grp = g.groupby(key_col, sort=False)
+        rn = grp.cumcount().to_numpy() + 1
+        cnt = grp[value_col].transform("size").to_numpy()
+        out = g.copy()
+        out["rnk"] = grp[value_col].rank(method="min", ascending=asc).to_numpy().astype(np.int64)
+        out["drnk"] = grp[value_col].rank(method="dense", ascending=asc).to_numpy().astype(np.int64)
+        out["rn"] = rn.astype(np.int64)
+        base = cnt // n_tiles
+        big = cnt % n_tiles
+        cut = big * (base + 1)
+        out["nt"] = np.where(
+            rn <= cut,
+            (rn - 1) // np.maximum(base + 1, 1) + 1,
+            big + (rn - 1 - cut) // np.maximum(base, 1) + 1,
+        ).astype(np.int64)
+        return out
+
+    return grouped_reduce_c(ds, [key_col], _ranks)

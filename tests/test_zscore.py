@@ -221,3 +221,81 @@ def test_event_deltas_partition_invariant(ray_session, nparts):
     firsts = df.sort_values(["ts", "eid"]).groupby("u")["eid"].first()
     nan_rows = got[got["gap_fp"].isna()]
     assert set(nan_rows["eid"]) == set(firsts)
+
+
+# ---------------------------------------------------------------------------
+# group_ranks (RANK / DENSE_RANK / ROW_NUMBER / NTILE window family)
+# ---------------------------------------------------------------------------
+
+def _ranks_frame(rng, n, nkeys):
+    import numpy as np
+    import pandas as pd
+
+    return pd.DataFrame({
+        "k": rng.randint(0, nkeys, n).astype("int64"),
+        # small integer-valued doubles -> plenty of ties inside a group
+        "v": rng.randint(1, 8, n).astype("float64"),
+        "t1": np.arange(n, dtype="int64"),
+    })
+
+
+def _ranks_duckdb_oracle(df, n_tiles):
+    import duckdb
+
+    return duckdb.connect().execute(f"""
+        SELECT k, v, t1,
+               CAST(RANK() OVER w1 AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w1 AS BIGINT) AS drnk,
+               CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS rn,
+               CAST(NTILE({n_tiles}) OVER w2 AS BIGINT) AS nt
+        FROM df
+        WINDOW w1 AS (PARTITION BY k ORDER BY v DESC),
+               w2 AS (PARTITION BY k ORDER BY v DESC, t1)
+        ORDER BY t1
+    """).fetchdf()
+
+
+@pytest.mark.parametrize("nparts,n_tiles", [(1, 4), (7, 4), (7, 3)])
+def test_group_ranks_matches_duckdb_windows(ray_session, nparts, n_tiles):
+    """Differential vs DuckDB's window functions, partition-invariant.
+    nkeys=13 over n=300 gives group sizes straddling n_tiles (some groups
+    smaller than the tile count, some with remainder, some exact)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.windows import group_ranks
+
+    rng = np.random.RandomState(11)
+    df = _ranks_frame(rng, 300, 13)
+    got = (
+        group_ranks(rd.from_pandas(df).repartition(nparts),
+                    "k", "v", ["t1"], n_tiles=n_tiles)
+        .to_pandas().sort_values("t1").reset_index(drop=True)
+    )
+    want = _ranks_duckdb_oracle(df, n_tiles)
+    cols = ["k", "v", "t1", "rnk", "drnk", "rn", "nt"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+
+
+def test_group_ranks_ntile_small_groups(ray_session):
+    """SQL NTILE edge: a group SMALLER than n_tiles puts each row in its
+    own tile (tiles 1..count); big-buckets-first rule for the remainder."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.windows import group_ranks
+
+    df = pd.DataFrame({
+        "k": [1, 1, 2] + [3] * 10,
+        "v": [5.0, 3.0, 9.0] + [float(10 - i) for i in range(10)],
+        "t1": list(range(13)),
+    })
+    got = (
+        group_ranks(rd.from_pandas(df), "k", "v", ["t1"], n_tiles=4)
+        .to_pandas().sort_values("t1").reset_index(drop=True)
+    )
+    assert got.loc[got.k == 1, "nt"].tolist() == [1, 2]
+    assert got.loc[got.k == 2, "nt"].tolist() == [1]
+    # count=10, n=4 -> sizes 3,3,2,2 in rank order
+    assert got.loc[got.k == 3, "nt"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
