@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "rank_windows",
     "graph_components",
+    "random_projection",
 ]
 
 

@@ -1222,7 +1222,7 @@ ALL_QUERIES.update(EXTRACT_QUERIES)
 # full catalog stays oracle-checked locally by tests/test_queries_oracle.
 _SAMPLING_PRIORITY = [
     # round-5 additions (no external row yet by construction)
-    "rank_windows", "graph_components",
+    "rank_windows", "graph_components", "random_projection",
     # never externally sampled (rounds 1-4)
     "logistic_fit", "ccnet_buckets", "mixture_sample", "bpe_merges",
     "segment_dedup", "paragraph_dedup", "host_paragraph_dedup",

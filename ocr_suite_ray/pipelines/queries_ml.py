@@ -415,6 +415,39 @@ def q_knn_cosine(sf_dir: str):
     return knn_brute(ds, _query_vectors(sf_dir), k=10, scale=4)
 
 
+def q_random_projection(sf_dir: str):
+    """Deterministic Rademacher random projection of the embedding table
+    to 8 dims (integer-exact e3 fixed point — see
+    :func:`~ocr_suite_ray.stages.similarity.random_project`)."""
+    from ocr_suite_ray.stages.similarity import random_project
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return random_project(ds, out_dim=8)
+
+
+# Same quantize-then-integer-matmul arithmetic unrolled relationally:
+# elements via 1-based list indexing against an unnested range, signs from
+# the identical (k, j) bit mix, so the match is exact (no float tolerance).
+# SUM(BIGINT) is HUGEINT in DuckDB -> cast back so dtype kinds agree.
+SQL_RANDOM_PROJECTION = """
+WITH x AS (
+  SELECT vec_id, ks.k AS k,
+         CAST(ROUND(CAST(embedding[ks.k + 1] AS DOUBLE) * 1000, 0) AS BIGINT)
+           AS xq
+  FROM embeddings CROSS JOIN (SELECT UNNEST(range(64)) AS k) ks
+),
+r AS (
+  SELECT ks.k AS k, js.j AS j,
+         ((((ks.k * 2654435761 + js.j * 40503) >> 7) & 1) * 2 - 1) AS s
+  FROM (SELECT UNNEST(range(64)) AS k) ks
+  CROSS JOIN (SELECT UNNEST(range(8)) AS j) js
+)
+SELECT x.vec_id, r.j AS dim, CAST(SUM(x.xq * r.s) AS BIGINT) AS proj_e3
+FROM x JOIN r ON x.k = r.k
+GROUP BY x.vec_id, r.j
+"""
+
+
 SQL_KNN_COSINE = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 4
@@ -2891,6 +2924,7 @@ ML_QUERIES = {
     "simhash_table": (q_simhash, SQL_SIMHASH),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "random_projection": (q_random_projection, SQL_RANDOM_PROJECTION),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ann_lsh_pairs": (q_ann_lsh, SQL_ANN_LSH),
     "ann_ivf_knn": (q_ann_ivf, SQL_KNN_COSINE),

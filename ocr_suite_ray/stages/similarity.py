@@ -435,3 +435,42 @@ def semantic_dedup(
     return assigned.groupby("cluster").map_groups(
         _dedup_cluster, batch_format="pandas"
     )
+
+
+def random_project(ds, out_dim: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding"):
+    """Johnson-Lindenstrauss-style dimensionality reduction with a
+    DETERMINISTIC Rademacher (+-1) projection matrix — the cheap front
+    half of "shrink 10^12 embeddings before ANN/clustering" (Achlioptas
+    2003 database-friendly projections). Distances are preserved up to
+    the JL distortion bound; no training pass, no state.
+
+    Bit-exactness contract: each element is first quantized to int64 e3
+    fixed point (round half away from zero, the repo convention), then
+    projected by INTEGER matmul against signs derived from a Knuth bit
+    mix of (k, j) — every arithmetic step is exact in both numpy and the
+    DuckDB twin, so the oracle hash-matches without any float tolerance.
+
+    Output is long format (id, dim, proj_e3): one row per projected
+    coordinate. Execution: embarrassingly parallel map_batches, the sign
+    matrix is rebuilt per batch from the mix (d x out_dim ints — cheaper
+    than any broadcast), nothing shuffles.
+    """
+    import pyarrow as pa
+
+    def _project(df: pd.DataFrame) -> pd.DataFrame:
+        x = _mat(df[vec_col]) * 1000.0
+        xq = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+        d = xq.shape[1]
+        k = np.arange(d, dtype=np.int64)[:, None]
+        j = np.arange(out_dim, dtype=np.int64)[None, :]
+        signs = (((k * 2654435761 + j * 40503) >> 7) & 1) * 2 - 1
+        proj = xq @ signs
+        n = len(df)
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), out_dim),
+            "dim": np.tile(np.arange(out_dim, dtype=np.int64), n),
+            "proj_e3": proj.reshape(-1),
+        })
+
+    return ds.map_batches(_project, batch_format="pandas")
