@@ -1064,6 +1064,25 @@ def drive_ev_deltas():
     return _consume(event_deltas(ds, "user_id", "ts", "value", "event_id"))
 
 
+def drive_ev_ranks():
+    """Window-rank family at 100M events incl. the planted ~1M-event hot
+    key (user 0): rank/dense_rank over value, row_number/ntile over the
+    deterministic order — one bucket shuffle, the hot key's full group in
+    one task per the documented skew contract."""
+    from ocr_suite_ray.stages.windows import group_ranks
+
+    ds = ev_ds(["event_id", "user_id", "value"])
+    return _consume(group_ranks(ds, "user_id", "value", ["event_id"]))
+
+
+def drive_project():
+    """Rademacher projection over the 2M x 64 embedding corpus: stateless
+    integer matmul per batch, 16M output coordinates, zero exchange."""
+    from ocr_suite_ray.stages.similarity import random_project
+
+    return _consume(random_project(emb_ds(), out_dim=8))
+
+
 def drive_ev_pivot():
     """Daily x event-type pivot at 100M events: per-block combiners reduce
     to a ~150-group table, narrow tree merge, one root pivot."""
@@ -1129,6 +1148,7 @@ DRIVES = {
     "logistic": drive_logistic,
     "evgen": None,  # special-cased
     "ev_deltas": drive_ev_deltas,
+    "ev_ranks": drive_ev_ranks,
     "ev_pivot": drive_ev_pivot,
     "ev_window": drive_ev_window,
     "ev_sessionize": drive_ev_sessionize,
@@ -1144,6 +1164,7 @@ DRIVES = {
     "ivf": drive_ivf,
     "lshpairs": drive_lshpairs,
     "embdup": drive_embdup,
+    "project": drive_project,
 }
 
 _TEXT_OPS = {
