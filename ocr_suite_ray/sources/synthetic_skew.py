@@ -81,6 +81,16 @@ def make_skew_capture_rows(i: int, seed: int = 42, **mix) -> list[dict]:
         cap["html"] = _page_html(r2)
         cap["text"] = _sentence(r2, 10)
         rows.append(cap)
+    if r.random() < 0.34:
+        # exact-tie pair (same url, same ts, different payload) — the
+        # class that stresses deterministic winner selection under ts
+        # ties; without it the skew drive's single-pool vs split-pool
+        # byte-identity check could pass with tie-breaking regressed
+        r3 = _rng(seed, i * 1_000_000 + 777)
+        tie = dict(rows[-1])
+        tie["html"] = _page_html(r3)
+        tie["text"] = _sentence(r3, 10)
+        rows.append(tie)
     return rows
 
 

@@ -468,9 +468,13 @@ def dup_span_scrub(
     round-4 serial-shard form existed to bound that spill and paid
     ``num_shards-1`` extra corpus passes for it) and run files are the
     compact 16 B/row form. The reduced table is the DUP-gram set
-    (dup-rate bound, never corpus bound), merged off-driver and
-    broadcast once. ``scratch_dir`` must be shared storage on a
-    multi-node cluster. Pass 2 streams: each
+    (dup-rate bound, never corpus bound), merged in a remote task, then
+    re-put through the driver as a driver-OWNED broadcast object (the
+    repo's broadcast-artifact convention; one transient driver copy,
+    bounded by ``max_broadcast_rows``) — a task-output ref would be
+    lineage-reconstructed if lost mid-scrub, replaying folds against
+    run files that are deleted as soon as the counts land.
+    ``scratch_dir`` must be shared storage on a multi-node cluster. Pass 2 streams: each
     batch probes its gram windows with one ``is_in`` C kernel; span
     coverage is a +/-1 delta cumsum over the flat token array; kept text
     is rebuilt with ``ListArray.from_arrays`` + one ``binary_join`` — no
@@ -582,9 +586,6 @@ def dup_span_scrub(
             "rows": pa.array(rows, pa.int64()),
         })
 
-    # O(blocks x slots) metadata rows — driver-safe
-    meta = ds.map_batches(_write_runs, batch_format="pyarrow").to_pandas()
-
     @ray.remote
     def _fold(files: list) -> pa.Table:
         import pyarrow.parquet as pq
@@ -610,8 +611,10 @@ def dup_span_scrub(
             {"gram": pa.array(g.loc[g["n"] >= min_count, "gram"], pa.string())}
         )
 
-    fold_refs = []
-    if len(meta):
+    def _schedule_folds(meta):
+        fold_refs = []
+        if not len(meta):
+            return fold_refs
         per_slot = meta.groupby("slot").agg(
             rows=("rows", "sum"), bytes=("bytes", "sum")
         )
@@ -629,6 +632,27 @@ def dup_span_scrub(
             cost += c
         if group:
             groups.append((group, cost))
+        # A slot whose estimate alone exceeds the budget forms a lone
+        # group; if its 5x reservation exceeds every node's memory the
+        # fold task would pend FOREVER (no error, driver blocked in
+        # ray.get) — fail loudly with the re-shard knob instead.
+        try:
+            cap = max(
+                (n["Resources"].get("memory", 0.0)
+                 for n in ray.nodes() if n.get("Alive")),
+                default=0.0,
+            )
+        except Exception:
+            cap = 0.0
+        worst = max(est for _, est in groups)
+        if cap and 5 * worst > 0.8 * cap:
+            raise ValueError(
+                f"dup_span_scrub fold infeasible: one slot group needs "
+                f"~{5 * worst >> 20} MiB reserved but the largest node "
+                f"offers {int(0.8 * cap) >> 20} MiB; raise num_shards "
+                f"(currently {n_slots}) so slots shrink, or lower "
+                "fold_budget_bytes"
+            )
         for slot_group, est in groups:
             files = [f for s in slot_group for f in files_by_slot[s]]
             # reserve ~5x the data: concat + argsort index + two sorted
@@ -638,6 +662,7 @@ def dup_span_scrub(
             fold_refs.append(
                 _fold.options(memory=max(64 << 20, 5 * est)).remote(files)
             )
+        return fold_refs
 
     @ray.remote
     def _merge_dups(*tbls):
@@ -658,14 +683,25 @@ def dup_span_scrub(
             return pa.table({"gram": pa.array(vals, pa.uint64())})
         return pa.table({"gram": pc.unique(merged["gram"].combine_chunks())})
 
-    dup_ref = _merge_dups.remote(*fold_refs) if fold_refs else None
     try:
+        # Pass 1 executes HERE (the to_pandas drains the corpus scan);
+        # keeping it inside the try means a mid-scan failure still
+        # removes the partially-written runs instead of leaking up to
+        # ~tens of GB of scratch per failed attempt.
+        meta = ds.map_batches(_write_runs, batch_format="pyarrow").to_pandas()
+        fold_refs = _schedule_folds(meta)
+        dup_ref = _merge_dups.remote(*fold_refs) if fold_refs else None
         if dup_ref is not None:
-            n_dup = ray.get(
-                ray.remote(
-                    lambda t: 0 if t is None else t.num_rows
-                ).remote(dup_ref)
-            )
+            # Materialize on the driver and RE-PUT as a driver-owned
+            # object: a task-output ref lost during the (long) pass-2
+            # scrub would be LINEAGE-reconstructed — replaying _fold
+            # against run files this finally is about to delete. ray.put
+            # objects recover from spill, never lineage, so deleting the
+            # runs is safe. Driver transit is bounded by the same
+            # max_broadcast_rows budget the scrub broadcast already
+            # implies.
+            dup_tbl = ray.get(dup_ref)
+            n_dup = 0 if dup_tbl is None else dup_tbl.num_rows
             if n_dup > max_broadcast_rows:
                 raise ValueError(
                     f"dup_span_scrub broadcast tier: {n_dup} dup grams "
@@ -673,9 +709,12 @@ def dup_span_scrub(
                     "gram_key='hash64' (8 B/gram) or shard the scrub by "
                     "gram bucket."
                 )
+            dup_ref = ray.put(dup_tbl) if n_dup else None
+            del dup_tbl
     finally:
-        # the count above forced every fold to completion (dup_ref is
-        # its downstream), so the runs are dead weight now
+        # every fold was forced to completion above (dup_tbl is their
+        # downstream), so the runs are dead weight now — and on failure
+        # they are abandoned work either way
         import shutil
 
         shutil.rmtree(run_root, ignore_errors=True)

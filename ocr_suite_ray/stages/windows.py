@@ -493,7 +493,12 @@ def group_ranks(ds, key_col: str, value_col: str, tiebreak_cols: list,
     ``count // n_tiles + 1`` rows).
 
     All four rank columns are int64 (DuckDB window functions return
-    BIGINT; pandas ``rank`` returns float64 and is cast back).
+    BIGINT; pandas ``rank`` returns float64 and is cast back). Null
+    values follow DuckDB's default NULLS LAST ordering and SQL
+    ties-among-nulls ranking (all nulls share rank = non-null count + 1
+    and dense rank = distinct non-null count + 1) — pandas ``rank``
+    leaves them NaN, and a silent NaN->int64 cast would emit INT64_MIN
+    garbage, so they are filled explicitly.
     """
     import numpy as np
 
@@ -502,6 +507,8 @@ def group_ranks(ds, key_col: str, value_col: str, tiebreak_cols: list,
     asc = not descending
 
     def _ranks(g: pd.DataFrame) -> pd.DataFrame:
+        # pandas na_position defaults to 'last' for either ascending
+        # direction == DuckDB default_null_order (nulls_last)
         g = g.sort_values(
             [key_col, value_col, *tiebreak_cols],
             ascending=[True, asc] + [True] * len(tiebreak_cols),
@@ -511,8 +518,16 @@ def group_ranks(ds, key_col: str, value_col: str, tiebreak_cols: list,
         rn = grp.cumcount().to_numpy() + 1
         cnt = grp[value_col].transform("size").to_numpy()
         out = g.copy()
-        out["rnk"] = grp[value_col].rank(method="min", ascending=asc).to_numpy().astype(np.int64)
-        out["drnk"] = grp[value_col].rank(method="dense", ascending=asc).to_numpy().astype(np.int64)
+        rnk = grp[value_col].rank(method="min", ascending=asc).to_numpy()
+        drnk = grp[value_col].rank(method="dense", ascending=asc).to_numpy()
+        isna = g[value_col].isna().to_numpy()
+        if isna.any():
+            n_valid = grp[value_col].transform("count").to_numpy()
+            n_distinct = grp[value_col].transform("nunique").to_numpy()
+            rnk[isna] = n_valid[isna] + 1
+            drnk[isna] = n_distinct[isna] + 1
+        out["rnk"] = rnk.astype(np.int64)
+        out["drnk"] = drnk.astype(np.int64)
         out["rn"] = rn.astype(np.int64)
         base = cnt // n_tiles
         big = cnt % n_tiles

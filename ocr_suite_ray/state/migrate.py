@@ -200,8 +200,11 @@ def migrate_store(
     final_files = sorted(
         glob.glob(os.path.join(old_dir, "final", "*.parquet"))
     )
-    if _unit_done("final", plan["source_done"]):
-        skipped += 1
+    final_resumed = _unit_done("final", plan["source_done"])
+    if final_resumed:
+        # the final store is its own unit — counting it in `skipped`
+        # would make partitions_resumed exceed partitions on a full
+        # resume
         tasks.append(_count_done.remote(final_files))
     else:
         tasks.append(
@@ -257,6 +260,7 @@ def migrate_store(
         "to_version": to_version,
         "partitions": len(records),
         "partitions_resumed": skipped,
+        "final_resumed": final_resumed,
         "rows_migrated": int(sum(rows[:-1])),
         "final_rows_migrated": int(rows[-1]),
         "new_dir": new_dir,

@@ -299,3 +299,27 @@ def test_group_ranks_ntile_small_groups(ray_session):
     assert got.loc[got.k == 2, "nt"].tolist() == [1]
     # count=10, n=4 -> sizes 3,3,2,2 in rank order
     assert got.loc[got.k == 3, "nt"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+
+def test_group_ranks_null_values_match_duckdb(ray_session):
+    """NULLS LAST + SQL ties-among-nulls ranking (pandas rank leaves NaN;
+    an unguarded int64 cast would emit INT64_MIN garbage)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.windows import group_ranks
+
+    rng = np.random.RandomState(7)
+    df = _ranks_frame(rng, 200, 9)
+    df.loc[rng.choice(200, 40, replace=False), "v"] = np.nan
+    got = (
+        group_ranks(rd.from_pandas(df).repartition(5), "k", "v", ["t1"])
+        .to_pandas().sort_values("t1").reset_index(drop=True)
+    )
+    want = _ranks_duckdb_oracle(df, 4)
+    cols = ["k", "t1", "rnk", "drnk", "rn", "nt"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+    # every null row ranks strictly after every non-null row of its group
+    nulls = got[got.v.isna()]
+    assert (nulls.groupby("k")["rnk"].nunique() <= 1).all()
