@@ -38,7 +38,12 @@ def connected_components(pairs_ds, max_rounds: int = 16) -> pd.DataFrame:
     verified equivalent."""
     import ray
 
-    edges = pairs_ds.select_columns(["id_a", "id_b"])
+    # Materialize the (dup-rate-bound) edge list ONCE: every propagation
+    # round streams the edges, and a lazy pairs_ds would re-execute its
+    # whole upstream pipeline (minhash banding, bucket verify, ...) per
+    # round — up to max_rounds x the pair-generation cost. The blocks
+    # live in the object store (spillable), never on the driver.
+    edges = pairs_ds.select_columns(["id_a", "id_b"]).materialize()
 
     # initial labels: every node labels itself. Per-batch np.unique +
     # columnar to_pandas: raw take_all of un-deduplicated endpoints built
