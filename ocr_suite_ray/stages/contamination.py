@@ -450,16 +450,18 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int, seed: str = "ws"):
         materialize=True,
     )
     if out is None:
-        # preserve the input id/weight types in the empty result (a
-        # hardcoded int64 id diverges from string-keyed datasets exactly
-        # and only in the empty case)
+        # preserve the input id type in the empty result (a hardcoded
+        # int64 id diverges from string-keyed datasets exactly and only
+        # in the empty case). The weight column is float64 to MATCH the
+        # non-empty path (_score casts it) — preserving the input weight
+        # type here would be the same empty-only schema divergence in
+        # the other direction.
         sch = ds.schema()
         id_t = sch.base_schema.field(id_col).type
-        w_t = sch.base_schema.field(weight_col).type
         return pa.table(
             {
                 id_col: pa.array([], id_t),
-                weight_col: pa.array([], w_t),
+                weight_col: pa.array([], pa.float64()),
                 "score": pa.array([], pa.float64()),
             }
         )
@@ -504,11 +506,13 @@ def temperature_resample(
             .group_by(group_col)
             .aggregate([("_n", "sum")])
         )
-        return g.rename_columns([group_col, "_n"])
+        # rebuild by NAME: pyarrow group_by column order is not stable
+        # across releases (mlfit pattern)
+        return pa.table({group_col: g[group_col], "_n": g["_n_sum"]})
 
     def _merge(t: pa.Table) -> pa.Table:
         g = t.group_by(group_col).aggregate([("_n", "sum")])
-        return g.rename_columns([group_col, "_n"])
+        return pa.table({group_col: g[group_col], "_n": g["_n_sum"]})
 
     counts = coalesce_reduce(
         ds.map_batches(_cnt, batch_format="pyarrow"), _merge, None, materialize=True
@@ -560,8 +564,6 @@ def token_budget_mixture(
     kept rows. SQL: ``SUM(w) OVER (PARTITION BY g ORDER BY okey) - w <
     budget(g)``.
     """
-    import hashlib
-
     from ocr_suite_ray.stages.scan import grouped_prefix_sum
 
     def _key(t: pa.Table) -> pa.Table:
@@ -602,13 +604,18 @@ def token_budget_mixture(
         codes = np.where(is_null, 0, idx).astype(np.int64)
         cap = caps[codes] if len(caps) else np.zeros(len(codes), np.int64)
         cap = np.where(is_null, np.int64(default_budget), cap)
-        before = t["tokens_before"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
+        bf = t["tokens_before"].to_numpy(zero_copy_only=False)
+        # a NULL weight leaves its own prefix NaN (pandas cumsum skips it
+        # for LATER rows, matching SQL SUM OVER) — the SQL twin's
+        # `sum - w < cap` is NULL there, i.e. the row is dropped; an
+        # unguarded int64 cast would turn NaN into INT64_MIN and keep it
+        # over any budget
+        valid = ~np.isnan(bf) if bf.dtype.kind == "f" else np.ones(len(bf), bool)
+        before = np.where(valid, bf, 0).astype(np.int64)
         out = t.select([id_col, group_col, weight_col]).append_column(
             "tokens_before", pa.array(before, pa.int64())
         )
-        return out.filter(pa.array(before < cap))
+        return out.filter(pa.array(valid & (before < cap)))
 
     return scanned.map_batches(_take, batch_format="pyarrow")
 

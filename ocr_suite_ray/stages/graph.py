@@ -158,12 +158,15 @@ def pagerank_e9(
         raise ValueError(f"d_e2 must be in [0, 100], got {d_e2}")
 
     def _narrow(t: pa.Table) -> pa.Table:
-        # project + per-block distinct before the one bucket shuffle
-        return (
-            pa.table({"src": t[src_col], "dst": t[dst_col]})
-            .group_by(["src", "dst"])
-            .aggregate([])
-        )
+        # project + per-block distinct before the one bucket shuffle.
+        # Edges with a NULL endpoint are dropped HERE, at the single
+        # entry point: a null host has no rank to give or receive, and
+        # letting one through would crash _hosts_partial's sort
+        # (None < str) or — worse — flow NaN outdegrees through the
+        # int64 cast into garbage contributions with no error.
+        t = pa.table({"src": t[src_col], "dst": t[dst_col]})
+        t = t.filter(pc.and_(pc.is_valid(t["src"]), pc.is_valid(t["dst"])))
+        return t.group_by(["src", "dst"]).aggregate([])
 
     edges = grouped_reduce_c(
         edges_ds.map_batches(_narrow, batch_format="pyarrow"),
@@ -191,7 +194,9 @@ def pagerank_e9(
 
     def _keyed_sum(t: pa.Table) -> pa.Table:
         g = t.group_by("h").aggregate([("od", "sum")])
-        return g.rename_columns(["h", "od"])
+        # rebuild by NAME: pyarrow group_by column order is not stable
+        # across releases (mlfit pattern)
+        return pa.table({"h": g["h"], "od": g["od_sum"]})
 
     deg_ref = coalesce_reduce(
         edges.map_batches(_deg_partial, batch_format="pandas"),
@@ -273,7 +278,7 @@ def pagerank_e9(
 
         def _csum(t: pa.Table) -> pa.Table:
             g = t.group_by("h").aggregate([("c", "sum")])
-            return g.rename_columns(["h", "c"])
+            return pa.table({"h": g["h"], "c": g["c_sum"]})
 
         contrib_ref = coalesce_reduce(
             edges.map_batches(_contrib, batch_format="pandas"),

@@ -198,6 +198,11 @@ def logistic_scores(
 
     def _score(t: pa.Table) -> pa.Table:
         wt = cached_get(weights_ref)
+        if wt is None:  # same guard as linear_residuals: empty-corpus fit
+            raise ValueError(
+                "logistic_scores: weights_ref resolves to None — the fit "
+                "saw an empty corpus, no model to score with"
+            )
         w = wt["w"].to_numpy(zero_copy_only=False)
         x = np.column_stack(
             [t[c].to_numpy(zero_copy_only=False).astype(np.float64) for c in x_cols]

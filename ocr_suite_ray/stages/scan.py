@@ -229,8 +229,6 @@ def shuffle_shards(
     The md5 is per-row Python by design (DuckDB hash parity, cf.
     ``q_hash_sample``).
     """
-    import hashlib
-
     import pyarrow as pa
 
     def _key(t: pa.Table) -> pa.Table:

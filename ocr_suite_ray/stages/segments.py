@@ -367,7 +367,9 @@ def dup_segment_ref(ds, text_col: str = "text", w: int = 3, key: str = "text"):
 
     def _combine(t: pa.Table) -> pa.Table:
         g = t.group_by("seg").aggregate([("n", "sum")])
-        return g.rename_columns(["seg", "n"])
+        # rebuild by NAME (mlfit pattern): group_by's key/aggregate
+        # column order has changed across pyarrow releases
+        return pa.table({"seg": g["seg"], "n": g["n_sum"]})
 
     def _final(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -542,9 +544,10 @@ def grouped_paragraph_dedup(
     ``key="hash64"`` combines the
     segment digest with a 64-bit group hash (same collision argument as
     paragraph_dedup: ~n^2/2^65) and probes a pre-sorted digest view —
-    no composite string is ever materialized. ``key="text"`` keys on
-    ``group + US + segment`` (0x1f cannot appear in space-split tokens)
-    and is the SQL-oracle twin path.
+    no composite string is ever materialized. ``key="text"`` keys on the
+    length-prefixed composite ``len(group) + US + group + US + segment``
+    (injective even when group or tokens contain US) and is the
+    SQL-oracle twin path.
     """
     import pyarrow.compute as pc
 
@@ -587,7 +590,19 @@ def grouped_paragraph_dedup(
 
     def _composite_rows(t: pa.Table):
         row_of, within, segs = segment_table(t[text_col], w)
-        gtake = _group_strings(t).take(pa.array(row_of, pa.int64()))
+        g = _group_strings(t)
+        # length-prefixed group field: "len(g) US g US segment" is
+        # INJECTIVE even when the group or a token contains US itself
+        # (space-split tokens keep every non-space char, and host strings
+        # are arbitrary) — a bare "g US segment" would let
+        # ("g", "a US b c") and ("g US a", "b c") collide and delete
+        # unique text. The prefix pins where the group field ends, so
+        # equal composites imply equal (group, segment); the count per
+        # pair (what the SQL twin computes relationally) is unchanged.
+        gkey = pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(g), pa.string()), g, SEP
+        )
+        gtake = gkey.take(pa.array(row_of, pa.int64()))
         comp = pc.binary_join_element_wise(gtake, segs, SEP)
         return row_of, segs, comp
 
@@ -609,7 +624,9 @@ def grouped_paragraph_dedup(
 
     def _combine(t: pa.Table) -> pa.Table:
         g = t.group_by("seg").aggregate([("n", "sum")])
-        return g.rename_columns(["seg", "n"])
+        # rebuild by NAME (mlfit pattern): group_by's key/aggregate
+        # column order has changed across pyarrow releases
+        return pa.table({"seg": g["seg"], "n": g["n_sum"]})
 
     def _final(t: pa.Table) -> pa.Table:
         out = t.filter(pc.greater_equal(t["n"], 2)).select(["seg"])
@@ -721,7 +738,7 @@ def admitted_term_ref(ds, text_col: str, df_lo: int, df_hi: int):
 
     def _combine(t: pa.Table) -> pa.Table:
         g = t.group_by("term").aggregate([("df", "sum")])
-        return g.rename_columns(["term", "df"])
+        return pa.table({"term": g["term"], "df": g["df_sum"]})
 
     def _final(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -166,10 +166,14 @@ class HistogramSketch:
     def partial(self, values: np.ndarray) -> np.ndarray:
         v = np.asarray(values, dtype=np.float64)
         v = v[~np.isnan(v)]  # Arrow nulls arrive as NaN — never bin them
+        # clip in FLOAT space before the int cast: float->int64 of +inf
+        # (or any scaled bin past 2^63) is INT64_MIN, which a post-cast
+        # clip would pin to bin 0 — counting a value above hi as the
+        # SMALLEST and shifting every quantile low
         idx = np.clip(
-            ((v - self.lo) / (self.hi - self.lo) * self.bins).astype(np.int64),
+            (v - self.lo) / (self.hi - self.lo) * self.bins,
             0, self.bins - 1,
-        )
+        ).astype(np.int64)
         return np.bincount(idx, minlength=self.bins).astype(np.int64)
 
     def quantile(self, counts: np.ndarray, q: float) -> float:

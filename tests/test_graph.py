@@ -150,3 +150,23 @@ def test_extract_links_tolerates_invalid_utf8_and_case_variants():
     dsts = set(out["dst_host"])
     assert "t1.example.org" in dsts  # invalid bytes elsewhere didn't crash
     assert "t2.example.org" in dsts  # spaced attr form
+
+
+def test_pagerank_drops_null_endpoint_edges(ray_session):
+    """An edge with a null src/dst host must be ignored (not crash the
+    host-universe sort or flow NaN outdegrees into int64 garbage)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.graph import pagerank_e9
+
+    clean = pd.DataFrame({"src_host": ["a", "b"], "dst_host": ["b", "a"]})
+    noisy = pd.DataFrame({
+        "src_host": ["a", "b", None, "c"],
+        "dst_host": ["b", "a", "x", None],
+    })
+    got_clean = pagerank_e9(rd.from_pandas(clean)).to_pandas().sort_values(
+        "host").reset_index(drop=True)
+    got_noisy = pagerank_e9(rd.from_pandas(noisy)).to_pandas().sort_values(
+        "host").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_clean, got_noisy)

@@ -140,3 +140,26 @@ def test_token_budget_mixture_exact_fill(ray_session):
     # each group's kept mass covers its budget (overshoot <= one doc)
     kept = got.groupby("lang")["n_tokens"].sum()
     assert kept["en"] >= 300 and kept["de"] >= 120
+
+
+def test_token_budget_mixture_null_weight_dropped(ray_session):
+    """SQL twin semantics: SUM(w) OVER ... - w is NULL for a null-weight
+    row -> the row is dropped and contributes 0 to later prefixes (an
+    unguarded NaN->int64 cast kept it with tokens_before = INT64_MIN)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.contamination import token_budget_mixture
+
+    df = pd.DataFrame({
+        "g": ["en"] * 4,
+        "doc_id": [1, 2, 3, 4],
+        "w": [5.0, None, 5.0, 5.0],
+    })
+    out = token_budget_mixture(
+        rd.from_pandas(df), "g", "doc_id", "w", budgets={"en": 100}
+    ).to_pandas()
+    assert 2 not in set(out["doc_id"])          # null-weight row dropped
+    assert set(out["doc_id"]) == {1, 3, 4}       # budget admits the rest
+    assert (out["tokens_before"] >= 0).all()     # no INT64_MIN garbage
+    assert out["tokens_before"].max() == 10      # nulls contributed 0

@@ -525,3 +525,31 @@ def test_c4_line_signals_null_text_row():
     assert out.num_rows == 2
     null_row = out.to_pylist()[1]
     assert null_row["n_kept"] == 0 and null_row["keep"] is False
+
+
+def test_grouped_paragraph_dedup_separator_in_group_or_token(ray_session):
+    """Injective composite: group 'g' + segment 'a\\x1fb ...' must NOT
+    collide with group 'g\\x1fa' + segment 'b ...' (a bare group+US+seg
+    key merged them and deleted unique text)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.segments import grouped_paragraph_dedup
+
+    w = 3
+    seg_a = "a\x1fb c d"       # 3 tokens, first contains US
+    seg_b = "b c d"
+    df = pd.DataFrame({
+        "host": ["g", "g\x1fa"],
+        "text": [seg_a, seg_b],
+        "doc_id": [1, 2],
+    })
+    out = (
+        grouped_paragraph_dedup(
+            rd.from_pandas(df), group_col="host", text_col="text", w=w
+        )
+        .to_pandas().set_index("doc_id")["text_clean"].to_dict()
+    )
+    # neither row is a within-group duplicate -> both survive untouched
+    assert out[1] == seg_a
+    assert out[2] == seg_b

@@ -151,3 +151,19 @@ def test_approx_distinct_sparse_promotes_to_dense(ray_session):
     # threshold=0 (dense-only) stays on the old path, same ballpark
     est0 = approx_distinct(ds, "v", exact_threshold=0)
     assert abs(est0 - n) / n < 0.05
+
+
+def test_histogram_bins_inf_into_top_bin():
+    """float->int64 of +inf is INT64_MIN; an int-space clip pinned it to
+    bin 0 (counting a value ABOVE hi as the smallest). Clip must happen
+    in float space."""
+    import numpy as np
+
+    from ocr_suite_ray.stages.sketches import HistogramSketch
+
+    hs = HistogramSketch(0.0, 10.0, bins=8)
+    counts = hs.partial(np.array([np.inf, 11.0, -np.inf, -1.0, 5.0]))
+    assert counts[7] == 2      # +inf and 11.0 both clip HIGH
+    assert counts[0] == 2      # -inf and -1.0 clip low
+    assert counts[4] == 1
+    assert counts.sum() == 5
