@@ -131,6 +131,11 @@ def dedup_keep_cluster_min(
     threshold of 0)."""
     import pyarrow.compute as pc
 
+    # materialize ONCE: the routing count would otherwise execute the
+    # whole pair-generation pipeline (minhash banding, bucket verify),
+    # and the components pass would execute it AGAIN — count() on a
+    # materialized dataset is a metadata read
+    pairs_ds = pairs_ds.materialize()
     n_edges = pairs_ds.count()
     if n_edges > max_broadcast_edges:
         labels = connected_components_distributed(pairs_ds)
@@ -205,6 +210,9 @@ def dedup_keep_cluster_best(
     ``(score DESC, id ASC)`` is a total order per cluster."""
     import pyarrow.compute as pc
 
+    # materialize ONCE (see dedup_keep_cluster_min: routing count + the
+    # components pass must not each re-execute pair generation)
+    pairs_ds = pairs_ds.materialize()
     n_edges = pairs_ds.count()
     if n_edges > max_broadcast_edges:
         labels = connected_components_distributed(pairs_ds).map_batches(

@@ -139,6 +139,20 @@ def topk_per_group(
     return grouped_reduce_c(reduced, group_cols, _local)
 
 
+def _arrow_types(ds, cols: list) -> dict:
+    """Arrow type per column, tolerant of pandas-born datasets (whose
+    schema is a PandasBlockSchema of numpy dtypes; object columns are
+    strings in this engine's tables)."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return {c: base.field(c).type for c in cols}
+    by_name = dict(zip(base.names, base.types))
+    return {
+        c: (pa.string() if by_name[c] == object else pa.from_numpy_dtype(by_name[c]))
+        for c in cols
+    }
+
+
 def asof_join_by_key(left, right, key: str, ts: str, left_cols: list, right_cols: list):
     """As-of join (backward, inclusive): for each left row, the latest right
     row of the same key with right.ts <= left.ts.
@@ -161,12 +175,32 @@ def asof_join_by_key(left, right, key: str, ts: str, left_cols: list, right_cols
 
     all_cols = [key, ts, "__side"] + left_cols + right_cols
     out_cols = [key, ts] + left_cols + ["asof_ts"] + right_cols
+    fill_types = {
+        **_arrow_types(left, left_cols), **_arrow_types(right, right_cols)
+    }
+
+    def _typed_zero(n: int, t):
+        # typed filler for the absent side's columns (never read): a NaN
+        # reindex would coerce the bucket concat's int64 columns to
+        # float64 — range_join's documented 2^53 id hazard
+        if pa.types.is_integer(t):
+            return np.zeros(n, dtype=np.int64)
+        if pa.types.is_floating(t):
+            return np.zeros(n, dtype=np.float64)
+        if pa.types.is_timestamp(t):
+            return np.zeros(n, dtype="datetime64[us]")
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return np.full(n, "", dtype=object)
+        return np.full(n, None, dtype=object)
 
     def _align(side: int):
         def _m(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
             df["__side"] = np.int8(side)
-            return df.reindex(columns=all_cols)
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = _typed_zero(len(df), fill_types[c])
+            return df[all_cols]
 
         return _m
 
@@ -255,18 +289,6 @@ def range_join(
     import pyarrow.compute as pc
 
     w = max(int(upper_us) - int(lower_us), 1)
-
-    def _arrow_types(ds, cols: list) -> dict:
-        base = ds.schema().base_schema
-        if isinstance(base, pa.Schema):
-            return {c: base.field(c).type for c in cols}
-        # PandasBlockSchema (pandas-born datasets): numpy dtypes; object
-        # columns are strings in this engine's tables
-        by_name = dict(zip(base.names, base.types))
-        return {
-            c: (pa.string() if by_name[c] == object else pa.from_numpy_dtype(by_name[c]))
-            for c in cols
-        }
 
     ltypes = _arrow_types(left, left_cols)
     rtypes = _arrow_types(right, right_cols)
@@ -386,7 +408,10 @@ def narrow_grouped_sum(
 
     def _merge(t: pa.Table) -> pa.Table:
         g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
-        return g.rename_columns(keys + sum_cols)
+        # select by NAME first: group_by output order is release-fragile
+        return g.select(keys + [f"{c}_sum" for c in sum_cols]).rename_columns(
+            keys + sum_cols
+        )
 
     ref = coalesce_reduce(partials, _merge, finish_fn, materialize=False)
     if ref is None:
@@ -447,7 +472,9 @@ def count_distinct_by_group(
     def _count(g: pd.DataFrame) -> pd.DataFrame:
         out = (
             g.drop_duplicates([group_col, key_col])
-            .groupby(group_col, sort=False)[key_col]
+            # dropna=False: the Arrow per-block combiner keeps a null
+            # GROUP; the pandas default would silently drop its row
+            .groupby(group_col, sort=False, dropna=False)[key_col]
             .size()
             .reset_index(name=out_col)
         )
@@ -583,7 +610,9 @@ def pivot_counts(ds, key_col: str, pivot_col: str, values: list,
             .group_by([key_col, pivot_col])
             .aggregate([([], "count_all")])
         )
-        return g.rename_columns([key_col, pivot_col, "_n"])
+        return g.select([key_col, pivot_col, "count_all"]).rename_columns(
+            [key_col, pivot_col, "_n"]
+        )
 
     def _pivot(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

@@ -369,12 +369,19 @@ def _row_token_runs(flat, nt: np.ndarray) -> tuple:
     run_row = r[run_starts]
     run_len = np.diff(np.append(run_starts, len(r)))
     n_distinct = np.bincount(run_row, minlength=len(nt)).astype(np.int64)
-    # split(" ") yields ≥1 token per row, so every row has ≥1 run and
-    # reduceat sees no empty segments
-    row_first = np.flatnonzero(
-        np.concatenate([[True], run_row[1:] != run_row[:-1]])
-    )
-    top = np.maximum.reduceat(run_len, row_first).astype(np.int64)
+    # NULL-text rows have ZERO tokens (split_pattern of a null is a null
+    # list), so not every input row appears in the runs — the top counts
+    # must be SCATTERED back per present row (the _row_ngram_coverage
+    # shape), never returned compacted (a compacted array broadcast
+    # against the full batch misaligns every row after the first null)
+    top = np.zeros(len(nt), dtype=np.int64)
+    if len(run_row):
+        row_first = np.flatnonzero(
+            np.concatenate([[True], run_row[1:] != run_row[:-1]])
+        )
+        top[run_row[row_first]] = np.maximum.reduceat(
+            run_len, row_first
+        ).astype(np.int64)
     return n_distinct, top
 
 
@@ -618,9 +625,30 @@ def _tree_keyed_sum(partials_ds, key: str, val: str):
 
     def _merge(t: pa.Table) -> pa.Table:
         g = t.group_by(key).aggregate([(val, "sum")])
-        return g.rename_columns([key, val])
+        # select by NAME first: pyarrow group_by output order has changed
+        # across releases, so a bare positional rename is fragile
+        return g.select([key, f"{val}_sum"]).rename_columns([key, val])
 
     return coalesce_reduce(partials_ds, _merge, None, materialize=False)
+
+
+def _token_count_partial(text_col: str):
+    """Per-block (tok, n) value_counts partial over whitespace tokens —
+    the shared combiner of token_frequencies / unigram_count_ref /
+    bpe_train_ref (one copy, so token-shape fixes apply everywhere)."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _nt, flat, _off = _tokens(batch[text_col])
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "tok": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return _partial
 
 
 def token_frequencies(ds, text_col: str, top_k: int = 100):
@@ -631,26 +659,20 @@ def token_frequencies(ds, text_col: str, top_k: int = 100):
     partials, and the final sort+limit runs over the vocabulary-sized
     aggregate, never the corpus. Deterministic tie-break: (n desc, token
     asc)."""
-    from ray.data.aggregate import Sum
+    _partial = _token_count_partial(text_col)
 
-    def _partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        _nt, flat, _off = _tokens(batch[text_col])
-        vc = pc.value_counts(flat)  # one C hash pass per block
-        return pa.table(
-            {
-                "tok": vc.field("values"),
-                "n": pc.cast(vc.field("counts"), pa.int64()),
-            }
-        )
-
+    import ray
     import ray.data as rd
 
     ref = _tree_keyed_sum(
         ds.map_batches(_partial, batch_format="pyarrow"), "tok", "n"
     )
-    if ref is None:
+    # coalesce_reduce(materialize=False) always hands back an ObjectRef;
+    # it is the ref's VALUE that is None on an all-empty corpus, and
+    # from_arrow_refs on a None block crashes in schema extraction (the
+    # guard narrow_grouped_sum documents) — check the resolution with a
+    # tiny remote probe, never the ref identity
+    if ref is None or ray.get(ray.remote(lambda t: t is None).remote(ref)):
         agg = rd.from_arrow(
             pa.table({"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
         )
@@ -766,9 +788,11 @@ def host_stats(ds, url_col: str = "url", weight_col: str | None = None,
             aggs.append(("w", "sum"))
         g = pa.table(cols).group_by(["host", "tld"]).aggregate(aggs)
         names = ["host", "tld", "n_docs"]
+        sel = ["host", "tld", "count_all"]
         if weight_col is not None:
             names.append("sum_weight")
-        return g.rename_columns(names)
+            sel.append("w_sum")
+        return g.select(sel).rename_columns(names)
 
     def _fold(df: pd.DataFrame) -> pd.DataFrame:
         return _sum_fold(df, ["host", "tld"])
@@ -860,21 +884,7 @@ def unigram_count_ref(ds, text_col: str = "text"):
     per-block ``value_counts`` partials, ONE vocabulary-keyed groupby,
     tree-reduced off the driver. The broadcastable LM artifact shared by
     :func:`lm_unigram_score` and the curation composite."""
-    from ray.data.aggregate import Sum
-
-    from ocr_suite_ray.state.dupset import coalesce_reduce
-
-    import pyarrow.compute as pc
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        _nt, flat, _off = _tokens(batch[text_col])
-        vc = pc.value_counts(flat)
-        return pa.table(
-            {
-                "tok": vc.field("values"),
-                "n": pc.cast(vc.field("counts"), pa.int64()),
-            }
-        )
+    _partial = _token_count_partial(text_col)
 
     return _tree_keyed_sum(
         ds.map_batches(_partial, batch_format="pyarrow"), "tok", "n"
@@ -958,9 +968,14 @@ def _bigrams(texts) -> tuple:
         return n_bi, pa.array([], pa.string()), np.zeros(len(off), np.int64)
     # candidate pairs (i, i+1) for i in [0, total-2]; drop pairs that cross
     # a row boundary (i+1 is some row's first token). split_pattern('')
-    # yields [''], so every row has >= 1 token and starts are >= 1.
+    # yields [''] so non-null rows have >= 1 token, but a NULL row has
+    # ZERO — its boundary equals a neighbour's, putting 0 (first row
+    # null: mask[-1] wraps, silently dropping the batch's last bigram)
+    # or total (last row null: IndexError) into starts; both are
+    # non-crossing boundaries and must be skipped.
     mask = np.ones(total - 1, dtype=bool)
     starts = off[1:-1]
+    starts = starts[(starts > 0) & (starts < total)]
     mask[starts - 1] = False
     idx = np.flatnonzero(mask)
     prev = flat.take(pa.array(idx, pa.int64()))
@@ -1216,7 +1231,9 @@ def bm25_rank(
 
     def _stats_combine(t: pa.Table) -> pa.Table:
         g = t.group_by("term").aggregate([("df", "sum"), ("dl", "sum")])
-        return g.rename_columns(["term", "df", "dl"])
+        return g.select(["term", "df_sum", "dl_sum"]).rename_columns(
+            ["term", "df", "dl"]
+        )
 
     stats_ref = coalesce_reduce(
         ds.map_batches(_stats_partial, batch_format="pyarrow"),
@@ -1388,7 +1405,9 @@ def dsir_weights(
 
     def _combine(t: pa.Table) -> pa.Table:
         g = t.group_by(["grp", "tok"]).aggregate([("n", "sum")])
-        return g.rename_columns(["grp", "tok", "n"])
+        return g.select(["grp", "tok", "n_sum"]).rename_columns(
+            ["grp", "tok", "n"]
+        )
 
     ref = coalesce_reduce(
         ds.map_batches(_partial, batch_format="pyarrow"),
@@ -1431,8 +1450,6 @@ def tfidf_top_terms(
     ``reindex`` hash-join against the cached df Series, a vectorized score
     + per-doc head(k). The corpus never shuffles.
     """
-    from ray.data.aggregate import Sum
-
     from ocr_suite_ray.stages._bcast import cached_build
     from ocr_suite_ray.state.dupset import coalesce_reduce
 
@@ -1521,21 +1538,7 @@ def bpe_train_ref(ds, text_col: str = "text", n_merges: int = 64):
     break lexicographically.
     """
     import ray
-    from ray.data.aggregate import Sum
-
-    from ocr_suite_ray.state.dupset import coalesce_reduce
-
-    import pyarrow.compute as pc
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        _nt, flat, _off = _tokens(batch[text_col])
-        vc = pc.value_counts(flat)
-        return pa.table(
-            {
-                "tok": vc.field("values"),
-                "n": pc.cast(vc.field("counts"), pa.int64()),
-            }
-        )
+    _partial = _token_count_partial(text_col)
 
     counts_ref = _tree_keyed_sum(
         ds.map_batches(_partial, batch_format="pyarrow"), "tok", "n"

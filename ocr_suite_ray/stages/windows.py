@@ -45,22 +45,30 @@ def tumbling_window_agg(
     — the same partials, exchanged all-to-all."""
 
     def _win_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         w = pc.cast(pc.floor_temporal(t[ts_col], unit=every), pa.timestamp("us"))
-        t = pa.table(
-            {key_col: t[key_col], "window_start": w, value_col: t[value_col]}
-        )
         # n_events counts ALL rows (the op's contract and the SQL twin's
-        # COUNT(*) — Arrow's plain "count" skips nulls and would under-count
-        # a null-valued event stream); avg needs the VALID count separately
-        # so it stays SQL AVG (sum / non-null count), not sum / COUNT(*)
-        g = t.group_by([key_col, "window_start"]).aggregate(
-            [
-                (value_col, "sum"),
-                (value_col, "count", pc.CountOptions(mode="all")),
-                (value_col, "count", pc.CountOptions(mode="only_valid")),
-            ]
+        # COUNT(*)) via a summed ones column — two count-mode aggregates
+        # on the same column share an output NAME, which would force a
+        # release-fragile positional rename; the ones sum keeps every
+        # output name unique so the select-by-name below is order-proof.
+        # n_valid stays the plain (null-skipping) count for SQL AVG.
+        t = pa.table(
+            {
+                key_col: t[key_col],
+                "window_start": w,
+                value_col: t[value_col],
+                "_one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
         )
-        return g.rename_columns(
+        g = t.group_by([key_col, "window_start"]).aggregate(
+            [(value_col, "sum"), ("_one", "sum"), (value_col, "count")]
+        )
+        return g.select(
+            [key_col, "window_start", f"{value_col}_sum", "_one_sum",
+             f"{value_col}_count"]
+        ).rename_columns(
             [key_col, "window_start", "sum_value", "n_events", "n_valid"]
         )
 
@@ -96,7 +104,10 @@ def tumbling_window_agg(
             # NULL (SQL semantics; the narrow exchange's Arrow re-agg keeps
             # it NULL — plain .sum() would coerce it to 0 and the two
             # exchange modes would disagree)
-            gb = g.groupby([key_col, "window_start"], sort=False)
+            # dropna=False: the narrow tier's Arrow re-agg KEEPS a
+            # null-key group; the pandas default would drop it and the
+            # two exchange modes would return different rows
+            gb = g.groupby([key_col, "window_start"], sort=False, dropna=False)
             out = gb[["n_events", "n_valid"]].sum()
             out["sum_value"] = gb["sum_value"].sum(min_count=1)
             return out.reset_index()[
@@ -311,11 +322,15 @@ def group_zscore(ds, key_col: str, value_col: str, out_col: str = "z"):
             }
         )
         g = t2.group_by(key_col).aggregate([("_n", "sum"), ("_s", "sum"), ("_s2", "sum")])
-        return g.rename_columns([key_col, "_n", "_s", "_s2"])
+        return g.select([key_col, "_n_sum", "_s_sum", "_s2_sum"]).rename_columns(
+            [key_col, "_n", "_s", "_s2"]
+        )
 
     def _merge(t: pa.Table) -> pa.Table:
         g = t.group_by(key_col).aggregate([("_n", "sum"), ("_s", "sum"), ("_s2", "sum")])
-        return g.rename_columns([key_col, "_n", "_s", "_s2"])
+        return g.select([key_col, "_n_sum", "_s_sum", "_s2_sum"]).rename_columns(
+            [key_col, "_n", "_s", "_s2"]
+        )
 
     stats_ref = coalesce_reduce(
         ds.map_batches(_partial, batch_format="pyarrow"), _merge, None, materialize=False
@@ -400,11 +415,11 @@ def percentile_gate(ds, col: str, lo_p: float = 0.05, hi_p: float = 0.95):
             .group_by(col)
             .aggregate([("_c", "sum")])
         )
-        return g.rename_columns([col, "_c"])
+        return g.select([col, "_c_sum"]).rename_columns([col, "_c"])
 
     def _merge(t: pa.Table) -> pa.Table:
         g = t.group_by(col).aggregate([("_c", "sum")])
-        return g.rename_columns([col, "_c"])
+        return g.select([col, "_c_sum"]).rename_columns([col, "_c"])
 
     hist = coalesce_reduce(
         ds.map_batches(_hist, batch_format="pyarrow"), _merge, None, materialize=True

@@ -140,6 +140,7 @@ def dup_key_table_ref_from_files(
             f.read_row_group(rg, columns=[key_col])
             .group_by(key_col)
             .aggregate([(key_col, "count")])
+            .select([key_col, f"{key_col}_count"])
             .rename_columns([key_col, "n"])
             for rg in range(f.metadata.num_row_groups)
         ]
@@ -147,6 +148,7 @@ def dup_key_table_ref_from_files(
             pa.concat_tables(parts)
             .group_by(key_col)
             .aggregate([("n", "sum")])
+            .select([key_col, "n_sum"])
             .rename_columns([key_col, "n"])
         )
         if k == 1:
@@ -159,7 +161,7 @@ def dup_key_table_ref_from_files(
 
     def _combine(t: pa.Table) -> pa.Table:
         g = t.group_by(key_col).aggregate([("n", "sum")])
-        return g.rename_columns([key_col, "n"])
+        return g.select([key_col, "n_sum"]).rename_columns([key_col, "n"])
 
     def _dups_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t["n"], 1)).select([key_col])
@@ -210,10 +212,14 @@ def dup_key_table_ref(ds, key_col: str = "url", key_exchange: str = "narrow"):
 
         def _vc(t: pa.Table) -> pa.Table:
             g = t.select([key_col]).group_by(key_col).aggregate([(key_col, "count")])
-            return g.rename_columns([key_col, "__n"])
+            return g.select([key_col, f"{key_col}_count"]).rename_columns(
+                [key_col, "__n"]
+            )
 
         def _fold(df):
-            return df.groupby(key_col, as_index=False)["__n"].sum()
+            # dropna=False: the per-block Arrow combiner keeps null keys,
+            # and the tree tier counts them — the shuffle tier must agree
+            return df.groupby(key_col, as_index=False, dropna=False)["__n"].sum()
 
         counts = grouped_reduce_c(
             ds.map_batches(_vc, batch_format="pyarrow"), [key_col], _fold
@@ -230,11 +236,13 @@ def dup_key_table_ref(ds, key_col: str = "url", key_exchange: str = "narrow"):
 
     def _local_counts(t: pa.Table) -> pa.Table:
         g = t.select([key_col]).group_by(key_col).aggregate([(key_col, "count")])
-        return g.rename_columns([key_col, "n"])
+        return g.select([key_col, f"{key_col}_count"]).rename_columns(
+            [key_col, "n"]
+        )
 
     def _combine(t: pa.Table) -> pa.Table:
         g = t.group_by(key_col).aggregate([("n", "sum")])
-        return g.rename_columns([key_col, "n"])
+        return g.select([key_col, "n_sum"]).rename_columns([key_col, "n"])
 
     def _final(t: pa.Table) -> pa.Table:
         return _sorted(t.filter(pc.greater(t["n"], 1)).select([key_col]))

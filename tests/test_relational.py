@@ -210,3 +210,31 @@ def test_profile_columns_empty_input():
         rd.from_arrow(t), num_cols=["x"], str_cols=["s"]
     ).to_pandas()
     assert len(out) <= 2  # per-column zero rows or empty report, no crash
+
+
+def test_asof_join_preserves_large_int64_ids(ray_session):
+    """The union-side filler must be TYPED: a NaN reindex coerced int64
+    payload columns to float64 in the bucket concat, corrupting ids
+    above 2^53 (range_join's documented hazard, now shared)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.relational import asof_join_by_key
+
+    big = 2**53 + 1
+    left = pd.DataFrame({
+        "k": [1, 1],
+        "t": pd.to_datetime([10, 20], unit="s"),
+        "lid": np.array([big, 2**53 + 3], dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": [1],
+        "t": pd.to_datetime([5], unit="s"),
+        "rv": np.array([7], dtype=np.int64),
+    })
+    out = asof_join_by_key(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "t", ["lid"], ["rv"]
+    ).to_pandas()
+    assert out["lid"].dtype == np.int64
+    assert sorted(out["lid"]) == sorted([big, 2**53 + 3])
