@@ -103,6 +103,28 @@ class Block:
 
 _TAGNAME = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
 _ENDTAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
+# noscript/template: parsed as normal markup but every event inside is
+# suppressed (the oracle's _SKIP_TAGS minus the CDATA pair, which the
+# scanner handles by jumping to the close tag)
+_SKIP_NOCDATA = frozenset({"noscript", "template"})
+
+# The stdlib parser's own tolerant regexes, so the scanner's rare paths
+# (self-closing confirmation, junk-bearing end tags, comment close) are
+# html.parser-exact by construction. Pinned by the Python version like the
+# rest of the oracle; copied fallbacks keep hot-path behavior if a future
+# stdlib stops exposing them.
+try:
+    from html.parser import attrfind_tolerant as _ATTRFIND_TOL
+    from html.parser import tagfind_tolerant as _TAGFIND_TOL
+    from html.parser import commentclose as _COMMENTCLOSE
+except ImportError:  # pragma: no cover - stdlib layout change
+    _ATTRFIND_TOL = re.compile(
+        r"""((?<=[\'"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"""
+        r"""(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*"""
+    )
+    _TAGFIND_TOL = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+    _COMMENTCLOSE = re.compile(r"--\s*>")
 _CDATA_CLOSE = {
     "script": re.compile(r"</\s*script", re.IGNORECASE),
     "style": re.compile(r"</\s*style", re.IGNORECASE),
@@ -145,9 +167,9 @@ def _scan_blocks(raw: str) -> list[Block]:
     method call into an accumulator object (measured ~30% of kernel time).
     Accumulation semantics: block-level tags open a block, text nodes
     accumulate, <a> text feeds the link-char counter (the link-density
-    feature) — identical to ``_BlockParser``'s handlers; the differential
-    oracle test (vs stdlib html.parser) pins both tokenization and
-    accumulation."""
+    feature), noscript/template content is skip-depth-suppressed — identical
+    to ``_BlockParser``'s handlers; the differential oracle test (vs stdlib
+    html.parser) pins both tokenization and accumulation."""
     from html import unescape
 
     n = len(raw)
@@ -155,32 +177,93 @@ def _scan_blocks(raw: str) -> list[Block]:
     search = _EVENT.search
     blocks: list[Block] = []
     link_depth = 0
+    skip_depth = 0  # inside noscript/template (oracle _skip_depth)
     cur_chunks: list | None = None  # None <=> no open block
     cur_kind = KIND_PARAGRAPH
     cur_link = 0
     cur_total = 0
     i = 0
+
+    def _fallback_data(text: str) -> None:
+        # html.parser goahead(end=1): an unterminated construct at EOF is
+        # emitted as raw DATA (no unescape). One helper instead of four
+        # copy-pasted stanzas; suppressed inside noscript/template like
+        # every other data event.
+        nonlocal cur_chunks, cur_kind, cur_link, cur_total
+        if skip_depth or not text:
+            return
+        if "&" in text:
+            # html.parser's goahead(end=1) fallback DOES unescape when
+            # convert_charrefs is on (and the cdata path never reaches EOF
+            # fallback), so raw emission here would diverge
+            text = unescape(text)
+        if cur_chunks is not None:
+            sl = len(text.strip())
+            cur_chunks.append(text)
+            cur_total += sl
+            if link_depth:
+                cur_link += sl
+        elif text.strip():
+            cur_kind = KIND_PARAGRAPH
+            cur_chunks = [text]
+            cur_total = len(text.strip())
+            cur_link = cur_total if link_depth else 0
+
+    def _selfclosing(name_start: int, gt: int) -> bool:
+        # html.parser parse_starttag: a tag is self-closing iff the
+        # remainder AFTER consuming attributes strips to '/>'. A bare
+        # raw[gt-1] == '/' check misreads an unquoted attribute value
+        # ending in '/' (<a href=http://x.y/>) as self-closing, which
+        # never increments link_depth and breaks link-density dropping.
+        tm = _TAGFIND_TOL.match(raw, name_start)
+        k = tm.end() if tm is not None else name_start
+        while k < gt:
+            am = _ATTRFIND_TOL.match(raw, k)
+            if am is None:
+                break
+            k = am.end()
+        return raw[k : gt + 1].strip() == "/>"
+
+    def _end_tag_event(name: str) -> None:
+        nonlocal skip_depth, link_depth, cur_chunks
+        if name in _SKIP_TAGS:
+            # FULL skip set: a matched </script> never reaches here (the
+            # CDATA jump consumes it), but an UNMATCHED one does, and the
+            # oracle decrements the depth a <noscript> opened
+            skip_depth = max(0, skip_depth - 1)
+            return
+        if skip_depth:
+            return
+        if name == "a":
+            if link_depth:
+                link_depth -= 1
+        elif name in _BLOCK_TAGS:
+            if cur_chunks is not None and cur_total > 0:
+                blocks.append(Block(cur_kind, cur_chunks, cur_link, cur_total))
+            cur_chunks = None
+
     while i < n:
         m = search(raw, i)
         lt = m.start() if m is not None else -1
         if lt < 0 or lt > i:
             text = raw[i:] if lt < 0 else raw[i:lt]
-            if "&" in text:
-                text = unescape(text)
-            # inline data event
-            st = text.strip()
-            if cur_chunks is not None:
-                sl = len(st)
-                cur_chunks.append(text)
-                cur_total += sl
-                if link_depth:
-                    cur_link += sl
-            elif st:
-                sl = len(st)
-                cur_kind = KIND_PARAGRAPH
-                cur_chunks = [text]
-                cur_total = sl
-                cur_link = sl if link_depth else 0
+            if not skip_depth:
+                if "&" in text:
+                    text = unescape(text)
+                # inline data event
+                st = text.strip()
+                if cur_chunks is not None:
+                    sl = len(st)
+                    cur_chunks.append(text)
+                    cur_total += sl
+                    if link_depth:
+                        cur_link += sl
+                elif st:
+                    sl = len(st)
+                    cur_kind = KIND_PARAGRAPH
+                    cur_chunks = [text]
+                    cur_total = sl
+                    cur_link = sl if link_depth else 0
             if lt < 0:
                 break
         name = m.group(4)
@@ -190,19 +273,13 @@ def _scan_blocks(raw: str) -> list[Block]:
             gt = find(">", lt + 1)
             if gt < 0:
                 text, i = _incomplete(raw, lt)
-                if cur_chunks is not None and text:  # inline data (no unescape)
-                    sl = len(text.strip())
-                    cur_chunks.append(text)
-                    cur_total += sl
-                    if link_depth:
-                        cur_link += sl
-                elif text and text.strip():
-                    cur_kind = KIND_PARAGRAPH
-                    cur_chunks = [text]
-                    cur_total = len(text.strip())
-                    cur_link = cur_total if link_depth else 0
+                _fallback_data(text)
                 continue
-            selfclosing = raw[gt - 1] == "/" and gt - 1 > lt
+            selfclosing = (
+                raw[gt - 1] == "/"
+                and gt - 1 > lt
+                and _selfclosing(lt + 1, gt)
+            )
             i = gt + 1
             if not selfclosing and name in _CDATA_CLOSE:
                 # CDATA content model: skip to the FIRST matching close tag
@@ -212,6 +289,14 @@ def _scan_blocks(raw: str) -> list[Block]:
                     break  # unterminated script/style: rest is dead content
                 me = _ENDTAG.match(raw, mc.start())
                 i = me.end() if me else find(">", mc.start()) + 1 or n
+                continue
+            if name in _SKIP_NOCDATA:
+                # noscript/template: content parsed as markup but every
+                # event inside is suppressed (oracle _skip_depth)
+                if not selfclosing:
+                    skip_depth += 1
+                continue
+            if skip_depth:
                 continue
             # inline start event (self-closed tags: only <br/> acts)
             if name == "a":
@@ -228,70 +313,48 @@ def _scan_blocks(raw: str) -> list[Block]:
                 cur_link = 0
                 cur_total = 0
         elif m.group(2) is not None:  # end tag (full </name> form)
-            name = m.group(2).lower()
             i = m.end()
-            # inline end event
-            if name == "a":
-                if link_depth:
-                    link_depth -= 1
-            elif name in _BLOCK_TAGS:
-                if cur_chunks is not None and cur_total > 0:
-                    blocks.append(Block(cur_kind, cur_chunks, cur_link, cur_total))
-                cur_chunks = None
-        elif m.group(3) is not None:  # bogus end tag ('</' with no name>)
-            gt = find(">", lt + 1)
-            if gt < 0:
-                text, i = _incomplete(raw, lt)
-                if cur_chunks is not None and text:
-                    sl = len(text.strip())
-                    cur_chunks.append(text)
-                    cur_total += sl
-                    if link_depth:
-                        cur_link += sl
-                elif text and text.strip():
-                    cur_kind = KIND_PARAGRAPH
-                    cur_chunks = [text]
-                    cur_total = len(text.strip())
-                    cur_link = cur_total if link_depth else 0
+            _end_tag_event(m.group(2).lower())
+        elif m.group(3) is not None:  # '</' not matching the strict form
+            # html.parser parse_endtag tolerant path: a letter after '</'
+            # is an end tag whose junk (attributes, garbage) runs to the
+            # next '>' (</div foo=bar> CLOSES div); otherwise the whole
+            # construct is a bogus comment, skipped to '>'
+            nm = _TAGFIND_TOL.match(raw, lt + 2)
+            if nm is not None:
+                gt = find(">", nm.end())
+                if gt < 0:
+                    text, i = _incomplete(raw, lt)
+                    _fallback_data(text)
+                else:
+                    i = gt + 1
+                    _end_tag_event(nm.group(1).lower())
             else:
-                i = gt + 1  # bogus end tag: ignored
+                gt = find(">", lt + 1)
+                if gt < 0:
+                    text, i = _incomplete(raw, lt)
+                    _fallback_data(text)
+                else:
+                    i = gt + 1  # bogus end tag: ignored
             continue
         elif m.group(1) is not None:  # comment
-            e = find("-->", lt + 4)
-            if e < 0:
+            e = _COMMENTCLOSE.search(raw, lt + 4)
+            if e is None:
                 text, i = _incomplete(raw, lt)
-                if cur_chunks is not None and text:
-                    sl = len(text.strip())
-                    cur_chunks.append(text)
-                    cur_total += sl
-                    if link_depth:
-                        cur_link += sl
-                elif text and text.strip():
-                    cur_kind = KIND_PARAGRAPH
-                    cur_chunks = [text]
-                    cur_total = len(text.strip())
-                    cur_link = cur_total if link_depth else 0
+                _fallback_data(text)
                 continue
-            i = e + 3
+            i = e.end()  # html.parser commentclose: '--' + \s* + '>'
         elif m.group(5) is not None:  # declaration / processing instruction
             gt = find(">", lt + 1)
             if gt < 0:
                 text, i = _incomplete(raw, lt)
-                if cur_chunks is not None and text:
-                    sl = len(text.strip())
-                    cur_chunks.append(text)
-                    cur_total += sl
-                    if link_depth:
-                        cur_link += sl
-                elif text and text.strip():
-                    cur_kind = KIND_PARAGRAPH
-                    cur_chunks = [text]
-                    cur_total = len(text.strip())
-                    cur_link = cur_total if link_depth else 0
+                _fallback_data(text)
                 continue
             i = gt + 1
         else:  # bare '<': literal data
-            if cur_chunks is not None:
+            if skip_depth:
+                pass
+            elif cur_chunks is not None:
                 cur_chunks.append("<")
                 cur_total += 1
                 if link_depth:

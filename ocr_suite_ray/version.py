@@ -25,6 +25,7 @@ _EXTRACT_SOURCES = [
     "functions/extract.py",
     "stages/extract.py",
     "stages/dedup.py",
+    "functions/ocr.py",
 ]
 
 # modules whose bytes determine the synthetic corpus

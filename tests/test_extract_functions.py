@@ -290,3 +290,63 @@ def test_pdf_unterminated_last_stream_raises():
         b"%PDF-1.4\n1 0 obj\n<<>>\nstream\nBT (two streams flow) Tj ET\nendstream\n"
     )
     assert "two streams flow" in out["text"]
+
+
+def test_scanner_html_parser_parity_hard_cases():
+    """Round-5 review divergences, each previously extracting differently
+    from the stdlib oracle: noscript/template suppression, unquoted attr
+    value ending in '/', junk-bearing end tags, '-- >' comment close,
+    unmatched </script> closing a noscript scope, EOF-fallback charrefs."""
+    from ocr_suite_ray.functions.html_extract import (
+        extract_html,
+        extract_html_oracle,
+    )
+
+    cases = [
+        b'<p>Real paragraph with several content words.</p>'
+        b'<noscript>Please enable JavaScript to view comments.</noscript>',
+        b'<div><a href=http://example.com/>Home page link</a> '
+        b'<a href=http://example.com/about/>About this site</a></div>'
+        b'<p>real content words here</p>',
+        b'<div><a href="/x">home link words</a></div foo> extra plain words here now',
+        b'<p>before words here</p><!-- comment -- > leaked?<p>after words here</p>',
+        b'<template><p>hidden template words</p></template><p>visible words here</p>',
+        b'<br/><a href="x"/><p>plain words here now</p>',
+        b'</ div><p>odd endtag words here</p>',
+        b'<noscript><noscript>deep</noscript>still hidden?</noscript>'
+        b'<p>shown words here</p>',
+        b'<noscript><</script>var x=1; now visible words here',
+        b'<p>tail words &#65;&amp; <a href=u ',
+    ]
+    for c in cases:
+        assert extract_html(c) == extract_html_oracle(c), c
+
+
+def test_scanner_random_fragment_parity():
+    """Seeded random compositions of crawl-ish fragments (excluding the one
+    DOCUMENTED divergence: '>' inside a quoted attribute value) must be
+    fully identical to the oracle — text, spans, and block counters."""
+    import random
+
+    from ocr_suite_ray.functions.html_extract import (
+        extract_html,
+        extract_html_oracle,
+    )
+
+    rng = random.Random(4242)
+    frags = [
+        '<p>', '</p>', '<div>', '</div>', '<a href=http://x.y/>',
+        '<a href="/z">', '</a>', '<noscript>', '</noscript>', '<template>',
+        '</template>', '<script>', '</script>', '<style>', 'var x=1;',
+        '</style>', '<!-- c -- >', '<!-->', '<br/>', '<br>',
+        '</div foo=bar>', '</ div>', '</>', '<li>', '</li>', '<h1>',
+        '</h1>', 'some real words here', 'link text', '&amp; more',
+        'plain', '<', '>', '<!doctype html>', '<?pi ?>', 'x/',
+        '<img src=a/>', '<title>', '</title>', '\n', '  ', '<a href=u >',
+        '<!--', '-->', '<p', '</p', 'words with &#65; refs',
+    ]
+    for _ in range(800):
+        doc = ''.join(
+            rng.choice(frags) for _ in range(rng.randint(1, 30))
+        ).encode()
+        assert extract_html(doc) == extract_html_oracle(doc), doc

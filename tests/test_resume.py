@@ -176,7 +176,11 @@ def test_killed_wave_resumes_at_unit_granularity(ray_session, small_corpus, tmp_
     member_box, _dupset_fp, file_fps = _input_dup_membership(files, out, cfg)
 
     code_fp = extract_code_fingerprint()
-    salts = {p: f"{fp}-{code_fp}" for p, fp in file_fps.items()}
+    # mirror run_pipeline's salt derivation (incl. the ocr-engine tag)
+    _engine_tag = cfg.ocr_engine or "none"
+    salts = {
+        p: f"{fp}-{code_fp}-ocr:{_engine_tag}" for p, fp in file_fps.items()
+    }
     wave = list(enumerate(files))[: cfg.wave_size]
     specs = _wave_specs(wave, salt=salts)
     tmp_dir = os.path.join(out, "_wave_tmp")
@@ -233,7 +237,11 @@ def test_killed_wave_with_shifted_pids_drops_stale_dirs(
     files = list_pages_files(pages)
     member_box, _fp, file_fps = _input_dup_membership(files, out, cfg)
     code_fp = extract_code_fingerprint()
-    salts = {p: f"{fp}-{code_fp}" for p, fp in file_fps.items()}
+    # mirror run_pipeline's salt derivation (incl. the ocr-engine tag)
+    _engine_tag = cfg.ocr_engine or "none"
+    salts = {
+        p: f"{fp}-{code_fp}-ocr:{_engine_tag}" for p, fp in file_fps.items()
+    }
     specs = _wave_specs(list(enumerate(files)), salt=salts)
     first = specs.filter(pa.compute.equal(specs["partition_id"], 0))
     tmp_dir = os.path.join(out, "_wave_tmp")
@@ -248,7 +256,9 @@ def test_killed_wave_with_shifted_pids_drops_stale_dirs(
     # new salts (content unchanged), they just carry stale pids
     files2 = list_pages_files(pages)
     _box2, _fp2, file_fps2 = _input_dup_membership(files2, out, cfg)
-    salts2 = {p: f"{fp}-{code_fp}" for p, fp in file_fps2.items()}
+    salts2 = {
+        p: f"{fp}-{code_fp}-ocr:none" for p, fp in file_fps2.items()
+    }
     assert _load_unit_markers(tmp_dir, salts2), "markers must still validate"
 
     s = run_extract_phase(pages, out, cfg)
@@ -369,3 +379,80 @@ def test_finalize_linked_sharded_many_partitions(ray_session, tmp_path):
     assert got["https://dup.example"] == "cap 46"
     n_files = len([f for f in os.listdir(final) if f.endswith(".parquet")])
     assert n_files == n_parts * files_per_part + 1  # links + winners.parquet
+
+
+def test_ocr_engine_change_invalidates_partitions(
+    ray_session, small_corpus, tmp_path
+):
+    """The per-partition salt mixes the configured OCR engine: re-running
+    with a different ocr_engine must re-extract (scanned-PDF rows change
+    from typed error rows to OCR text), never skip as done."""
+    pages_dir, _files = small_corpus
+    out = str(tmp_path / "out")
+    s1 = run_pipeline(pages_dir, out, ExtractConfig(ocr_engine=None))
+    assert s1["partitions_skipped"] == 0
+    s2 = run_pipeline(pages_dir, out, ExtractConfig(ocr_engine=None))
+    assert s2["partitions_processed"] == 0  # same engine: all skip
+    s3 = run_pipeline(pages_dir, out, ExtractConfig(ocr_engine="stub"))
+    assert s3["partitions_skipped"] == 0    # engine switch: all re-extract
+
+
+def test_commit_scrubs_leftover_tmp_sink_files(
+    ray_session, small_corpus, tmp_path
+):
+    """A truncated 'part-*.parquet.tmp<sig>' left in a reused pid dir by a
+    killed worker must not be promoted into extracted/ (pyarrow dataset
+    discovery in the unfused finalize fallback trips over it)."""
+    import glob
+    import os
+
+    from ocr_suite_ray.pipelines.extract import _commit_wave
+
+    pages_dir, _files = small_corpus
+    out = str(tmp_path / "out")
+    run_pipeline(pages_dir, out, ExtractConfig())
+    # simulate the killed-run leftover inside a fresh wave tmp dir, then
+    # commit that wave directly
+    tmp_dir = str(tmp_path / "wave_tmp")
+    pid_dir = os.path.join(tmp_dir, "partition_id=0", "is_dup=0")
+    os.makedirs(pid_dir)
+    src = glob.glob(
+        os.path.join(out, "extracted", "partition_id=0", "**", "*.parquet"),
+        recursive=True,
+    )[0]
+    import shutil as _sh
+
+    _sh.copy(src, os.path.join(pid_dir, "part-aaaa.parquet"))
+    with open(os.path.join(pid_dir, "part-bbbb.parquet.tmpdead"), "wb") as fh:
+        fh.write(b"truncated garbage")
+    files = sorted(
+        f for f in os.listdir(pages_dir) if f.endswith(".parquet")
+    )
+    _commit_wave(
+        tmp_dir, str(tmp_path / "out2_extracted"),
+        wave=[(0, os.path.join(pages_dir, files[0]))], wall=1.0,
+    )
+    promoted = os.listdir(
+        os.path.join(str(tmp_path / "out2_extracted"), "partition_id=0", "is_dup=0")
+    )
+    assert "part-aaaa.parquet" in promoted
+    assert not any(".tmp" in f for f in promoted)
+
+
+def test_partition_fingerprint_catches_midfile_edit(tmp_path):
+    """Same-length edit deep inside the file (outside the head/tail 64 KiB
+    windows) must change the fingerprint — tail-only sampling missed it."""
+    from ocr_suite_ray.state import lineage as lin
+
+    p = str(tmp_path / "big.bin")
+    data = bytearray(os.urandom(512 * 1024))
+    with open(p, "wb") as fh:
+        fh.write(data)
+    fp1 = lin.partition_fingerprint(p)
+    mid = len(data) // 2
+    data[mid] ^= 0xFF  # same length, mid-file flip
+    with open(p, "wb") as fh:
+        fh.write(data)
+    os.utime(p)  # fresh mtime either way; fingerprint must differ by CONTENT
+    fp2 = lin.partition_fingerprint(p)
+    assert fp1 != fp2
