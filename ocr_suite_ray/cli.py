@@ -110,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
         "--sample-e4", type=int, default=None,
         help="optional deterministic url-hash subsample, parts per 10000",
     )
+    pc_.add_argument(
+        "--dup-exchange", choices=["tree", "shuffle"], default="tree",
+        help="dup-winner exchange tier: tree (default; distinct-text table "
+        "must fit one worker) or shuffle (ONE bucket exchange — the "
+        "documented successor past ~2M docs)",
+    )
 
     pp = sub.add_parser(
         "pretrain",
@@ -247,6 +253,7 @@ def main(argv: list[str] | None = None) -> int:
                         a.curated,
                         quality_min=a.quality_min,
                         sample_e4=a.sample_e4,
+                        dup_exchange=a.dup_exchange,
                     )
                 )
             )

@@ -41,6 +41,16 @@ def md5_mod(values, mod: int, *, suffix: str = "") -> np.ndarray:
     deterministic samplers (keep iff ``md5_mod(id, m) < threshold``)."""
     return md5_u32(values, suffix=suffix) % mod
 
+
+def split_labels(hmod: np.ndarray, train_pct: int, val_pct: int) -> np.ndarray:
+    """train/val/test labels from ``md5_mod(key, 100)`` values — THE split
+    rule, kept in one place so the oracle-pinned assign_split and the
+    pretrain funnel's leakage-safe host split can never diverge."""
+    return np.where(
+        hmod < train_pct, "train",
+        np.where(hmod < train_pct + val_pct, "val", "test"),
+    )
+
 # int64 max is 19 digits — a 20-wide pad can never truncate, so the
 # engine's zfill and DuckDB's lpad (which TRUNCATES longer inputs, unlike
 # zfill/Arrow lpad) stay byte-identical for every representable id

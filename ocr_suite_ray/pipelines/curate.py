@@ -75,7 +75,6 @@ def run_curation(
     import ray
     import ray.data as rd
 
-    from ocr_suite_ray.stages._bcast import cached_get
     from ocr_suite_ray.stages.text_ops import _tokens, lm_scores, quality_score
     from ocr_suite_ray.state.dupset import coalesce_reduce
 
@@ -143,7 +142,11 @@ def run_curation(
 
     def _merge(t: pa.Table) -> pa.Table:
         g = t.group_by(["kind", "s"]).aggregate([("n", "sum"), ("u", "min")])
-        return g.rename_columns(["kind", "s", "n", "u"])
+        # select by NAME first: pyarrow group_by output order is
+        # release-fragile (the _tree_keyed_sum rule)
+        return g.select(["kind", "s", "n_sum", "u_min"]).rename_columns(
+            ["kind", "s", "n", "u"]
+        )
 
     if dup_exchange not in ("tree", "shuffle"):
         raise ValueError(f"dup_exchange must be tree|shuffle, got {dup_exchange!r}")

@@ -187,7 +187,12 @@ def run_pretrain_prep(
     )
 
     # ---- pass B: gate + dedup + decon + split, staging write --------
-    def _build_winner_index(tbl: pa.Table) -> pd.Series:
+    def _build_winner_index(tbl: "pa.Table | None") -> "pd.Series | None":
+        # the shuffle tier's ref RESOLVES to None on a dup-free corpus
+        # (every bucket folds empty) — the common case post url-dedup;
+        # an unguarded to_pandas crashed the whole funnel there
+        if tbl is None or not tbl.num_rows:
+            return None
         df = tbl.to_pandas()
         return pd.Series(df["url"].to_numpy(), index=df["h"])
 
@@ -226,11 +231,9 @@ def run_pretrain_prep(
             )
             t = t.filter(pa.array(np.asarray(hits) == 0))
         host, _tld = extract_hosts(t["url"])
-        m = md5_mod(host.to_pandas(), 100)
-        split = np.where(
-            m < train_pct, "train",
-            np.where(m < train_pct + val_pct, "val", "test"),
-        )
+        from ocr_suite_ray.functions.hashing import split_labels
+
+        split = split_labels(md5_mod(host.to_pandas(), 100), train_pct, val_pct)
         txt = t["text_clean"]
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
@@ -267,9 +270,13 @@ def run_pretrain_prep(
             h = pd.util.hash_array(u).astype(np.int64)
             return t.append_column("nid", pa.array(h, pa.int64()))
 
+        # materialize ONCE: the collision probe, minhash's two passes,
+        # and the cluster dedup each consume this — lazy, the raw_dir
+        # read + hashing would re-execute 3-4x (the dedup_keep_cluster
+        # materialize rationale)
         with_ids = rd.read_parquet(raw_dir).map_batches(
             _nid, batch_format="pyarrow"
-        )
+        ).materialize()
         dup_ids = ray.get(dup_key_table_ref(with_ids, key_col="nid"))
         if dup_ids is not None and dup_ids.num_rows:
             raise ValueError(
@@ -320,7 +327,7 @@ def run_pretrain_prep(
     # (split, n) partials, summed on the driver (O(blocks x 3) rows)
     def _split_counts(t: pa.Table) -> pa.Table:
         g = t.select(["split"]).group_by("split").aggregate([([], "count_all")])
-        return g.rename_columns(["split", "n"])
+        return g.select(["split", "count_all"]).rename_columns(["split", "n"])
 
     partials = (
         rd.read_parquet(clean_dir, columns=["split"])

@@ -109,6 +109,13 @@ def ingest_jsonl(src_dir: str, pages_dir: str, row_group_size: int = 4096) -> li
                 )
         out = pa.table({"url": pc.cast(t["url"], pa.string()),
                         "warc_ts": ts, "html": html})
+        # skip-undated contract (warc._warc_date_us): a record missing or
+        # failing warc_ts must be DROPPED, not admitted with a null —
+        # newest-capture-wins dedup over a null capture time is undefined
+        # and export_warc crashes on it
+        out = out.filter(
+            pc.and_(pc.is_valid(out["warc_ts"]), pc.is_valid(out["url"]))
+        )
         tmp = dst + f".tmp{os.getpid()}"
         pq.write_table(out, tmp, row_group_size=rg)
         os.replace(tmp, dst)

@@ -147,10 +147,13 @@ def _open_members(path: str):
         yield io.BufferedReader(gzip.GzipFile(fileobj=f))
 
 
-def read_warc_pages(path: str) -> list[dict]:
-    """All page records of one WARC file as dicts
-    ``(url, warc_ts_us, html)``. Response/resource records only."""
-    rows: list[dict] = []
+def iter_warc_pages(path: str):
+    """Yield page records of one WARC file as dicts
+    ``(url, warc_ts_us, html)``, one at a time — peak memory one record,
+    honoring ``_open_members``' streaming contract (a list-building
+    reader holds the whole decompressed WARC, ~4-5 GB for a standard
+    Common-Crawl shard, in every ingest task at once).
+    Response/resource records only."""
     for stream in _open_members(path):
         for headers, payload in iter_warc_records(stream):
             rtype = headers.get("warc-type", "")
@@ -163,14 +166,13 @@ def read_warc_pages(path: str) -> list[dict]:
             if ts is None:
                 continue  # no/unparseable capture date: skip, don't fabricate
             body = _split_http_body(payload) if rtype == "response" else payload
-            rows.append(
-                {
-                    "url": url.strip("<>"),
-                    "warc_ts_us": ts,
-                    "html": body,
-                }
-            )
-    return rows
+            yield {"url": url.strip("<>"), "warc_ts_us": ts, "html": body}
+
+
+def read_warc_pages(path: str) -> list[dict]:
+    """All page records of one WARC file as a list (small-file/test
+    convenience; scale paths stream via :func:`iter_warc_pages`)."""
+    return list(iter_warc_pages(path))
 
 
 def ingest_warc(src_dir: str, pages_dir: str, row_group_size: int = 4096) -> list[str]:
@@ -193,18 +195,36 @@ def ingest_warc(src_dir: str, pages_dir: str, row_group_size: int = 4096) -> lis
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rows = read_warc_pages(src)
-        out = pa.table(
-            {
-                "url": pa.array([r["url"] for r in rows], pa.string()),
-                "warc_ts": pa.array(
-                    [r["warc_ts_us"] for r in rows], pa.timestamp("us")
-                ),
-                "html": pa.array([r["html"] for r in rows], pa.binary()),
-            }
+        schema = pa.schema(
+            [("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+             ("html", pa.binary())]
         )
+
+        def _tbl(rows: list) -> pa.Table:
+            return pa.table(
+                {
+                    "url": pa.array([r["url"] for r in rows], pa.string()),
+                    "warc_ts": pa.array(
+                        [r["warc_ts_us"] for r in rows], pa.timestamp("us")
+                    ),
+                    "html": pa.array(
+                        [r["html"] for r in rows], pa.binary()
+                    ),
+                },
+            ).cast(schema)
+
+        # stream row-group-sized chunks straight into the writer: peak
+        # memory is one row group, not the whole decompressed WARC
         tmp = dst + f".tmp{os.getpid()}"
-        pq.write_table(out, tmp, row_group_size=rg)
+        rows: list = []
+        with pq.ParquetWriter(tmp, schema) as w:
+            for r in iter_warc_pages(src):
+                rows.append(r)
+                if len(rows) >= rg:
+                    w.write_table(_tbl(rows), row_group_size=rg)
+                    rows = []
+            if rows:
+                w.write_table(_tbl(rows), row_group_size=rg)
         os.replace(tmp, dst)
         return dst
 

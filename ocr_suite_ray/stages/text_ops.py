@@ -324,11 +324,11 @@ def assign_split(
     from ocr_suite_ray.functions.hashing import md5_mod
 
     def _split(batch: pd.DataFrame) -> pd.DataFrame:
+        from ocr_suite_ray.functions.hashing import split_labels
+
         h = md5_mod(batch[id_col], mod)
         out = batch.copy()
-        out["split"] = np.where(
-            h < train_pct, "train", np.where(h < train_pct + val_pct, "val", "test")
-        )
+        out["split"] = split_labels(h, train_pct, val_pct)
         return out
 
     return ds.map_batches(_split, batch_format="pandas")

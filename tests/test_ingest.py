@@ -137,3 +137,33 @@ def test_ingest_tolerant_iso_timestamps(ray_session, tmp_path):
     assert got[1] == dt.datetime(2024, 1, 2, 4, 4, 5, 123456)
     # +02:00 offset normalizes to UTC-naive
     assert got[2] == dt.datetime(2024, 1, 2, 4, 4, 5)
+
+
+def test_ingest_jsonl_drops_undated_records(ray_session, tmp_path):
+    """A record missing warc_ts (or with a null) is DROPPED per the WARC
+    skip-undated contract — previously it was admitted with a null ts,
+    making newest-capture-wins undefined and crashing export_warc."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ocr_suite_ray.sources.ingest import ingest_jsonl
+
+    d = tmp_path / "jl"
+    d.mkdir()
+    with open(d / "pages_00000.jsonl", "w") as fh:
+        fh.write(_json.dumps({
+            "url": "http://a.example/x",
+            "warc_ts": "2024-01-01T00:00:00Z",
+            "html": "<p>dated words here ok</p>",
+        }) + "\n")
+        fh.write(_json.dumps({
+            "url": "http://b.example/y",
+            "html": "<p>undated words here dropped</p>",
+        }) + "\n")
+    out = ingest_jsonl(str(d), str(tmp_path / "pages"))
+    t = pq.read_table(out[0])
+    assert t.num_rows == 1
+    assert t["url"][0].as_py() == "http://a.example/x"
+    assert t["warc_ts"].null_count == 0

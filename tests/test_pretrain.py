@@ -155,3 +155,14 @@ def test_pretrain_dup_exchange_tiers_equivalent(tmp_path):
     t1 = pads.dataset(str(tmp_path / "t/clean"), partitioning="hive").to_table().sort_by("url")
     t2 = pads.dataset(str(tmp_path / "s/clean"), partitioning="hive").to_table().sort_by("url")
     assert t1.equals(t2)
+
+
+def test_pretrain_shuffle_tier_dup_free_corpus(tmp_path):
+    """The shuffle tier's winner ref RESOLVES to None on a corpus with no
+    exact-duplicate cleaned texts (the common case post url-dedup) — must
+    run clean, not crash building the winner index."""
+    texts = [_gopher_ok_text("a"), _gopher_ok_text("b"), _gopher_ok_text("c")]
+    store = _fake_store(str(tmp_path / "final"), texts)
+    s = run_pretrain_prep(store, str(tmp_path / "out"), seq_len=16,
+                          seqs_per_shard=4, dup_exchange="shuffle")
+    assert s["docs_kept"] == 3
