@@ -226,12 +226,16 @@ def extract_pdf(payload: bytes, ocr=None) -> dict:
     # any EARLIER stream terminated (silently dropping the truncated
     # one), and raw byte counting false-positives on content text that
     # merely contains the word "stream".
-    last_open = None
-    for _m in _STREAM_OPEN_RE.finditer(payload):
-        last_open = _m
-    if last_open is not None and payload.find(b"endstream", last_open.end()) < 0:
-        raise ValueError("unterminated PDF stream")
-    if last_open is None and b"stream" in payload and b"endstream" not in payload:
+    opens = list(_STREAM_OPEN_RE.finditer(payload))
+    for j, _m in enumerate(opens):
+        # EVERY opener needs an endstream before the next opener (or EOF)
+        # — checking only the last one let a truncated earlier stream
+        # silently merge with its successor's content (one wrong block +
+        # span instead of the contracted ValueError)
+        limit = opens[j + 1].start() if j + 1 < len(opens) else len(payload)
+        if payload.find(b"endstream", _m.end(), limit) < 0:
+            raise ValueError("unterminated PDF stream")
+    if not opens and b"stream" in payload and b"endstream" not in payload:
         raise ValueError("unterminated PDF stream")
 
     pieces: list[str] = []
@@ -239,6 +243,7 @@ def extract_pdf(payload: bytes, ocr=None) -> dict:
     pos = 0
     dropped = 0
     images: list[bytes] = []
+    saw_text_ops = False
     for m in _STREAM_RE.finditer(payload):
         dict_bytes = _stream_dict(payload, m.start())
         if _IMAGE_RE.search(dict_bytes):
@@ -247,6 +252,10 @@ def extract_pdf(payload: bytes, ocr=None) -> dict:
             continue
         body = _decode_stream(dict_bytes, m.group(1))
         texts = [_unescape(lit) for lit in _TJ_RE.findall(body)]
+        if texts:
+            # Tj operators exist even if their literals collapse to
+            # nothing: this is a TEXT pdf, not a scanned one
+            saw_text_ops = True
         block = collapse_ws(" ".join(t.decode("latin-1") for t in texts))
         if not block:
             dropped += 1
@@ -256,6 +265,12 @@ def extract_pdf(payload: bytes, ocr=None) -> dict:
         pieces.append(block)
         spans.append((pos, pos + len(block), KIND_PDF_BLOCK))
         pos += len(block)
+    if not pieces and images and saw_text_ops:
+        # a TEXT pdf whose literals all collapsed to nothing, plus
+        # figures: an empty-text document, NOT a scanned one — the
+        # figures count as dropped, never routed to OCR
+        dropped += len(images)
+        images = []
     if not pieces and images:
         # image-only payload = scanned PDF -> the OCR lane
         if ocr is None:

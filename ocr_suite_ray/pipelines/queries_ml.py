@@ -1228,7 +1228,8 @@ WITH m AS (
   FROM generate_series(0, 199) t(i)
 )
 SELECT media_id,
-  CASE WHEN k = 0 THEN 'image' ELSE 'binary' END AS media_kind,
+  CASE WHEN k IN (0, 1, 2) THEN 'image' WHEN k = 3 THEN 'audio'
+       ELSE 'binary' END AS media_kind,
   CAST(CASE k WHEN 0 THEN 29 WHEN 1 THEN 13 WHEN 2 THEN 38 WHEN 3 THEN 36
        ELSE 8 + length(CAST(media_id AS VARCHAR)) END AS BIGINT) AS n_bytes,
   CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'

@@ -45,11 +45,15 @@ _DERIVED: dict = {}
 def cached_build(ref, builder):
     """Like ``cached_get`` but caches ``builder(payload)`` — for stages that
     derive a worker-local structure (a lookup Series, a normalized matrix)
-    from the broadcast payload. Keyed by ref (builder closures are
-    recreated per task, so the ref is the stable identity)."""
-    v = _DERIVED.get(ref)
+    from the broadcast payload. Keyed by (ref, builder qualname): the ref
+    alone is the stable identity across a task's batches (closures are
+    recreated per task), but two STAGES deriving different structures
+    from the SAME broadcast ref must not share the first derivation —
+    a ref-only key silently handed stage B stage A's structure."""
+    key = (ref, getattr(builder, "__module__", ""), getattr(builder, "__qualname__", repr(builder)))
+    v = _DERIVED.get(key)
     if v is None:
         _evict(_DERIVED)
         v = builder(cached_get(ref))
-        _DERIVED[ref] = v
+        _DERIVED[key] = v
     return v

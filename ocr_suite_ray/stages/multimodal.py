@@ -35,6 +35,15 @@ MEDIA_META_TYPE = pa.struct(
 )
 
 
+def _set_or_append(t: pa.Table, name: str, arr) -> pa.Table:
+    """append_column PERMITS duplicate names; composing probe_media with
+    decode_media would otherwise emit two ambiguous width/height columns
+    (parquet write then fails). Replace-by-name when present."""
+    if name in t.column_names:
+        return t.set_column(t.column_names.index(name), name, arr)
+    return t.append_column(name, arr)
+
+
 def attach_media_meta(batch: pa.Table, payload_col: str = "payload") -> pa.Table:
     """Stateless metadata projection over a binary column (no decode)."""
     metas = []
@@ -44,9 +53,25 @@ def attach_media_meta(batch: pa.Table, payload_col: str = "payload") -> pa.Table
     # one row at a time: the content hash needs the FULL bytes, but
     # holding every body as Python bytes alongside the Arrow buffers
     # doubles peak task memory (the stages/extract.py PageExtractor rule)
+    _KIND_BY_FORMAT = {
+        "jpeg": "image", "png": "image", "gif": "image", "bmp": "image",
+        "wav": "audio",
+    }
     for cell in col:
         v = cell.as_py() or b""
-        kind = "image" if v[:2] == b"\xff\xd8" or v[:4] == b"\x89PNG" else "binary"
+        # ONE sniffer (parse_media_header) for the whole module — the
+        # previous inline 2-format check tagged GIF/BMP/WAV 'binary',
+        # contradicting MEDIA_META_TYPE's 'image | audio | video'
+        fmt = parse_media_header(v[:65536])["format"]
+        kind = _KIND_BY_FORMAT.get(fmt)
+        if kind is None:
+            # loose magic-prefix fallback (truncated headers the strict
+            # parser rejects still carry obvious image intent)
+            kind = (
+                "image"
+                if v[:2] == b"\xff\xd8" or v[:4] == b"\x89PNG"
+                else "binary"
+            )
         metas.append(
             {
                 "media_kind": kind,
@@ -140,11 +165,11 @@ class ImageDecoder:
             feats.append(np.asarray(f, dtype=np.float64).tolist())
         drop = [c for c in ("payload",) if c in batch.column_names]
         out = batch.drop_columns(drop)
-        out = out.append_column("decode_status", pa.array(status, pa.string()))
-        out = out.append_column("width", pa.array(widths, pa.int32()))
-        out = out.append_column("height", pa.array(heights, pa.int32()))
-        out = out.append_column("n_channels", pa.array(chans, pa.int32()))
-        out = out.append_column("feature", pa.array(feats, pa.list_(pa.float32())))
+        out = _set_or_append(out, "decode_status", pa.array(status, pa.string()))
+        out = _set_or_append(out, "width", pa.array(widths, pa.int32()))
+        out = _set_or_append(out, "height", pa.array(heights, pa.int32()))
+        out = _set_or_append(out, "n_channels", pa.array(chans, pa.int32()))
+        out = _set_or_append(out, "feature", pa.array(feats, pa.list_(pa.float32())))
         return out
 
 
@@ -302,7 +327,7 @@ def probe_media(ds, payload_col: str = "payload"):
             ("bit_depth", pa.int32()), ("channels", pa.int32()),
             ("sample_rate", pa.int32()),
         ):
-            t = t.append_column(name, pa.array([m[name] for m in metas], typ))
+            t = _set_or_append(t, name, pa.array([m[name] for m in metas], typ))
         return t
 
     return ds.map_batches(_probe, batch_format="pyarrow")

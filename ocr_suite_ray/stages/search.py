@@ -52,7 +52,11 @@ def hierarchy_counts(ds, ts_col: str = "ts"):
         # count_all, not ("day","count"): counting the group key itself
         # reports 0 for a null-ts group (pyarrow counts valid values only)
         g = t.group_by(["day", "hour", "minute"]).aggregate([([], "count_all")])
-        return g.rename_columns(["day", "hour", "minute", "n"])
+        # select by NAME first (the narrow_grouped_sum rule): group_by
+        # output order is release-fragile
+        return g.select(["day", "hour", "minute", "count_all"]).rename_columns(
+            ["day", "hour", "minute", "n"]
+        )
 
     partials = add_time_buckets(ds, ts_col).map_batches(
         _partial, batch_format="pyarrow"

@@ -211,3 +211,17 @@ def test_jpeg_fill_bytes_before_sof():
                8, 0, 2, 0, 3, 1, 0x11, 0])
     m = parse_media_header(j)
     assert (m["format"], m["width"], m["height"]) == ("jpeg", 3, 2)
+
+
+def test_probe_then_decode_compose_no_duplicate_columns(ray_session):
+    """probe_media -> decode_media over the same payloads: width/height
+    must be REPLACED, not appended twice (duplicate names break parquet
+    writes and column() lookups)."""
+    import ray.data as rd
+
+    from ocr_suite_ray.stages.multimodal import decode_media, probe_media
+
+    ds = rd.from_arrow(_media_table(8))
+    out = decode_media(probe_media(ds), concurrency=1)
+    names = out.schema().names
+    assert names.count("width") == 1 and names.count("height") == 1
