@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import os
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -81,7 +80,11 @@ def q_pricing_summary(sf_dir: str):
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("rev", "sum"), ("l_discount", "sum"), ("rev", "count")]
         )
-        return g.rename_columns(
+        # select by NAME first: group_by output order is release-fragile
+        return g.select(
+            ["l_returnflag", "l_linestatus", "l_quantity_sum", "rev_sum",
+             "l_discount_sum", "rev_count"]
+        ).rename_columns(
             ["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue", "sum_disc", "n_rows"]
         )
 
@@ -204,7 +207,7 @@ def q_search_count_by_lang(sf_dir: str):
 
     def _partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["lang"]).aggregate([("lang", "count")])
-        return g.rename_columns(["lang", "n_docs"])
+        return g.select(["lang", "lang_count"]).rename_columns(["lang", "n_docs"])
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     partials = find_text(ds, "stream").map_batches(_partial, batch_format="pyarrow")
@@ -331,7 +334,9 @@ def q_large_join(sf_dir: str):
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         t = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev})
         g = t.group_by("o_orderkey").aggregate([("rev", "sum"), ("rev", "count")])
-        return g.rename_columns(["o_orderkey", "rev", "n"])
+        return g.select(["o_orderkey", "rev_sum", "rev_count"]).rename_columns(
+            ["o_orderkey", "rev", "n"]
+        )
 
     li = li.map_batches(_rev_partial, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
@@ -400,7 +405,9 @@ def q_union(sf_dir: str):
             .group_by("event_type")
             .aggregate([("n", "sum")])
         )
-        return g.rename_columns(["event_type", "n"])
+        return g.select(["event_type", "n_sum"]).rename_columns(
+            ["event_type", "n"]
+        )
 
     partials = hi.union(lo).map_batches(_partial, batch_format="pyarrow")
     return narrow_grouped_sum(
@@ -485,15 +492,23 @@ def q_asof_join(sf_dir: str):
         t = t.filter(pc.equal(t["event_type"], "purchase"))
         return t.select(["user_id", "ts", "event_id", "value"])
 
-    # dedupe right per (user, ts): keep max event_id (determinism)
+    # dedupe right per (user, ts) GLOBALLY: keep max event_id.
+    # asof_join_by_key's precondition is corpus-wide (key, ts) uniqueness;
+    # a per-batch drop_duplicates left cross-block ties to merge_asof's
+    # nondeterministic block order instead of MAX_BY. grouped_reduce_c
+    # co-locates each (user, ts)'s rows in ONE bucket task first.
     def _uniq(df):
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         return df.drop_duplicates(subset=["user_id", "ts"], keep="last").rename(
             columns={"event_id": "purchase_id", "value": "purchase_value"}
         )
 
-    purchases = ev.map_batches(_purchases, batch_format="pyarrow").map_batches(
-        _uniq, batch_format="pandas"
+    from ocr_suite_ray.stages.relational import grouped_reduce_c
+
+    purchases = grouped_reduce_c(
+        ev.map_batches(_purchases, batch_format="pyarrow"),
+        ["user_id", "ts"],
+        _uniq,
     )
     out = asof_join_by_key(
         clicks, purchases, "user_id", "ts",
@@ -730,7 +745,14 @@ def q_json_props(sf_dir: str):
             self._loads = json.loads
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ks = [int(self._loads(p).get("k", -1)) for p in t["props"].to_pylist()]
+            # SQL json_extract semantics: a missing key (or a null props
+            # value) is a NULL k -> its own NULL bucket downstream, never
+            # -1 silently folded into bucket 0; null props must not crash
+            ks = [
+                None if p is None else self._loads(p).get("k")
+                for p in t["props"].to_pylist()
+            ]
+            ks = [None if v is None else int(v) for v in ks]
             return pa.table(
                 {
                     "event_type": t["event_type"],
@@ -755,7 +777,9 @@ def q_json_props(sf_dir: str):
         g = t.group_by(["event_type", "k_bucket"]).aggregate(
             [("n", "sum"), ("k", "sum")]
         )
-        return g.rename_columns(["event_type", "k_bucket", "n", "sum_k"])
+        return g.select(
+            ["event_type", "k_bucket", "n_sum", "k_sum"]
+        ).rename_columns(["event_type", "k_bucket", "n", "sum_k"])
 
     partials = parsed.map_batches(_bucket, batch_format="pyarrow").map_batches(
         _partial, batch_format="pyarrow"
@@ -1023,7 +1047,10 @@ def q_text_normalize(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def _norm(t: pa.Table) -> pa.Table:
-        low = pc.utf8_trim_whitespace(pc.utf8_lower(t["text"]))
+        # DuckDB trim() strips SPACES only; utf8_trim_whitespace would
+        # also strip \n/\t/unicode ws and break oracle parity on any
+        # realistic text
+        low = pc.utf8_trim(pc.utf8_lower(t["text"]), " ")
         return pa.table(
             {
                 "doc_id": t["doc_id"],

@@ -370,7 +370,9 @@ def winner_table_ref(partials_ds, key_col: str = "s", n_col: str = "n",
     from ocr_suite_ray.stages.relational import grouped_reduce_c
 
     def _fold(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(key_col, as_index=False).agg(
+        # dropna=False: the tree-tier sibling (Arrow group_by) keeps null
+        # keys; the shuffle tier must agree (dup_key_table_ref rule)
+        out = g.groupby(key_col, as_index=False, dropna=False).agg(
             **{n_col: (n_col, "sum"), win_col: (win_col, "min")}
         )
         return out[out[n_col] > 1][[key_col, win_col]]
